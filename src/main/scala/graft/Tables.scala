@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided TPC-H-ish parquet tables
+  * (/root/repo/TESTDATA.md). All queries in [[SparkEntry]] read through
+  * here so that path handling and any future read-level tuning
+  * (partition sizing, schema pinning) lives in one place.
+  *
+  * Scale note: `spark.read.parquet` is splittable and prunes columns /
+  * pushes filters via the parquet datasource V2 — at 100 TB each table
+  * becomes many splits sized by `spark.sql.files.maxPartitionBytes`,
+  * so nothing here needs to change for a real cluster.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
+    * a raw long (legacy conf); convert to µs TimestampType here so all
+    * consumers see a normal timestamp column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    load(s, d, "events").withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
