@@ -1,0 +1,49 @@
+package graft.cli
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+
+/** sqawk-compatible CLI entry point (reference: sqawk-dev.tcl:217-252):
+  * parse argv → build session → ingest files as temp views → run the
+  * script statement by statement → serialize to stdout. Errors go to
+  * stderr with exit 1; broken pipes are tolerated silently
+  * (reference: tests.tcl:70-83).
+  */
+object Main {
+
+  /** Parse args, ingest, query, serialize to `out`. Returns the exit
+    * code; never exits the JVM (testable). */
+  def run(args: Seq[String], spark: org.apache.spark.sql.SparkSession,
+      out: java.io.Writer): Int = {
+    val parsed =
+      try Options.parse(args)
+      catch {
+        case u: UsageException =>
+          System.err.println(u.message)
+          return u.exitCode
+        case e: Exception =>
+          System.err.println(s"error: ${e.getMessage}")
+          return 1
+      }
+    try {
+      GraftSession.loadAll(spark, parsed)
+      val serializer = ScriptRunner.makeSerializer(parsed.global.output, parsed.global, out)
+      ScriptRunner.run(spark, parsed.script, serializer)
+      0
+    } catch {
+      case _: java.io.IOException => 0 // EPIPE: exit 0 silently
+      case e: Exception =>
+        System.err.println(s"error: ${Option(e.getMessage).getOrElse(e.toString)}")
+        1
+    } finally {
+      try out.flush() catch { case _: java.io.IOException => }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build()
+    val out = new BufferedWriter(new OutputStreamWriter(System.out))
+    val code = run(args.toSeq, spark, out)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

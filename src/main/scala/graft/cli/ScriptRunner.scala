@@ -1,0 +1,130 @@
+package graft.cli
+
+import java.io.Writer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.serializers._
+import graft.sources.Affinity
+
+/** Statement-at-a-time script execution (reference:
+  * lib/classes/sqawk.tcl:206-225 + tests.tcl:195-200: multi-statement
+  * scripts emit each result set through ONE serializer).
+  */
+object ScriptRunner {
+
+  /** Split a script on top-level `;` — quote-, comment- and
+    * bracket-aware. */
+  def splitStatements(script: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    val n = script.length
+    var state: Char = ' ' // ' '=normal, '\''=single, '"'=double, '`'=backtick, '-'=line comment, '*'=block comment
+    while (i < n) {
+      val c = script.charAt(i)
+      state match {
+        case ' ' =>
+          if (c == ';') { out += sb.toString; sb.clear() }
+          else {
+            if (c == '\'' || c == '"' || c == '`') state = c
+            else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') state = '-'
+            else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') state = '*'
+            sb.append(c)
+          }
+        case '\'' | '"' | '`' =>
+          sb.append(c)
+          if (c == state) {
+            // doubled quote = escaped quote inside the literal
+            if (i + 1 < n && script.charAt(i + 1) == state) { sb.append(state); i += 1 }
+            else state = ' '
+          }
+        case '-' =>
+          sb.append(c)
+          if (c == '\n') state = ' '
+        case '*' =>
+          sb.append(c)
+          if (c == '/' && i > 0 && script.charAt(i - 1) == '*' && sb.length >= 2) state = ' '
+        case _ =>
+      }
+      i += 1
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString
+    out.result().filter(_.trim.nonEmpty)
+  }
+
+  /** Render one result value the way the reference's Tcl/SQLite layer
+    * would (NULL → "", REAL → SQLite float text, bools → 0/1). */
+  def renderValue(v: Any): String = v match {
+    case null => ""
+    case d: Double => Affinity.formatReal(d)
+    case f: Float => Affinity.formatReal(f.toDouble)
+    case b: Boolean => if (b) "1" else "0"
+    case d: java.math.BigDecimal => d.toPlainString
+    case t: java.sql.Timestamp =>
+      val s = t.toString // yyyy-mm-dd hh:mm:ss.fffffffff
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    case bytes: Array[Byte] => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    case seq: scala.collection.Seq[_] => seq.map(renderValue).mkString(" ")
+    case other => other.toString
+  }
+
+  def makeSerializer(outputSpec: String, g: GlobalOptions, out: Writer): Serializer = {
+    val parts = outputSpec.split(",").toSeq
+    val name = parts.head
+    val opts = parts.tail.map { p =>
+      val kv = p.split("=", 2)
+      kv(0) -> (if (kv.length > 1) kv(1) else "")
+    }.toMap
+    def boolOpt(k: String, default: Boolean): Boolean =
+      opts.get(k).map(Options.parseBool).getOrElse(default)
+    val known: Map[String, Set[String]] = Map(
+      "awk" -> Set(), "csv" -> Set(),
+      "json" -> Set("kv", "pretty"), "tcl" -> Set("kv", "pretty"),
+      "table" -> Set("align", "alignments", "margins", "style"))
+    known.get(name) match {
+      case None => throw new IllegalArgumentException(s"unknown output format: $name")
+      case Some(keys) =>
+        if (name == "awk" && (opts.contains("ofs") || opts.contains("ors")))
+          throw new IllegalArgumentException(
+            "to set the field separator for the \"awk\" output format please use -OFS/-ORS")
+        for (k <- opts.keys if !keys.contains(k))
+          throw new IllegalArgumentException(s"unknown option $k for output format $name")
+    }
+    name match {
+      case "awk" => new AwkSerializer(out, g.ofs, g.ors)
+      case "csv" => new CsvSerializer(out)
+      case "json" => new JsonSerializer(out, boolOpt("kv", default = true), boolOpt("pretty", default = false))
+      case "tcl" => new TclSerializer(out, boolOpt("kv", default = false), boolOpt("pretty", default = false))
+      case "table" =>
+        if (opts.contains("align") && opts.contains("alignments"))
+          throw new IllegalArgumentException(
+            "error: can't use synonym options \"align\" and \"alignments\" together")
+        val aligns = opts.get("align").orElse(opts.get("alignments"))
+          .map(_.split(" ").toSeq).getOrElse(Nil)
+        new TableSerializer(out, aligns, opts.get("margins").map(_.toInt).getOrElse(0),
+          opts.getOrElse("style", "default"))
+    }
+  }
+
+  /** Execute each statement and pump rows through the serializer with
+    * bounded driver memory (`toLocalIterator`). */
+  def run(spark: SparkSession, script: String, serializer: Serializer): Unit = {
+    for (stmt <- splitStatements(script)) {
+      val df: DataFrame = spark.sql(stmt)
+      if (df.schema.nonEmpty) pump(df, serializer)
+    }
+    serializer.close()
+  }
+
+  def pump(df: DataFrame, serializer: Serializer): Unit = {
+    val cols = df.columns
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row: Row = it.next()
+      val record = cols.indices.map(i => cols(i) -> renderValue(row.get(i)))
+      serializer.serialize(record)
+    }
+  }
+}

@@ -1,0 +1,183 @@
+package graft.cli
+
+import java.io.StringWriter
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** End-to-end CLI black-box tests mirroring the reference suite
+  * (tests.tcl; fixture inventory in FIXTURES.md). Each case runs the
+  * real pipeline — ingest, SQL, serializer — and compares exact
+  * output text. */
+class CliSpec extends SparkSpec {
+
+  private def tempFile(content: String): String = {
+    val f = Files.createTempFile("graft-cli", ".txt")
+    Files.writeString(f, content)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  /** Run the CLI against in-process Spark, return (exitCode, stdout). */
+  private def sqawk(args: String*): (Int, String) = {
+    GraftFunctions.register(spark)
+    val out = new StringWriter
+    val code = Main.run(args, spark, out)
+    (code, out.toString)
+  }
+
+  test("fs-1.1: custom FS , (reference tests.tcl:110-118)") {
+    val f = tempFile("a,b\nc,d\ne,f\n")
+    assert(sqawk("-FS", ",", "select a1, a2 from a", f) == (0, "a b\nc d\ne f\n"))
+  }
+
+  test("fs-1.2: custom FS @") {
+    val f = tempFile("a@b\nc@d\ne@f\n")
+    assert(sqawk("-FS", "@", "select a1, a2 from a", f) == (0, "a b\nc d\ne f\n"))
+  }
+
+  test("fs-1.3: regex FS with alternation and alias (tests.tcl:130-138)") {
+    val f = tempFile("Yama Yama|Yamasuki\n")
+    val (c, o) = sqawk("-FS", "\\|", "select distinct a2 as thing from a", f)
+    assert((c, o) == (0, "Yamasuki\n"))
+  }
+
+  test("multi-statement script concatenates result sets (tests.tcl:195-200)") {
+    val f = tempFile("foo 1\nfoo 2\nfoo 3\n")
+    val (c, o) = sqawk("select a2 from a; select count(*) from a", f)
+    assert((c, o) == (0, "1\n2\n3\n3\n"))
+  }
+
+  test("table= and prefix= (tests.tcl:202-211)") {
+    val f = tempFile("foo 1\nfoo 2\nfoo 3\n")
+    val (c, o) = sqawk("select x1, x2 from foo", "table=foo", "prefix=x", f)
+    assert((c, o) == (0, "foo 1\nfoo 2\nfoo 3\n"))
+  }
+
+  test("multiple files into one table append with continuing nr (tests.tcl:213-223)") {
+    val f1 = tempFile("foo 1\nfoo 2\n")
+    val f2 = tempFile("foo 3\nfoo 4\n")
+    val (c, o) = sqawk("select anr, a2 from a order by anr", "table=a", f1, "table=a", f2)
+    assert((c, o) == (0, "1 1\n2 2\n3 3\n4 4\n"))
+  }
+
+  test("header=1 with qualified names and string literal (tests.tcl:225-242)") {
+    val f = tempFile(
+      "name\tposition\toffice\tphone\n" +
+      "Smith\tCEO\t10\t555-1234\n" +
+      "James\tHead of marketing\t11\t555-1235\n" +
+      "McDonald\tDeveloper\t12\t555-1236\tGood at tables\n")
+    val (c, o) = sqawk("-FS", "\t",
+      "select staff.phone from staff where staff.position = \"CEO\"",
+      "table=staff", "prefix=a", "header=1", f)
+    assert((c, o) == (0, "555-1234\n"))
+  }
+
+  test("columns= naming (tests.tcl:261-327)") {
+    val f = tempFile("001 a\n002 b\n003 c\n")
+    assert(sqawk("select hello, a2 from a", "columns=hello", f) == (0, "1 a\n2 b\n3 c\n"))
+    assert(sqawk("select world from a", "columns=hello,world", f) == (0, "a\nb\nc\n"))
+    assert(sqawk("select `hello world` from a", "columns=hello world", f) == (0, "1\n2\n3\n"))
+  }
+
+  test("-1 single-field mode, NULL prints empty (tests.tcl:140-148)") {
+    val f = tempFile("a b,\n")
+    assert(sqawk("-1", "select a1, a2 from a", f) == (0, "a b, \n"))
+  }
+
+  test("-OFS and -ORS with backslash escapes") {
+    val f = tempFile("a b\nc d\n")
+    assert(sqawk("-OFS", "_", "select a1, a2 from a", f) == (0, "a_b\nc_d\n"))
+    assert(sqawk("-ORS", "#", "select a1 from a", f) == (0, "a#c#"))
+  }
+
+  test("csv output quotes only when needed (tests.tcl:780-796)") {
+    val f = tempFile("a,b\n1,2\n")
+    assert(sqawk("-1", "-output", "csv", "select a1 from a", f) == (0, "\"a,b\"\n\"1,2\"\n"))
+  }
+
+  test("json kv output (tests.tcl:898-910)") {
+    val f = tempFile("a,b,c\nd,e,f\ng,h,i\n")
+    val (c, o) = sqawk("-FS", ",", "-output", "json", "select a1,a2,a3 from a", f)
+    assert((c, o) == (0,
+      """[{"a1":"a","a2":"b","a3":"c"},{"a1":"d","a2":"e","a3":"f"},{"a1":"g","a2":"h","a3":"i"}]""" + "\n"))
+  }
+
+  test("json kv=0 output (tests.tcl:912-920)") {
+    val f = tempFile("a,b,c\nd,e,f\n")
+    val (c, o) = sqawk("-FS", ",", "-output", "json,kv=0", "select a1,a2,a3 from a", f)
+    assert((c, o) == (0, """[["a","b","c"],["d","e","f"]]""" + "\n"))
+  }
+
+  test("tcl output (tests.tcl:798-833)") {
+    val f = tempFile("1\t2\tHello, World!\t \n")
+    val (c, o) = sqawk("-FS", "\t", "-output", "tcl", "select a1,a2,a3,a4 from a", f)
+    assert((c, o) == (0, "{1 2 {Hello, World!} { }}\n"))
+    val (c2, o2) = sqawk("-FS", "\t", "-output", "tcl,kv=1", "select a1,a2,a3,a4 from a", f)
+    assert((c2, o2) == (0, "{a1 1 a2 2 a3 {Hello, World!} a4 { }}\n"))
+  }
+
+  test("table output (tests.tcl:834-861)") {
+    val f = tempFile("a,b,c\nd,e,f\ng,h,i\n")
+    val (c, o) = sqawk("-FS", ",", "-output", "table", "select a1,a2,a3 from a", f)
+    assert((c, o) == (0,
+      "┌─┬─┬─┐\n│a│b│c│\n├─┼─┼─┤\n│d│e│f│\n├─┼─┼─┤\n│g│h│i│\n└─┴─┴─┘\n"))
+  }
+
+  test("empty lines and fields (tests.tcl:1002-1040)") {
+    val f = tempFile("0-1\n\na-b\n\nc-d\n")
+    assert(sqawk("-FS", "-", "select a1, a2 from a", f) ==
+      (0, "0 1\n \na b\n \nc d\n"))
+    val g = tempFile("\n\n\n\n")
+    assert(sqawk("select a1 from a", g) == (0, "\n\n\n\n"))
+  }
+
+  test("affinity: integer canonicalization and datatypes (tests.tcl:1066-1106)") {
+    val f = tempFile("001 a\n002 b\nc\n")
+    assert(sqawk("select a1, a2 from a", f) == (0, "1 a\n2 b\nc \n"))
+    assert(sqawk("select a1, a2 from a", "datatypes=real,text", f) == (0, "1.0 a\n2.0 b\nc \n"))
+    assert(sqawk("select a1, a2 from a", "datatypes=text,text", f) == (0, "001 a\n002 b\nc \n"))
+  }
+
+  test("compat functions through SQL (tests.tcl:1108-1156)") {
+    assert(sqawk("-noinput", "select lindex('{} {foo bar} baz', 1, 1) as r") == (0, "bar\n"))
+    assert(sqawk("-noinput", "select regsub('-all', '[lz]', 'hello', '1') as r") == (0, "he11o\n"))
+    assert(sqawk("-noinput", "select regexp('a', 'aaa') as r") == (0, "1\n"))
+    assert(sqawk("-noinput", "select llength('0 o o g g l l e') as r") == (0, "8\n"))
+    assert(sqawk("-noinput", "select lrange('0 o o g g l l e', 4, '5') as r") == (0, "g l\n"))
+    assert(sqawk("-noinput",
+      "select dict_get('k1 v1 k2 v2 k3 {nes ted}', 'k3', 'nes') as r") == (0, "ted\n"))
+  }
+
+  test("select literal without FROM (tests.tcl:1050-1056)") {
+    assert(sqawk("-noinput", "select 108") == (0, "108\n"))
+  }
+
+  test("error: nonexistent file exits 1") {
+    val (c, _) = sqawk("select 1", "/nonexistent/file/xyz")
+    assert(c == 1)
+  }
+
+  test("error: MNF=error aborts on wide record (tests.tcl:1360-1396)") {
+    val f = tempFile("A B C\n")
+    val (c, _) = sqawk("-NF", "2", "-MNF", "error", "select a1 from a", f)
+    assert(c == 1)
+  }
+
+  test("unknown per-file option for a format errors (sqawk-dev.tcl:168-177)") {
+    val f = tempFile("x\n")
+    val (c, _) = sqawk("select a1 from a", "csvsep=;", f) // awk format: csvsep invalid
+    assert(c == 1)
+  }
+
+  test("join across two files (examples/hp, README.md:454)") {
+    val md5 = tempFile("d41d8cd98f00b204e9800998ecf8427e  foo\nc157a79031e1c40f85931829bc5fc552  bar\n")
+    val du = tempFile("0\tfoo\n4096\tbar\n")
+    val (c, o) = sqawk(
+      "select a1, b1 from a join b on a2 = b2 where b1 < 10000 order by b1",
+      md5, "FS=\t", du)
+    assert(c == 0)
+    assert(o == "d41d8cd98f00b204e9800998ecf8427e 0\nc157a79031e1c40f85931829bc5fc552 4096\n")
+  }
+}
