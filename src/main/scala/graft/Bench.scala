@@ -1,23 +1,46 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Prints exactly one JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Measurement notes (fixes from VERDICT r1 "What's wrong" #2):
+  *  - a full warm-up pass first, so JVM/codegen warm-up is not charged
+  *    to whichever query happens to run first;
+  *  - queries run in fixed (sorted) name order, so numbers are
+  *    comparable across rounds;
+  *  - results are fully materialized with `foreach(_ => ())` on the
+  *    final plan — unlike `count()`, Catalyst cannot prune the
+  *    projections being measured;
+  *  - failures propagate: a broken query must fail the bench loudly,
+  *    not silently record -1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val ordered = SparkEntry.queries.toVector.sortBy(_._1)
+
+    // Warm-up: run everything once (JIT, codegen cache, parquet footers).
+    ordered.foreach { case (_, fn) => fn(spark, sfDir).foreach(_ => ()) }
+
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      fn(spark, sfDir).foreach(_ => ())
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -31,15 +31,18 @@ object Relational {
       "q01_projection",
       // Money math in exact DECIMAL: price (2dp) × discount (2dp) lands
       // exactly on the 4dp grid, where double round() is engine-dependent.
+      // Final cast to DOUBLE: both engines render the identical 2dp value
+      // the same way, sidestepping DECIMAL-scale canonicalization deltas
+      // in the driver's comparator (CORRECTNESS_r01 hash_match=false).
       (s, d) => li(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         expr("""CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) *
                |     (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))), 2)
-               |     AS DECIMAL(18,2))""".stripMargin).as("revenue")),
+               |     AS DOUBLE)""".stripMargin).as("revenue")),
       Some("""SELECT l_orderkey, l_linenumber,
              |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) *
              |       (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))), 2)
-             |       AS DECIMAL(18,2)) AS revenue
+             |       AS DOUBLE) AS revenue
              |FROM lineitem""".stripMargin)),
 
     QDef(
@@ -112,21 +115,23 @@ object Relational {
 
     QDef(
       "q10_agg_group",
+      // Sums in exact DECIMAL (order-independent), then a final DOUBLE
+      // cast so both engines render identically under the driver's canon.
       (s, d) => li(s, d).groupBy("l_returnflag", "l_linestatus").agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
-        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))")
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
           .as("sum_base_price"),
         expr("""CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                |        (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
-               |    AS DECIMAL(18,2))""".stripMargin).as("sum_disc_price"),
+               |    AS DOUBLE)""".stripMargin).as("sum_disc_price"),
         round(avg("l_quantity"), 2).as("avg_qty"),
         count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity), 2) AS sum_qty,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
              |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
              |           (CAST(1.00 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2)
-             |       AS DECIMAL(18,2)) AS sum_disc_price,
+             |       AS DOUBLE) AS sum_disc_price,
              |  round(avg(l_quantity), 2) AS avg_qty,
              |  count(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
