@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,17 +32,30 @@ object Bench {
     val ordered = SparkEntry.queries.toVector.sortBy(_._1)
 
     // Warm-up: run everything once (JIT, codegen cache, parquet footers).
-    ordered.foreach { case (_, fn) => fn(spark, sfDir).foreach(_ => ()) }
+    // Per-query catch so one broken query still yields timings for the
+    // rest (ADVICE r2); failures recorded as -1 and a nonzero exit.
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).foreach(_ => ()) catch { case _: Throwable => }
+    }
 
+    var failed = false
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      fn(spark, sfDir).foreach(_ => ())
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).foreach(_ => ())
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }

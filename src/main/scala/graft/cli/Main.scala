@@ -30,7 +30,9 @@ object Main {
       ScriptRunner.run(spark, parsed.script, serializer)
       0
     } catch {
-      case _: java.io.IOException => 0 // EPIPE: exit 0 silently
+      // Only a broken pipe is tolerated silently (reference tests.tcl:70-83);
+      // other I/O errors (disk full, unreadable input) must report failure.
+      case e: java.io.IOException if isBrokenPipe(e) => 0
       case e: Exception =>
         System.err.println(s"error: ${Option(e.getMessage).getOrElse(e.toString)}")
         1
@@ -38,6 +40,11 @@ object Main {
       try out.flush() catch { case _: java.io.IOException => }
     }
   }
+
+  private def isBrokenPipe(e: Throwable): Boolean =
+    e != null && (Option(e.getMessage).exists(_.toLowerCase.contains("broken pipe")) ||
+      e.isInstanceOf[java.nio.channels.ClosedChannelException] ||
+      isBrokenPipe(e.getCause))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build()

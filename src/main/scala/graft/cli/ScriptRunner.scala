@@ -22,6 +22,7 @@ object ScriptRunner {
     var i = 0
     val n = script.length
     var state: Char = ' ' // ' '=normal, '\''=single, '"'=double, '`'=backtick, '-'=line comment, '*'=block comment
+    var commentStart = -1 // index of the '/' that opened a block comment
     while (i < n) {
       val c = script.charAt(i)
       state match {
@@ -30,7 +31,7 @@ object ScriptRunner {
           else {
             if (c == '\'' || c == '"' || c == '`') state = c
             else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') state = '-'
-            else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') state = '*'
+            else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') { state = '*'; commentStart = i }
             sb.append(c)
           }
         case '\'' | '"' | '`' =>
@@ -45,7 +46,9 @@ object ScriptRunner {
           if (c == '\n') state = ' '
         case '*' =>
           sb.append(c)
-          if (c == '/' && i > 0 && script.charAt(i - 1) == '*' && sb.length >= 2) state = ' '
+          // the closing '*' must come after the opening "/*" — `/*/` does
+          // not terminate the comment it opens
+          if (c == '/' && script.charAt(i - 1) == '*' && i - 1 >= commentStart + 2) state = ' '
         case _ =>
       }
       i += 1

@@ -20,7 +20,8 @@ object Affinity {
   def hasAffinity(declared: String): String = {
     // SQLite's affinity-from-type-name rules, §3.1 of its datatype doc.
     val t = declared.toUpperCase
-    if (t.contains("INT")) "INTEGER"
+    if (t == "NULL") "BLOB" // `a1 null` parses as a constraint, not a type → no-type column = BLOB
+    else if (t.contains("INT")) "INTEGER"
     else if (t.contains("CHAR") || t.contains("CLOB") || t.contains("TEXT")) "TEXT"
     else if (t.contains("BLOB") || t.isEmpty) "BLOB"
     else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB")) "REAL"
@@ -39,17 +40,33 @@ object Affinity {
         if (intRe.matches(t)) {
           try String.valueOf(t.toLong)
           catch { case _: NumberFormatException => formatReal(t.toDouble) }
-        } else if (isNumeric(value)) formatReal(t.toDouble)
-        else value
+        } else if (isNumeric(value)) {
+          // SQLite stores REAL text as INTEGER when the conversion is
+          // lossless ('2.0'→2, '1e2'→100; verified against sqlite3).
+          val d = t.toDouble
+          realToLosslessLong(d) match {
+            case Some(l) => String.valueOf(l)
+            case None => formatReal(d)
+          }
+        } else value
     }
   }
+
+  /** The double, if it is integral and round-trips through int64. */
+  private def realToLosslessLong(d: Double): Option[Long] =
+    if (d == d.floor && !d.isInfinite &&
+        d >= -9.223372036854776e18 && d <= 9.223372036854775e18) {
+      val l = d.toLong
+      if (l.toDouble == d) Some(l) else None
+    } else None
 
   private def isNumeric(value: String): Boolean = realRe.matches(value.trim)
 
   /** SQLite renders REAL storage with a trailing `.0` for integral
     * values (`%!.15g`): 1 → "1.0", 0.5 → "0.5". */
   def formatReal(d: Double): String = {
-    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) {
+    if (d.isInfinite) { if (d > 0) "Inf" else "-Inf" }
+    else if (d == d.floor && math.abs(d) < 1e15) {
       val l = d.toLong
       s"$l.0"
     } else {

@@ -138,6 +138,18 @@ class CliSpec extends SparkSpec {
     assert(sqawk("select a1, a2 from a", f) == (0, "1 a\n2 b\nc \n"))
     assert(sqawk("select a1, a2 from a", "datatypes=real,text", f) == (0, "1.0 a\n2.0 b\nc \n"))
     assert(sqawk("select a1, a2 from a", "datatypes=text,text", f) == (0, "001 a\n002 b\nc \n"))
+    // datatypes-1.4: declared `null` = BLOB affinity → 001 preserved
+    assert(sqawk("select a1, a2 from a", "datatypes=null,blob", f) == (0, "001 a\n002 b\nc \n"))
+    // lossless real-text → integer under INTEGER affinity (sqlite3-verified)
+    val g = tempFile("2.0 x\n1e2 y\n2.5 z\n")
+    assert(sqawk("select a1, a2 from a", g) == (0, "2 x\n100 y\n2.5 z\n"))
+  }
+
+  test("block comment /*/ does not close the comment it opens") {
+    val stmts = ScriptRunner.splitStatements("select 1 /*/ ; */ ; select 2")
+    assert(stmts.length == 2)
+    assert(stmts.head.contains("select 1"))
+    assert(stmts(1).trim == "select 2")
   }
 
   test("compat functions through SQL (tests.tcl:1108-1156)") {

@@ -81,6 +81,24 @@ class ReadersSpec extends SparkSpec {
     assert(rows(df).map(r => r(3)) == Seq("001"))
   }
 
+  test("awk datatypes=null gives BLOB affinity: 001 preserved") {
+    // reference tests.tcl:1066-1106 datatypes-1.4; `a1 null` in SQLite DDL
+    // is a constraint, not a type name → no-type column = BLOB affinity
+    val df = AwkReader.parse(spark, ds("001 a"),
+      AwkOptions(), TableOptions(nf = 2, datatypes = Seq("null", "blob")))
+    assert(rows(df).map(r => r(3)) == Seq("001"))
+  }
+
+  test("INTEGER affinity losslessly integerizes real text: 2.0→2, 1e2→100") {
+    // verified against sqlite3: INSERT '2.0'/'1e2' into INTEGER column
+    assert(Affinity.canonicalize("2.0", "INTEGER") == "2")
+    assert(Affinity.canonicalize("1e2", "NUMERIC") == "100")
+    assert(Affinity.canonicalize("2.5", "INTEGER") == "2.5")
+    assert(Affinity.canonicalize("9.3e18", "INTEGER") == "9.3e+18") // out of int64 → stays real
+    assert(Affinity.canonicalize("1e15", "INTEGER") == "1000000000000000")
+    assert(Affinity.canonicalize("3", "REAL") == "3.0")
+  }
+
   test("awk MNF=expand grows columns for all rows") {
     val df = AwkReader.parse(spark, ds("A B", "A B C", "A B C D"),
       AwkOptions(), TableOptions(nf = 2, mnf = "expand"))
