@@ -1,9 +1,428 @@
 package graft.queries
 
-/** Scan/serializer operators (SURVEY.md §2.1 S1-S9, K1-K5) exercised as
-  * verifiable queries: lines are synthesized deterministically from the
-  * parquet tables, pushed through the real reader code paths, and the
-  * oracle recomputes the expected fields straight from the parquet. */
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cli.ScriptRunner
+import graft.serializers._
+import graft.sources._
+
+/** Scan/serializer operators (SURVEY.md §2.1 S1-S10, K1-K5) exercised
+  * as verifiable queries: input lines are synthesized DETERMINISTICALLY
+  * from the parquet tables (sorted by key, so `anr` is reproducible),
+  * pushed through the REAL reader code paths
+  * (AwkReader/CsvReader/JsonReader/TclReader → RecordPipeline), and the
+  * DuckDB oracle recomputes the expected `[anr, anf, a0, a1..aN]` rows
+  * straight from the parquet with `row_number()` + string functions.
+  * Serializer operators run the real driver-side sinks into a string
+  * and compare the rendered lines byte-for-byte against SQL-built
+  * strings — including the box-drawing table sink geometry.
+  *
+  * Synthesis stays distributed (a `Dataset[String]` projection of the
+  * source table); only the two file-based QDefs (default-RS line path,
+  * regex-RS wholetext path) and the driver-side sinks collect, and
+  * those collect by design (the sinks are driver row pumps in the
+  * reference too). Behaviors covered map to reference tests:
+  * FS/RS (tests.tcl:110-148), fields= incl. clamps (329-503),
+  * trim (946-968), header/columns (225-327), NF/MNF (1158-1396),
+  * datatypes/affinity (1066-1106), CSV quoting (527-549), JSON kv
+  * key-union (719-768), multi-statement scripts (195-200).
+  */
 object Ingest {
-  val all: Vector[QDef] = Vector()
+
+  // ---- synthesized inputs ----------------------------------------------
+
+  /** Customer projected to simple, space-free string/int fields,
+    * sorted by key so record order (and thus `anr`) is deterministic. */
+  private def custSrc(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey").as("ck"), col("c_name").as("nm"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nk"))
+      .orderBy("ck")
+
+  private def lines(df: DataFrame, c: org.apache.spark.sql.Column): Dataset[String] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(c.cast("string")).as[String]
+  }
+
+  /** The oracle prelude shared by the awk-shaped QDefs. */
+  private val srcCte =
+    """WITH src AS (
+      |  SELECT c_custkey AS ck, c_name AS nm, c_mktsegment AS seg,
+      |         c_nationkey AS nk,
+      |         row_number() OVER (ORDER BY c_custkey) AS rn
+      |  FROM customer
+      |)""".stripMargin
+
+  /** Write deterministic lines to a per-(query, sf) temp file and
+    * return its path — used by the two QDefs that must exercise the
+    * real file-read paths (`spark.read.textFile` / wholetext). */
+  private def spoolFile(name: String, d: String, content: String): String = {
+    val dir = Paths.get(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-ingest")
+    Files.createDirectories(dir)
+    val f = dir.resolve(s"$name-${d.replaceAll("[^A-Za-z0-9.]", "_")}.txt")
+    Files.write(f, content.getBytes(StandardCharsets.UTF_8))
+    f.toString
+  }
+
+  /** Run a driver-side sink over (k, v) pairs and return its lines. */
+  private def sinkLines(rows: Seq[Seq[(String, String)]], mk: java.io.Writer => Serializer): Seq[String] = {
+    val sw = new java.io.StringWriter
+    val ser = mk(sw)
+    rows.foreach(ser.serialize)
+    ser.close()
+    sw.toString.split("\n", -1).toSeq.filter(_.nonEmpty)
+  }
+
+  val all: Vector[QDef] = Vector(
+    // ------------------------------------------------------------------
+    // i01/S1: awk scan, default RS/FS, through the REAL file path
+    // (spark.read.textFile — splittable at scale; this file is small).
+    QDef(
+      "i01_awk_scan",
+      (s, d) => {
+        import s.implicits._
+        val content = custSrc(s, d)
+          .select(concat_ws(" ", col("ck"), col("nm"), col("seg"), col("nk")))
+          .as[String].collect().mkString("", "\n", "\n")
+        val path = spoolFile("i01", d, content)
+        AwkReader.read(s, Seq(path), AwkOptions(), TableOptions(nf = 4))
+      },
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 4 AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm || ' ' || seg || ' ' || CAST(nk AS VARCHAR) AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm AS a2, seg AS a3, CAST(nk AS VARCHAR) AS a4
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i02/S1: regex FS — runs of [,_] merge into one separator.
+    QDef(
+      "i02_awk_fs_regex",
+      (s, d) => AwkReader.parse(s,
+        lines(custSrc(s, d), concat(col("ck"), lit(","), col("nm"), lit("_,_"), col("seg"))),
+        AwkOptions(fs = "[,_]+"), TableOptions(nf = 3)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 3 AS anf,
+              |  CAST(ck AS VARCHAR) || ',' || nm || '_,_' || seg AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm AS a2, seg AS a3
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i03/S1: regex RS — ';'-separated records through the REAL
+    // wholetext + SepSplit path (documented non-splittable limitation,
+    // SURVEY.md §7.5). Trailing separator yields no empty record.
+    QDef(
+      "i03_awk_rs_regex",
+      (s, d) => {
+        import s.implicits._
+        val content = custSrc(s, d)
+          .select(concat_ws(" ", col("ck"), col("nm")))
+          .as[String].collect().mkString(";")
+        val path = spoolFile("i03", d, content)
+        AwkReader.read(s, Seq(path), AwkOptions(rs = ";"), TableOptions(nf = 2))
+      },
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 2 AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm AS a2
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i04/S3: fields= remap/merge — reorder (2,1), separator-preserving
+    // merge (3-end), and a fully-out-of-range range → one empty column
+    // (reference tests.tcl:347-470).
+    QDef(
+      "i04_awk_fields_merge",
+      (s, d) => AwkReader.parse(s,
+        lines(custSrc(s, d), concat_ws(" ", col("ck"), col("nm"), col("seg"), col("nk"))),
+        AwkOptions(fields = "2,1,3-end,9-99"), TableOptions(nf = 4)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 4 AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm || ' ' || seg || ' ' || CAST(nk AS VARCHAR) AS a0,
+              |  nm AS a1, CAST(ck AS VARCHAR) AS a2,
+              |  seg || ' ' || CAST(nk AS VARCHAR) AS a3, '' AS a4
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i05/S1: trim=both — surrounding whitespace removed before the
+    // split, and the stored record (a0) is the trimmed one.
+    QDef(
+      "i05_awk_trim",
+      (s, d) => AwkReader.parse(s,
+        lines(custSrc(s, d), concat(lit("  "), col("ck"), lit(" "), col("nm"), lit("  "))),
+        AwkOptions(trim = "both"), TableOptions(nf = 2)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 2 AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm AS a2
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i06/S8: header=1 consumes the first record as column names;
+    // columns= overrides positionally where non-empty. Body numbering
+    // restarts at 1 after the header.
+    QDef(
+      "i06_header_columns",
+      (s, d) => {
+        import s.implicits._
+        val header = s.createDataset(Seq("ck cname cseg"))
+        val body = lines(custSrc(s, d), concat_ws(" ", col("ck"), col("nm"), col("seg")))
+        AwkReader.parse(s, header.union(body), AwkOptions(),
+          TableOptions(nf = 3, header = true, columns = Seq("", "CustName")))
+      },
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 3 AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm || ' ' || seg AS a0,
+              |  CAST(ck AS VARCHAR) AS ck, nm AS CustName, seg AS cseg
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i07/S9: MNF=expand — schema grows to the global max field count;
+    // short records carry SQL NULL in the extra columns and `anf` keeps
+    // the true per-record count (reference tests.tcl:1158-1287).
+    QDef(
+      "i07_mnf_expand",
+      (s, d) => AwkReader.parse(s,
+        lines(custSrc(s, d), concat(
+          col("ck"), lit(" "), col("nm"),
+          when(col("ck") % 3 === 0, concat(lit(" "), col("seg"), lit(" "), col("nk")))
+            .when(col("ck") % 3 === 1, concat(lit(" "), col("seg")))
+            .otherwise(lit("")))),
+        AwkOptions(), TableOptions(nf = 2, mnf = "expand")),
+      Some(s"""$srcCte
+              |SELECT rn AS anr,
+              |  CASE WHEN ck % 3 = 0 THEN 4 WHEN ck % 3 = 1 THEN 3 ELSE 2 END AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm ||
+              |    CASE WHEN ck % 3 = 0 THEN ' ' || seg || ' ' || CAST(nk AS VARCHAR)
+              |         WHEN ck % 3 = 1 THEN ' ' || seg ELSE '' END AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm AS a2,
+              |  CASE WHEN ck % 3 IN (0, 1) THEN seg END AS a3,
+              |  CASE WHEN ck % 3 = 0 THEN CAST(nk AS VARCHAR) END AS a4
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i08/S9: MNF=crop — fields beyond NF are dropped and `anf` records
+    // the cropped count (reference tests.tcl:1289-1358).
+    QDef(
+      "i08_mnf_crop",
+      (s, d) => AwkReader.parse(s,
+        lines(custSrc(s, d), concat(
+          col("ck"), lit(" "), col("nm"),
+          when(col("ck") % 3 === 0, concat(lit(" "), col("seg"), lit(" "), col("nk")))
+            .when(col("ck") % 3 === 1, concat(lit(" "), col("seg")))
+            .otherwise(lit("")))),
+        AwkOptions(), TableOptions(nf = 3, mnf = "crop")),
+      Some(s"""$srcCte
+              |SELECT rn AS anr,
+              |  CASE WHEN ck % 3 = 2 THEN 2 ELSE 3 END AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm ||
+              |    CASE WHEN ck % 3 = 0 THEN ' ' || seg || ' ' || CAST(nk AS VARCHAR)
+              |         WHEN ck % 3 = 1 THEN ' ' || seg ELSE '' END AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm AS a2,
+              |  CASE WHEN ck % 3 IN (0, 1) THEN seg END AS a3
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i09/S4: CSV scan — quoted field containing the separator; the
+    // raw line is preserved as a0 (which spark.read.csv cannot do —
+    // the reason for the custom per-line splitter).
+    QDef(
+      "i09_csv_quoted",
+      (s, d) => CsvReader.parse(s,
+        lines(custSrc(s, d),
+          concat(col("ck"), lit(",\"v,"), col("nm"), lit("\","), col("seg"))),
+        CsvOptions(), TableOptions(nf = 3)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 3 AS anf,
+              |  CAST(ck AS VARCHAR) || ',"v,' || nm || '",' || seg AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, 'v,' || nm AS a2, seg AS a3
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i10/S6: JSON kv=1 — key union ordered first-object-first then
+    // alphabetical; missing keys → ""; combined with header=1 so the
+    // key record becomes the column names (reference json.tcl:76-106).
+    QDef(
+      "i10_json_kv_union",
+      (s, d) => JsonReader.parse(s,
+        // JSON built by concat, not to_json(when(struct...)): CASE-branch
+        // struct coercion does not keep a stable field order, and key
+        // order is semantic here (it drives the key-union column order).
+        lines(custSrc(s, d),
+          concat(lit("{\"k\":"), col("ck"), lit(",\"n\":\""), col("nm"), lit("\"")
+            , when(col("ck") % 2 === 1, concat(lit(",\"m\":\""), col("seg"), lit("\"")))
+              .otherwise(lit("")), lit("}"))),
+        JsonOptions(kv = true, lines = true),
+        TableOptions(nf = 3, header = true)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 3 AS anf,
+              |  'k ' || CAST(ck AS VARCHAR) || ' n ' || nm ||
+              |    CASE WHEN ck % 2 = 1 THEN ' m ' || seg ELSE '' END AS a0,
+              |  CAST(ck AS VARCHAR) AS k, nm AS n,
+              |  CASE WHEN ck % 2 = 1 THEN seg ELSE '' END AS m
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i11/S5: JSON kv=0 — arrays as records, elements stringified,
+    // a0 = the Tcl-list-joined values (reference json.tcl:51-73).
+    QDef(
+      "i11_json_kv0",
+      (s, d) => JsonReader.parse(s,
+        lines(custSrc(s, d), concat(lit("["), col("ck"), lit(", \""), col("nm"), lit("\"]"))),
+        JsonOptions(kv = false, lines = true), TableOptions(nf = 2)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 2 AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm AS a2
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i12/S7: Tcl-list scan — a braced element containing a space
+    // parses as ONE field (reference lib/parsers/tcl.tcl).
+    QDef(
+      "i12_tcl_list",
+      (s, d) => TclReader.parse(s,
+        lines(custSrc(s, d),
+          concat(col("ck"), lit(" {"), col("nm"), lit(" "), col("seg"), lit("}"))),
+        TclOptions(kv = false, lines = true), TableOptions(nf = 2)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 2 AS anf,
+              |  CAST(ck AS VARCHAR) || ' {' || nm || ' ' || seg || '}' AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm || ' ' || seg AS a2
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i13/S9: datatypes= + SQLite affinity — INTEGER strips leading
+    // zeros from numeric text but leaves non-numeric text alone; REAL
+    // renders float text; TEXT preserves raw text
+    // (reference tests.tcl:1066-1106).
+    QDef(
+      "i13_datatypes_affinity",
+      (s, d) => AwkReader.parse(s,
+        lines(custSrc(s, d), concat_ws(" ",
+          when(col("ck") % 10 === 7, col("nm")).otherwise(lpad(col("ck"), 6, "0")),
+          concat(col("ck"), lit(".50")),
+          concat(lit("0"), col("ck")))),
+        AwkOptions(), TableOptions(nf = 3, datatypes = Seq("integer", "real", "text"))),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 3 AS anf,
+              |  CASE WHEN ck % 10 = 7 THEN nm ELSE lpad(CAST(ck AS VARCHAR), 6, '0') END
+              |    || ' ' || CAST(ck AS VARCHAR) || '.50 0' || CAST(ck AS VARCHAR) AS a0,
+              |  CASE WHEN ck % 10 = 7 THEN nm ELSE CAST(ck AS VARCHAR) END AS a1,
+              |  CAST(ck AS VARCHAR) || '.5' AS a2,
+              |  '0' || CAST(ck AS VARCHAR) AS a3
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i14/K1-K3,K5: the awk/csv/json/tcl sinks rendered over the region
+    // table (driver-side row pumps, like the reference): quote-iff-
+    // needed CSV, single-array all-strings JSON, Tcl list rows.
+    QDef(
+      "i14_serializers",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.region(s, d).orderBy("r_regionkey")
+          .select(col("r_regionkey").cast("string"),
+            concat(lit("v,"), regexp_replace(col("r_name"), " ", "_")))
+          .collect()
+          .map(r => Seq("k" -> r.getString(0), "v" -> r.getString(1))).toSeq
+        val fmts = Seq(
+          "awk" -> sinkLines(rows, w => new AwkSerializer(w)),
+          "csv" -> sinkLines(rows, w => new CsvSerializer(w)),
+          "json" -> sinkLines(rows, w => new JsonSerializer(w)),
+          "tcl" -> sinkLines(rows, w => new TclSerializer(w)))
+        fmts.flatMap { case (f, ls) =>
+          ls.zipWithIndex.map { case (l, i) => (f, (i + 1).toLong, l) }
+        }.toDF("fmt", "ln", "line")
+      },
+      Some("""WITH src AS (
+             |  SELECT CAST(r_regionkey AS VARCHAR) AS k,
+             |         'v,' || replace(r_name, ' ', '_') AS v,
+             |         row_number() OVER (ORDER BY r_regionkey) AS rn
+             |  FROM region
+             |)
+             |SELECT 'awk' AS fmt, rn AS ln, k || ' ' || v AS line FROM src
+             |UNION ALL
+             |SELECT 'csv', rn, k || ',"' || v || '"' FROM src
+             |UNION ALL
+             |SELECT 'json', 1,
+             |  '[' || string_agg('{"k":"' || k || '","v":"' || v || '"}', ',' ORDER BY rn) || ']'
+             |FROM src
+             |UNION ALL
+             |SELECT 'tcl', 1, string_agg('{' || k || ' ' || v || '}', ' ' ORDER BY rn)
+             |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i15/K4: the box-drawing table sink — exact geometry (widths,
+    // left/right alignment, separator line between every pair of rows)
+    // reproduced in SQL (reference lib/tabulate.tcl:370-488).
+    QDef(
+      "i15_table_sink",
+      (s, d) => {
+        import s.implicits._
+        val rows = Tables.region(s, d).orderBy("r_regionkey")
+          .select(col("r_regionkey").cast("string"), col("r_name"))
+          .collect()
+          .map(r => Seq("k" -> r.getString(0), "v" -> r.getString(1))).toSeq
+        val ls = sinkLines(rows,
+          w => new TableSerializer(w, alignments = Seq("l", "r")))
+        ls.zipWithIndex.map { case (l, i) => ((i + 1).toLong, l) }.toDF("ln", "line")
+      },
+      Some("""WITH src AS (
+             |  SELECT CAST(r_regionkey AS VARCHAR) AS k, r_name AS v,
+             |         row_number() OVER (ORDER BY r_regionkey) AS rn,
+             |         count(*) OVER () AS nrows,
+             |         max(length(CAST(r_regionkey AS VARCHAR))) OVER () AS w1,
+             |         max(length(r_name)) OVER () AS w2
+             |  FROM region
+             |)
+             |SELECT CAST(1 AS BIGINT) AS ln,
+             |  '┌' || repeat('─', w1) || '┬' || repeat('─', w2) || '┐' AS line
+             |FROM src WHERE rn = 1
+             |UNION ALL
+             |SELECT 2 * rn, '│' || rpad(k, CAST(w1 AS INT), ' ') || '│' ||
+             |               lpad(v, CAST(w2 AS INT), ' ') || '│'
+             |FROM src
+             |UNION ALL
+             |SELECT 2 * rn + 1, '├' || repeat('─', w1) || '┼' || repeat('─', w2) || '┤'
+             |FROM src WHERE rn < nrows
+             |UNION ALL
+             |SELECT 2 * nrows + 1, '└' || repeat('─', w1) || '┴' || repeat('─', w2) || '┘'
+             |FROM src WHERE rn = 1""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i16/S10: multi-statement script — both result sets pumped through
+    // ONE serializer in order (reference tests.tcl:195-200), via the
+    // real splitStatements → spark.sql → toLocalIterator path.
+    QDef(
+      "i16_multistatement",
+      (s, d) => {
+        import s.implicits._
+        Tables.region(s, d).createOrReplaceTempView("g_region")
+        Tables.nation(s, d).createOrReplaceTempView("g_nation")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """SELECT r_name FROM g_region ORDER BY r_name;
+            |SELECT n_name FROM g_nation WHERE n_regionkey = 0 ORDER BY n_name""".stripMargin,
+          new AwkSerializer(sw))
+        sw.toString.split("\n", -1).toSeq.filter(_.nonEmpty)
+          .zipWithIndex.map { case (l, i) => ((i + 1).toLong, l) }
+          .toDF("ln", "line")
+      },
+      Some("""WITH a AS (
+             |  SELECT r_name AS line, row_number() OVER (ORDER BY r_name) AS rn
+             |  FROM region
+             |), b AS (
+             |  SELECT n_name AS line, row_number() OVER (ORDER BY n_name) AS rn
+             |  FROM nation WHERE n_regionkey = 0
+             |)
+             |SELECT rn AS ln, line FROM a
+             |UNION ALL
+             |SELECT rn + (SELECT CAST(count(*) AS BIGINT) FROM a), line FROM b""".stripMargin))
+  )
 }

@@ -2,6 +2,7 @@ package graft.sources
 
 import scala.jdk.CollectionConverters._
 
+import com.fasterxml.jackson.core.JsonToken
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -44,8 +45,26 @@ object JsonReader {
   private def arrayRecord(n: JsonNode): Seq[String] =
     n.elements.asScala.map(nodeToTcl).toVector
 
-  private def objectRecord(n: JsonNode): Seq[(String, String)] =
-    n.properties.asScala.map(e => e.getKey -> nodeToTcl(e.getValue)).toVector
+  /** Ordered (key, value) pairs of a top-level JSON object. Uses the
+    * STREAMING parser for the top level: the tree API's ObjectNode does
+    * not guarantee document order for its property map (observed
+    * alphabetical with the bundled Jackson), and first-object key order
+    * is semantic here — it drives the key-union column order
+    * (reference: lib/parsers/json.tcl:76-93). */
+  private def objectRecord(e: String): Seq[(String, String)] = {
+    val parser = mapper.createParser(e)
+    try {
+      val out = Vector.newBuilder[(String, String)]
+      if (parser.nextToken() == JsonToken.START_OBJECT) {
+        while (parser.nextToken() == JsonToken.FIELD_NAME) {
+          val k = parser.currentName()
+          parser.nextToken()
+          out += k -> nodeToTcl(mapper.readTree[JsonNode](parser))
+        }
+      }
+      out.result()
+    } finally parser.close()
+  }
 
   /** Raw JSON element stream: one JsonNode per record. */
   private def elements(
@@ -70,7 +89,7 @@ object JsonReader {
         (TclList.join(fields), fields)
       }
     } else {
-      val objs = elems.map(e => objectRecord(mapper.readTree(e)))
+      val objs = elems.map(e => objectRecord(e))
       val firstKeys = objs.take(1).headOption.map(_.map(_._1)).getOrElse(Nil)
       val allKeys = objs.flatMap(_.map(_._1)).distinct().collect().toSeq
       val keys = firstKeys ++ (allKeys.toSet -- firstKeys).toSeq.sorted
