@@ -82,7 +82,7 @@ object Options {
       | -ORS value  Output record separator <\n>
       | -NF value   Maximum NF value for all files <10>
       | -MNF value  NF mode (expand, crop or error) <expand>
-      | -dbfile value  Unused compatibility option (Spark is out-of-core)
+      | -dbfile value  Persist tables as parquet under <value>.d for reuse <:memory:>
       | -noinput    Do not read from stdin when no filenames are given
       | -output value  Output format <awk>
       | -v          Print version

@@ -1,5 +1,8 @@
 package graft.sources
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
 /** SQLite type-affinity emulation (SURVEY.md §1.3/§7.4).
   *
   * sqawk declares every field column INTEGER unless `datatypes=`
@@ -50,6 +53,54 @@ object Affinity {
           }
         } else value
     }
+  }
+
+  /** [[canonicalize]] as a native Catalyst expression chain, so the
+    * ingest projection stays inside whole-stage codegen — a per-value
+    * ScalaUDF here would break codegen and pay serialization on every
+    * field of every record, the dominant ingest cost at scale. Parity
+    * with the Scala version is pinned by ReadersSpec/CliSpec and the
+    * i13 oracle. */
+  def canonicalExpr(raw: Column, affinity: String): Column = affinity match {
+    case "TEXT" | "BLOB" => raw
+    case "REAL" =>
+      when(isNumericExpr(raw), formatRealExpr(trimExpr(raw).try_cast("double")))
+        .otherwise(raw)
+    case _ => // INTEGER | NUMERIC
+      // try_cast throughout: ANSI-safe (overflowing int64 text and the
+      // non-numeric rows reaching the double branches yield null, never
+      // a runtime error).
+      val t = trimExpr(raw)
+      val d = t.try_cast("double")
+      when(t.rlike("^[+-]?[0-9]+$") && t.try_cast("long").isNotNull,
+          t.try_cast("long").cast("string"))
+        .when(isNumericExpr(raw) && d === floor(d) &&
+            d.between(-9.223372036854776e18, 9.223372036854775e18) &&
+            d.cast("long").cast("double") === d,
+          d.cast("long").cast("string"))
+        .when(isNumericExpr(raw), formatRealExpr(d))
+        .otherwise(raw)
+  }
+
+  /** Java `String.trim` semantics (strips chars <= U+0020). */
+  private def trimExpr(c: Column): Column =
+    regexp_replace(c, "^[\\x00-\\x20]+|[\\x00-\\x20]+$", "")
+
+  private def isNumericExpr(c: Column): Column =
+    trimExpr(c).rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+
+  /** [[formatReal]] as an expression. Relies on Spark's double→string
+    * cast matching Java `Double.toString` (it does — both render
+    * shortest-round-trip with E-notation outside [1e-3, 1e7)). */
+  private def formatRealExpr(d: Column): Column = {
+    val s = d.cast("string")
+    val sci = when(s.contains("E-"), regexp_replace(s, "E", "e"))
+      .otherwise(regexp_replace(s, "E", "e+"))
+    when(d === lit(Double.PositiveInfinity), "Inf")
+      .when(d === lit(Double.NegativeInfinity), "-Inf")
+      .when(d === floor(d) && abs(d) < 1e15,
+        concat(d.cast("long").cast("string"), lit(".0")))
+      .otherwise(when(s.contains("E"), sci).otherwise(s))
   }
 
   /** The double, if it is integral and round-trips through int64. */

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.MetadataBuilder
 
 /** Table-shaping options shared by every scan format
   * (reference: lib/classes/sqawk.tcl:139-147 defaults,
@@ -23,72 +23,99 @@ final case class TableOptions(
   * shape `[<p>nr, <p>nf, <p>0, <p>1..<p>N]`
   * (reference: lib/classes/table.tcl:59-149; SURVEY.md §1.2).
   *
-  * Spark-first notes:
-  *  - `anr` must be CONTIGUOUS and input-ordered (it is SQLite's rowid
-  *    in the reference), so we use `zipWithIndex` — one lightweight
-  *    extra job to count partitions, still fully parallel — rather
-  *    than `monotonically_increasing_id` (not contiguous).
-  *  - `MNF=expand` needs the global max field count before the schema
-  *    can be fixed (Spark schemas are immutable); that is a cheap
-  *    map-side `max` aggregation over the cached parsed records.
-  *  - Values are StringType carrying SQLite-affinity-canonicalized
-  *    renderings (see [[Affinity]]); `get()` (null past the end) gives
-  *    the reference's NULL padding for short records.
+  * Scale design (this is the path EVERY scan takes, so it is sized for
+  * 100 TB inputs):
+  *  - exactly TWO passes over the input and nothing cached: one stats
+  *    pass collecting per-partition row counts, max field counts and
+  *    the first record (header), then the final pass assigning
+  *    contiguous 1-based `anr` from the partition offsets — the same
+  *    two-job shape as Spark's own `zipWithIndex`, with the max-nf
+  *    aggregate and header `take(1)` piggybacked onto the first pass
+  *    instead of running as extra jobs over a persisted copy;
+  *  - field values are canonicalized by [[Affinity.canonicalExpr]], a
+  *    native expression chain — the whole projection stays inside
+  *    whole-stage codegen (no per-value ScalaUDF);
+  *  - the total row count rides along as column metadata on `<p>nr`
+  *    so multi-file `table=` appends can renumber without running an
+  *    aggregation job per appended file.
   */
 object RecordPipeline {
+
+  /** Metadata key carrying the table's row count on the nr column. */
+  val RowCountKey = "graft.rowcount"
 
   def build(
       spark: SparkSession,
       records: Dataset[(String, Seq[String])],
       opts: TableOptions): DataFrame = {
-    import spark.implicits._
+    if (!Set("expand", "crop", "error").contains(opts.mnf))
+      throw new IllegalArgumentException(s"invalid MNF value: ${opts.mnf}")
 
-    val persisted = records.persist(StorageLevel.MEMORY_AND_DISK)
-    try buildImpl(spark, persisted, opts)
-    finally persisted.unpersist(blocking = false)
-  }
+    val rdd = records.rdd
 
-  private def buildImpl(
-      spark: SparkSession,
-      records: Dataset[(String, Seq[String])],
-      opts: TableOptions): DataFrame = {
-    import spark.implicits._
+    // Pass 1 — per-partition stats: (pid, rows, maxNf, maxNf excluding
+    // the partition's first record, first record's fields).
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      var mxAll = 0
+      var mxTail = 0
+      var firstFields: Seq[String] = null
+      it.foreach { case (_, fields) =>
+        if (n == 0L) firstFields = fields
+        else if (fields.length > mxTail) mxTail = fields.length
+        if (fields.length > mxAll) mxAll = fields.length
+        n += 1
+      }
+      Iterator.single((pid, n, mxAll, mxTail, Option(firstFields).map(_.toVector)))
+    }.collect().sortBy(_._1)
+
+    val firstNonEmpty = stats.indexWhere(_._2 > 0)
 
     // Header consumption: the FIRST parsed record supplies column
     // names and is not loaded (reference: lib/classes/sqawk.tcl:176-181).
     val headerNames: Seq[String] =
-      if (opts.header) records.take(1).headOption.map(_._2.toSeq).getOrElse(Nil)
-      else Nil
+      if (opts.header && firstNonEmpty >= 0) stats(firstNonEmpty)._5.get else Nil
 
-    // Contiguous 1-based record numbers in input order.
-    val indexed = records.rdd.zipWithIndex()
-    val body =
-      (if (opts.header) indexed.filter(_._2 > 0L).map { case (r, i) => (r, i) }
-       else indexed.map { case (r, i) => (r, i + 1) })
-        .map { case ((a0, fields), nr) => (nr, a0, fields) }
-        .toDF("__nr", "__a0", "__fields")
+    // Global max field count over loaded records (header excluded).
+    val maxNf =
+      if (firstNonEmpty < 0) 0
+      else stats.iterator.zipWithIndex.map { case (s, i) =>
+        if (opts.header && i == firstNonEmpty) s._4 else s._3
+      }.max
 
-    // MNF resolution (reference: table.tcl:102-132; tests.tcl:1158-1396).
-    val cropped = opts.mnf match {
-      case "crop" =>
-        body.withColumn("__fields", slice(col("__fields"), 1, opts.nf))
-      case "error" =>
-        val maxNf = body.agg(max(size(col("__fields")))).as[Int].collect().headOption.getOrElse(0)
-        if (maxNf > opts.nf)
-          throw new IllegalStateException(
-            s"table ${opts.table} has no column for field $maxNf (NF=${opts.nf}, MNF=error)")
-        body
-      case "expand" => body
-      case other =>
-        throw new IllegalArgumentException(s"invalid MNF value: $other")
-    }
+    if (opts.mnf == "error" && maxNf > opts.nf)
+      throw new IllegalStateException(
+        s"table ${opts.table} has no column for field $maxNf (NF=${opts.nf}, MNF=error)")
 
     val numFields = opts.mnf match {
-      case "expand" =>
-        val maxNf = cropped.agg(max(size(col("__fields")))).as[Int].collect().headOption.getOrElse(0)
-        math.max(opts.nf, maxNf)
+      case "expand" => math.max(opts.nf, maxNf)
       case _ => opts.nf
     }
+
+    val totalRows =
+      stats.iterator.map(_._2).sum - (if (opts.header && firstNonEmpty >= 0) 1L else 0L)
+
+    // Pass 2 — contiguous 1-based record numbers in input order from
+    // the partition offsets (MNF resolution comes after numbering, like
+    // the reference's load loop: table.tcl:102-132).
+    val offsets = stats.scanLeft(0L)(_ + _._2).init
+    val header = opts.header
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val numbered = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx = bcOffsets.value(pid)
+      it.flatMap { case (a0, fields) =>
+        val cur = idx
+        idx += 1
+        if (header && cur == 0L) Iterator.empty
+        else Iterator.single((if (header) cur else cur + 1, a0, fields))
+      }
+    }
+    import spark.implicits._
+    val body = numbered.toDF("__nr", "__a0", "__fields")
+
+    val cropped =
+      if (opts.mnf == "crop") body.withColumn("__fields", slice(col("__fields"), 1, opts.nf))
+      else body
 
     val p = opts.prefixName
     val fieldNames = (1 to numFields).map(i => fieldName(p, i, headerNames, opts.columns))
@@ -97,18 +124,16 @@ object RecordPipeline {
         throw new IllegalArgumentException(s"column name $n contains a grave accent")
     }
 
-    val canonical = udf((v: String, affinity: String) => Affinity.canonicalize(v, affinity))
     val fieldCols = (1 to numFields).map { i =>
       val declared = opts.datatypes.lift(i - 1).getOrElse("INTEGER")
       val affinity = Affinity.hasAffinity(declared)
       val raw = get(col("__fields"), lit(i - 1))
-      val value = if (affinity == "TEXT" || affinity == "BLOB") raw
-        else canonical(raw, lit(affinity))
-      value.as(fieldNames(i - 1))
+      Affinity.canonicalExpr(raw, affinity).as(fieldNames(i - 1))
     }
 
+    val nrMeta = new MetadataBuilder().putLong(RowCountKey, totalRows).build()
     val base = Seq(
-      col("__nr").as(s"${p}nr"),
+      col("__nr").as(s"${p}nr", nrMeta),
       size(col("__fields")).as(s"${p}nf")) ++
       (if (opts.f0) Seq(col("__a0").as(s"${p}0")) else Nil)
 

@@ -183,6 +183,45 @@ class CliSpec extends SparkSpec {
     assert(c == 1)
   }
 
+  test("-dbfile persists tables across invocations (tests.tcl:1398-1474)") {
+    val db = Files.createTempDirectory("graft-db").resolve("db").toString
+    val f1 = tempFile("foo 1\nfoo 2\n")
+    // run 1: load into table a, persisted under <db>.d/
+    assert(sqawk("-dbfile", db, "select a2 from a", f1) == (0, "1\n2\n"))
+    // run 2: no input at all — query the persisted table
+    assert(sqawk("-dbfile", db, "-noinput", "select anr, a2 from a order by anr")
+      == (0, "1 1\n2 2\n"))
+    // run 3: append another file into the persisted table, nr continues
+    val f2 = tempFile("foo 3\n")
+    assert(sqawk("-dbfile", db, "select anr, a2 from a order by anr", "table=a", f2)
+      == (0, "1 1\n2 2\n3 3\n"))
+    // run 4: the append itself was persisted
+    assert(sqawk("-dbfile", db, "-noinput", "select count(*) from a") == (0, "3\n"))
+  }
+
+  test("append into an initially empty first file does not fail") {
+    val f1 = tempFile("")
+    val f2 = tempFile("foo 1\n")
+    val (c, o) = sqawk("select anr, a2 from a order by anr", "table=a", f1, "table=a", f2)
+    assert((c, o) == (0, "1 1\n"))
+  }
+
+  test("affinity native expression matches the Scala canonicalizer") {
+    import graft.sources.Affinity
+    import org.apache.spark.sql.functions.{col, lit}
+    val tricky = Seq(
+      "001", "-042", "2.0", "1e2", "2.5", " 42 ", "abc", "", "0.1",
+      "99999999999999999999", "1e400", "-1e400", "nan", "-0.0", ".5",
+      "1.0E-7", "3.14159", "1e15", "123x", "+7", null)
+    import spark.implicits._
+    val df = tricky.toDF("v")
+    for (aff <- Seq("INTEGER", "NUMERIC", "REAL", "TEXT", "BLOB")) {
+      val got = df.select(Affinity.canonicalExpr(col("v"), aff)).as[String].collect().toSeq
+      val want = tricky.map(v => Affinity.canonicalize(v, aff))
+      assert(got == want, s"affinity $aff")
+    }
+  }
+
   test("join across two files (examples/hp, README.md:454)") {
     val md5 = tempFile("d41d8cd98f00b204e9800998ecf8427e  foo\nc157a79031e1c40f85931829bc5fc552  bar\n")
     val du = tempFile("0\tfoo\n4096\tbar\n")
