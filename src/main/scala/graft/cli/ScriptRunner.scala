@@ -112,11 +112,15 @@ object ScriptRunner {
   }
 
   /** Execute each statement and pump rows through the serializer with
-    * bounded driver memory (`toLocalIterator`). */
+    * bounded driver memory (`toLocalIterator`). SQLite-semantic
+    * aggregates (`sum` INTEGER-iff-all-integer, `total`) apply inside
+    * script execution only. */
   def run(spark: SparkSession, script: String, serializer: Serializer): Unit = {
-    for (stmt <- splitStatements(script)) {
-      val df: DataFrame = spark.sql(stmt)
-      if (df.schema.nonEmpty) pump(df, serializer)
+    graft.functions.GraftFunctions.withSqliteAggregates(spark) {
+      for (stmt <- splitStatements(script)) {
+        val df: DataFrame = spark.sql(stmt)
+        if (df.schema.nonEmpty) pump(df, serializer)
+      }
     }
     serializer.close()
   }

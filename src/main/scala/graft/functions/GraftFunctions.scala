@@ -114,6 +114,27 @@ object GraftFunctions {
     }
   }
 
+  /** Run `body` with SQLite-semantic `sum`/`total` shadowing the
+    * built-ins, restoring them afterwards. The shadow must be scoped to
+    * SCRIPT execution only: in this Spark version even the DataFrame
+    * API's `functions.sum` resolves by name through the session
+    * registry, so a session-global shadow would silently change every
+    * library query in the session. */
+  def withSqliteAggregates[T](spark: SparkSession)(body: => T): T = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val registry = spark.sessionState.functionRegistry
+    val ids = Seq("sum", "total").map(n => FunctionIdentifier(n))
+    val saved = ids.map(id =>
+      (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
+    spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
+    spark.udf.register("total", org.apache.spark.sql.functions.udaf(SqliteTotal))
+    try body
+    finally saved.foreach {
+      case (id, Some(info), Some(builder)) => registry.registerFunction(id, info, builder)
+      case (id, _, _) => registry.dropFunction(id)
+    }
+  }
+
   /** Register a variadic string-args function as a Catalyst builder:
     * at analysis time we instantiate a [[ScalaUDF]] whose arity matches
     * the call site. All arguments are coerced to string. */

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.sources.Affinity
+
+/** SQLite-semantic aggregates over affinity (string) columns.
+  *
+  * SQLite's `sum()` returns an INTEGER when every non-NULL input was an
+  * integer, and REAL otherwise; text coerces to a number via its
+  * longest numeric PREFIX ('4096kb' → 4096, 'c' → 0); NULLs are
+  * skipped; an empty input gives NULL (`total()` gives 0.0 and is
+  * always REAL). Spark's built-in sum would coerce the whole column to
+  * DOUBLE and print `30000.0` where the reference prints `30000`
+  * (pinned by the chunked-input test, reference tests.tcl:505-525), so
+  * the CLI dialect registers these in place of the built-ins.
+  */
+final case class SumAcc(seenAny: Boolean, seenReal: Boolean, l: Long, d: Double)
+
+object SqliteSum extends Aggregator[String, SumAcc, String] {
+
+  private val numPrefix =
+    """[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r
+
+  /** SQLite text→numeric coercion: longest numeric prefix, else 0.
+    * Returns (value, isReal). */
+  def coerce(v: String): (Double, Boolean, Option[Long]) = {
+    val t = v.trim
+    numPrefix.findPrefixOf(t) match {
+      case Some(p) =>
+        val isInt = p.forall(c => c.isDigit || c == '+' || c == '-')
+        if (isInt)
+          try { val l = p.toLong; (l.toDouble, false, Some(l)) }
+          catch { case _: NumberFormatException => (p.toDouble, true, None) }
+        else (p.toDouble, true, None)
+      case None => (0.0, false, Some(0L))
+    }
+  }
+
+  def zero: SumAcc = SumAcc(seenAny = false, seenReal = false, 0L, 0.0)
+
+  def reduce(acc: SumAcc, v: String): SumAcc =
+    if (v == null) acc
+    else {
+      val (d, isReal, lOpt) = coerce(v)
+      val real = acc.seenReal || isReal
+      val l = lOpt match {
+        case Some(x) if !real =>
+          try Math.addExact(acc.l, x)
+          catch { case _: ArithmeticException => acc.l } // overflow → REAL below
+        case _ => acc.l
+      }
+      val overflowed = lOpt.exists(x => !real && {
+        try { Math.addExact(acc.l, x); false } catch { case _: ArithmeticException => true }
+      })
+      SumAcc(seenAny = true, seenReal = real || overflowed, l, acc.d + d)
+    }
+
+  def merge(a: SumAcc, b: SumAcc): SumAcc = {
+    val real = a.seenReal || b.seenReal
+    val (l, over) =
+      if (real) (0L, false)
+      else try (Math.addExact(a.l, b.l), false)
+      catch { case _: ArithmeticException => (0L, true) }
+    SumAcc(a.seenAny || b.seenAny, real || over, l, a.d + b.d)
+  }
+
+  def finish(acc: SumAcc): String =
+    if (!acc.seenAny) null
+    else if (acc.seenReal) Affinity.formatReal(acc.d)
+    else acc.l.toString
+
+  def bufferEncoder: Encoder[SumAcc] = Encoders.product[SumAcc]
+  def outputEncoder: Encoder[String] = Encoders.STRING
+}
+
+/** SQLite `total()`: like sum but always REAL, and 0.0 on empty. */
+object SqliteTotal extends Aggregator[String, SumAcc, String] {
+  def zero: SumAcc = SqliteSum.zero
+  def reduce(acc: SumAcc, v: String): SumAcc = SqliteSum.reduce(acc, v)
+  def merge(a: SumAcc, b: SumAcc): SumAcc = SqliteSum.merge(a, b)
+  def finish(acc: SumAcc): String = Affinity.formatReal(acc.d)
+  def bufferEncoder: Encoder[SumAcc] = Encoders.product[SumAcc]
+  def outputEncoder: Encoder[String] = Encoders.STRING
+}

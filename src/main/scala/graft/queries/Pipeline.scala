@@ -328,12 +328,18 @@ object Pipeline {
       "p09_ann_lsh",
       (s, d) => {
         val spark = s
+        import spark.implicits._
         val nPlanes = AnnTables * AnnBits
+        // Hyperplane signs computed on the driver (48×64 constants from
+        // the md5 high bit — same arithmetic as the oracle) so the plan
+        // has zero cross-join stages, only hash joins on buckets.
+        val md = java.security.MessageDigest.getInstance("MD5")
         val weights = broadcast(
-          spark.range(0, nPlanes).select(col("id").cast("int").as("j"))
-            .crossJoin(spark.range(1, AnnDim + 1).select(col("id").cast("int").as("i")))
-            .withColumn("w",
-              expr("CASE WHEN instr('89abcdef', substr(md5(concat(CAST(j AS STRING), ':', CAST(i AS STRING))), 1, 1)) > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END")))
+          (for (j <- 0 until nPlanes; i <- 1 to AnnDim) yield {
+            val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (j, i, if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0)
+          }).toDF("j", "i", "w"))
         val el = emb(s, d)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
           .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),

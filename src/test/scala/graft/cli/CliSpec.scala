@@ -222,6 +222,38 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("chunked >1 MiB input sums correctly (tests.tcl:505-525)") {
+    val unit = "1 x\n2 y\n3 z\n"
+    val times = 120000
+    assert(unit.length * times > 1024 * 1024)
+    val f = tempFile(unit * times)
+    assert(sqawk("select sum(a1) from a", f) == (0, s"${6 * times}\n"))
+  }
+
+  test("CRLF + blank-ish lines in json/tcl lines mode (tests.tcl:749-768)") {
+    val j = tempFile("[100]\r\n\r\n  \t\r\n[101]\r\n \r\n")
+    assert(sqawk("-OFS", "|", "-NF", "2", "select * from a",
+      "format=json", "kv=0", "lines=1", j) == (0, "1|1|100|100|\n2|1|101|101|\n"))
+    val t = tempFile("100\r\n\r\n  \t\r\n101\r\n \r\n")
+    assert(sqawk("-OFS", "|", "-NF", "2", "select * from a",
+      "format=tcl", "kv=0", "lines=1", t) == (0, "1|1|100|100|\n2|1|101|101|\n"))
+    val jk = tempFile("{\"k\":100}\r\n\r\n  \t\r\n{\"k\":101}\r\n \r\n")
+    assert(sqawk("-OFS", "|", "-NF", "2", "select * from a",
+      "format=json", "kv=1", "lines=1", "header=1", jk)
+      == (0, "1|1|k 100|100|\n2|1|k 101|101|\n"))
+  }
+
+  test("broken pipe on output exits 0; other I/O errors exit 1 (tests.tcl:70-83)") {
+    val f = tempFile("a b\n")
+    class ThrowingWriter(msg: String) extends StringWriter {
+      override def write(s: String): Unit = throw new java.io.IOException(msg)
+    }
+    GraftFunctions.register(spark)
+    assert(Main.run(Seq("select a1 from a", f), spark, new ThrowingWriter("Broken pipe")) == 0)
+    assert(Main.run(Seq("select a1 from a", f), spark,
+      new ThrowingWriter("No space left on device")) == 1)
+  }
+
   test("join across two files (examples/hp, README.md:454)") {
     val md5 = tempFile("d41d8cd98f00b204e9800998ecf8427e  foo\nc157a79031e1c40f85931829bc5fc552  bar\n")
     val du = tempFile("0\tfoo\n4096\tbar\n")

@@ -42,6 +42,42 @@ class FieldMapSpec extends AnyFunSuite {
     assert(map(small, parse("1-2,2-3")) == Vector("a b", "b c"))
   }
 
+  test("reference field-mapping-2.1: separator-less trailing sep (tests.tcl:347-381)") {
+    val v = Vector("start", "AB", "foo", "AB", "bar", "")
+    assert(map(v, Vector(Range(1, Some(99)))) == Vector("startABfooABbar"))
+    assert(map(v, Vector(Range(1, None))) == Vector("startABfooABbar"))
+    assert(map(v, Vector(Range(1, Some(1)))) == Vector("start"))
+    assert(map(v, Vector(Range(1, Some(2)))) == Vector("startABfoo"))
+    assert(map(v, Vector(Range(4, Some(5)))) == Vector(""))
+    assert(map(v, parse("1,2,3")) == Vector("start", "foo", "bar"))
+    assert(map(v, parse("1,2,3-end")) == Vector("start", "foo", "bar"))
+    assert(map(v, parse("1,2-3,3")) == Vector("start", "fooABbar", "bar"))
+  }
+
+  test("reference field-mapping-2.2: trailing separator is kept by end-ranges (tests.tcl:383-416)") {
+    val v = Vector("start", "AB", "foo", "AB", "bar", "AB")
+    assert(map(v, Vector(Range(1, Some(99)))) == Vector("startABfooABbarAB"))
+    assert(map(v, Vector(Range(1, None))) == Vector("startABfooABbarAB"))
+    assert(map(v, parse("1,2,3-end")) == Vector("start", "foo", "barAB"))
+    assert(map(v, parse("1,2-3,3")) == Vector("start", "fooABbar", "bar"))
+  }
+
+  test("reference field-mapping-2.3 auto variants (tests.tcl:418-439)") {
+    for (v <- Seq(Vector("start", "AB", "foo", "AB", "bar", ""),
+                  Vector("start", "AB", "foo", "AB", "bar", "AB"))) {
+      assert(map(v, parse("auto")) == Vector("start", "foo", "bar"))
+      assert(map(v, parse("1,auto")) == Vector("start", "foo", "bar"))
+      assert(map(v, parse("1,2,auto")) == Vector("start", "foo", "bar"))
+    }
+  }
+
+  test("reference field-mapping-2.3b: multi-space separators preserved in merges (tests.tcl:441-455)") {
+    val v1 = Vector("foo", " ", "1", "   ", "foo", " ", "2", "   ", "foo", " ", "3", "")
+    assert(map(v1, parse("1-2,3-4,5-6")) == Vector("foo 1", "foo 2", "foo 3"))
+    val v2 = Vector("bar", "    ", "4", " ", "bar", "    ", "5", " ", "bar", "    ", "6", "")
+    assert(map(v2, parse("1-2,3-4,5-6")) == Vector("bar    4", "bar    5", "bar    6"))
+  }
+
   test("auto starts at field index = number of mappings processed") {
     // fields=1-2,auto on "a b c": first mapping consumes one slot, so
     // auto starts at field 2 (reference currentColumn quirk).
