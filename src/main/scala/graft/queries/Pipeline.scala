@@ -100,10 +100,15 @@ object Pipeline {
     QDef(
       "p02_dedup_minhash_lsh",
       (s, d) => {
-        val sh = shingles(s, d) // (doc_id, sh) distinct
+        // Signatures from RAW shingles: min() is duplicate-insensitive,
+        // so the full-corpus distinct (a shuffle of every shingle) is
+        // never needed — map-side partial mins make the signature
+        // shuffle one tiny row per doc. Distinct shingle SETS are only
+        // materialized for candidate docs (a few, post-banding).
+        val shRaw = shingles(s, d) // (doc_id, sh), with duplicates
         val minhAggs = (0 until NumPerm).map(i =>
           min(md5(concat_ws(":", lit(i), col("sh")))).as(s"m$i"))
-        val sig = sh.groupBy("doc_id").agg(minhAggs.head, minhAggs.tail: _*)
+        val sig = shRaw.groupBy("doc_id").agg(minhAggs.head, minhAggs.tail: _*)
         val bandCols = (0 until Bands).map { b =>
           val ms = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
           struct(lit(b).as("band"), md5(concat(ms: _*)).as("bkey"))
@@ -111,12 +116,20 @@ object Pipeline {
         val buckets = sig
           .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        // The candidate set is tiny by construction (band buckets) and
+        // consumed three times below — materialize it once so the
+        // signature pipeline runs exactly once, not per consumer.
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
           .distinct()
-        // verify candidates with exact Jaccard (integer arithmetic)
+          .localCheckpoint()
+        // verify candidates with exact Jaccard (integer arithmetic),
+        // over distinct shingles of candidate docs only
+        val candIds = cand.select(col("ida").as("doc_id"))
+          .unionByName(cand.select(col("idb").as("doc_id"))).distinct()
+        val sh = shRaw.join(broadcast(candIds), "doc_id").distinct()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = cand
           .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
@@ -356,15 +369,17 @@ object Pipeline {
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
           .distinct()
-        val nrm = withNorm(emb(s, d)).select(col("vec_id"), col("nrm"))
-        val dot = cand
-          .join(el.as("ea"), col("ia") === col("ea.vec_id"))
-          .join(el.as("eb"), col("ib") === col("eb.vec_id") && col("ea.i") === col("eb.i"))
-          .groupBy("ia", "ib").agg(sum(col("ea.x") * col("eb.x")).as("dot"))
-        dot
-          .join(nrm.as("na"), col("ia") === col("na.vec_id"))
-          .join(nrm.as("nb"), col("ib") === col("nb.vec_id"))
-          .withColumn("cos", col("dot") / (col("na.nrm") * col("nb.nrm")))
+        // Verify with whole-vector zip_with dot products: two id-joins
+        // on packed arrays instead of a 64×-exploded element join —
+        // candidates × dim rows never materialize.
+        val vecs = withNorm(emb(s, d))
+          .select(col("vec_id"), col("v"), col("nrm"))
+        cand
+          .join(vecs.as("va"), col("ia") === col("va.vec_id"))
+          .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
+          .withColumn("cos",
+            expr("aggregate(zip_with(va.v, vb.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
+              / (col("va.nrm") * col("vb.nrm")))
           .filter(round(col("cos"), 6) >= 0.35)
           .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
       },
@@ -429,7 +444,8 @@ object Pipeline {
 
   // ---- shared helpers ---------------------------------------------------
 
-  /** Distinct word 3-gram shingles per document. */
+  /** Word 3-gram shingles per document (with duplicates — callers
+    * that need set semantics dedupe the slice they touch). */
   private def shingles(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("toks", expr(toksExpr))
@@ -438,7 +454,6 @@ object Pipeline {
           |THEN transform(sequence(0, size(toks) - 3),
           |               k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2]))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
-      .distinct()
 
   /** Embedding as double array plus its L2 norm. */
   private def withNorm(e: DataFrame): DataFrame =
