@@ -116,12 +116,16 @@ object ScriptRunner {
     * aggregates (`sum` INTEGER-iff-all-integer, `total`) apply inside
     * script execution only. */
   def run(spark: SparkSession, script: String, serializer: Serializer): Unit = {
-    graft.functions.GraftFunctions.withSqliteAggregates(spark) {
+    // The script dialect needs SQLite-permissive coercions ('x' < 10 is
+    // NULL, not an error) whatever the host session's ANSI setting is.
+    val savedAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try graft.functions.GraftFunctions.withSqliteAggregates(spark) {
       for (stmt <- splitStatements(script)) {
         val df: DataFrame = spark.sql(stmt)
         if (df.schema.nonEmpty) pump(df, serializer)
       }
-    }
+    } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
     serializer.close()
   }
 

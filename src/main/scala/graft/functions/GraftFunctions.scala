@@ -88,6 +88,12 @@ object GraftFunctions {
 
   /** Register every compat function on the session. Idempotent. */
   def register(spark: SparkSession): Unit = {
+    // SQLite cross-type ordering for affinity columns; experimental
+    // rules apply to any session, including ones not built by
+    // GraftSession (tests). Guarded for idempotence.
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.AffinityOrdering))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.AffinityOrdering
     val u = spark.udf
     u.register("regexp", (re: String, s: String) => tclRegexp(re, s))
     u.register("glob", (p: String, s: String) => sqliteGlob(p, s))

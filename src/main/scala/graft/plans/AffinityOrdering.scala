@@ -1,0 +1,70 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, MaxBy, Min, MinBy}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+
+/** SQLite cross-type ordering for affinity columns (SURVEY.md §1.3:
+  * storage classes order NULL < INTEGER/REAL < TEXT < BLOB, numerics
+  * comparing numerically — so `'2' < '10'`, and `min()` of
+  * {'10','2','x'} is 2, where plain string sorting says otherwise).
+  *
+  * Spark has no per-value dynamic typing, so this cannot be expressed
+  * with built-in operators alone: a custom optimizer rule rewrites
+  *  - `ORDER BY col` into ordering by the struct key
+  *    `(numeric?0:1, numericValue, textValue)` (struct comparison is
+  *    field-wise, NULL handling stays with SortOrder), and
+  *  - `min(col)` / `max(col)` into `min_by(col, key)` / `max_by` —
+  * for exactly those StringType attributes that RecordPipeline marked
+  * with numeric-affinity metadata. Everything else is untouched, so
+  * the rule is a no-op outside sqawk-shaped tables. Verified against
+  * sqlite3: ORDER BY gives NULL, 2, 2.5, 9, 10, 'B', 'a', 'x'.
+  *
+  * Registered via `spark.experimental.extraOptimizations` (it must run
+  * after analysis; it only reshapes expressions, never plan structure,
+  * so optimizer placement is safe).
+  */
+object AffinityOrdering extends Rule[LogicalPlan] {
+
+  /** Metadata key RecordPipeline sets on numeric-affinity columns. */
+  val AffinityKey = "graft.affinity"
+
+  private val NumericRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+  private def isAffinityAttr(e: Expression): Boolean = e match {
+    case a: AttributeReference =>
+      a.dataType == StringType && a.metadata.contains(AffinityKey)
+    case _ => false
+  }
+
+  /** `(rank, numeric, text)` sort key; NULL input stays NULL so the
+    * SortOrder's null ordering applies (SQLite: NULL first ASC). */
+  private def sortKey(a: Expression): Expression = {
+    val trimmed = RegExpReplace(a, Literal("^[\\x00-\\x20]+|[\\x00-\\x20]+$"), Literal(""))
+    val isNum = RLike(trimmed, Literal(NumericRe))
+    val num = Cast(trimmed, DoubleType, None, EvalMode.TRY)
+    val key = CreateNamedStruct(Seq(
+      Literal("r"), If(isNum, Literal(0, IntegerType), Literal(1, IntegerType)),
+      Literal("n"), If(isNum, num, Literal(0.0, DoubleType)),
+      Literal("t"), If(isNum, Literal(""), a)))
+    If(IsNull(a), Literal.create(null, key.dataType), key)
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    val sorted = plan.transform {
+      case s: Sort =>
+        val rewritten = s.order.map { so =>
+          if (isAffinityAttr(so.child)) so.copy(child = sortKey(so.child)) else so
+        }
+        if (rewritten == s.order) s else s.copy(order = rewritten)
+    }
+    sorted.transformAllExpressions {
+      case ae @ AggregateExpression(Min(a), _, _, _, _) if isAffinityAttr(a) =>
+        ae.copy(aggregateFunction = MinBy(a, sortKey(a)))
+      case ae @ AggregateExpression(Max(a), _, _, _, _) if isAffinityAttr(a) =>
+        ae.copy(aggregateFunction = MaxBy(a, sortKey(a)))
+    }
+  }
+}

@@ -128,7 +128,12 @@ object RecordPipeline {
       val declared = opts.datatypes.lift(i - 1).getOrElse("INTEGER")
       val affinity = Affinity.hasAffinity(declared)
       val raw = get(col("__fields"), lit(i - 1))
-      Affinity.canonicalExpr(raw, affinity).as(fieldNames(i - 1))
+      val value = Affinity.canonicalExpr(raw, affinity)
+      // Numeric-affinity columns are marked so AffinityOrdering can
+      // give ORDER BY / min / max SQLite's cross-type semantics.
+      if (affinity == "TEXT" || affinity == "BLOB") value.as(fieldNames(i - 1))
+      else value.as(fieldNames(i - 1),
+        new MetadataBuilder().putString(graft.plans.AffinityOrdering.AffinityKey, affinity).build())
     }
 
     val nrMeta = new MetadataBuilder().putLong(RowCountKey, totalRows).build()

@@ -254,6 +254,18 @@ class CliSpec extends SparkSpec {
       new ThrowingWriter("No space left on device")) == 1)
   }
 
+  test("SQLite cross-type ORDER BY and min/max on affinity columns (sqlite3-verified)") {
+    // sqlite3: INSERT '9','10','2','x','2.5','B','a','',NULL into an
+    // INTEGER column → ORDER BY gives NULL,2,2.5,9,10,'','B','a','x'
+    // (NULL from the empty record, '' from the leading-space line).
+    val f = tempFile("9 p\n10 q\n2 r\nx s\n2.5 t\nB u\na v\n\n w\n")
+    assert(sqawk("select a1 from a order by a1", f) == (0, "\n2\n2.5\n9\n10\n\nB\na\nx\n"))
+    assert(sqawk("select a1 from a order by a1 desc", f) == (0, "x\na\nB\n\n10\n9\n2.5\n2\n\n"))
+    assert(sqawk("select min(a1), max(a1) from a", f) == (0, "2 x\n"))
+    // WHERE over mixed types keeps numerics only, like SQLite
+    assert(sqawk("select a1 from a where a1 < 10 order by a1", f) == (0, "2\n2.5\n9\n"))
+  }
+
   test("join across two files (examples/hp, README.md:454)") {
     val md5 = tempFile("d41d8cd98f00b204e9800998ecf8427e  foo\nc157a79031e1c40f85931829bc5fc552  bar\n")
     val du = tempFile("0\tfoo\n4096\tbar\n")
