@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** All verifiable operator definitions, grouped by area. */
   def defs: Vector[QDef] =
-    Relational.all ++ graft.queries.Ingest.all ++ graft.queries.Pipeline.all
+    Relational.all ++ graft.queries.Ingest.all ++ graft.queries.Pipeline.all ++
+      graft.queries.Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q3-ish: revenue of urgent orders by customer segment. */

@@ -1,0 +1,16 @@
+package graft.queries
+
+/** Streaming operators exposed as verifiable queries: each runs a
+  * BOUNDED streaming query through the real Structured Streaming path
+  * and returns the final result, which the driver compares against the
+  * batch oracle — streaming and batch must agree on bounded input. */
+object Streaming {
+  val all: Vector[QDef] = Vector(
+    QDef(
+      "s01_stream_window",
+      (s, d) => graft.streaming.StreamOps.windowedEventCounts(s, d),
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type,
+             |  count(*) AS c, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2""".stripMargin))
+  )
+}

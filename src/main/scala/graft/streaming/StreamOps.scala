@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Structured Streaming surface (builder brief: `readStream` →
+  * transforms → `writeStream`, watermarks + windowed aggregations,
+  * `mapGroupsWithState` for custom state). The reference is strictly
+  * batch (SURVEY.md §2.2 "streaming: absent"), so this is
+  * beyond-reference capability: the same engine shape pointed at a
+  * stream of events.
+  *
+  * Scale notes: the file source discovers new files incrementally
+  * (maxFilesPerTrigger governs batch sizing on a real bucket); the
+  * windowed aggregation is stateful with watermark-bounded state, so
+  * state size is (windows in flight × event types), not event volume.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts/sums over the events table consumed as a
+    * bounded STREAM through the real streaming path (file source →
+    * watermark → windowed agg → memory sink), returning the final
+    * result — which must equal the batch answer, and is verified
+    * against the DuckDB oracle exactly like any batch operator. */
+  def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // file source wants a directory: stream the sf dir, filtered to
+    // the events file
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      // nanos → µs with integral division (same as Tables.events)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("c"), col("sv"))
+    val name = s"graft_stream_${math.abs(sfDir.hashCode)}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Per-user running event counts via `mapGroupsWithState` — the
+    * custom-state primitive (reference has no analog; pinned by
+    * StreamingSpec over a MemoryStream). Update-mode output: one
+    * (user, newCount) row per user per micro-batch. */
+  def runningUserCounts(events: Dataset[(Long, String)]): Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)] {
+        (user: Long, batch: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + batch.size
+          state.update(n)
+          (user, n)
+      }
+  }
+}

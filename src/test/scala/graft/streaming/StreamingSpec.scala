@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Pins the custom-state streaming primitive over a MemoryStream:
+  * mapGroupsWithState keeps per-user counts across micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  test("mapGroupsWithState running counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val counts = StreamOps.runningUserCounts(input.toDS())
+    val q = counts.writeStream.format("memory").queryName("g_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, "a"), (1L, "b"), (2L, "c"))
+      q.processAllAvailable()
+      val batch1 = spark.table("g_counts").as[(Long, Long)].collect().toSet
+      assert(batch1 == Set((1L, 2L), (2L, 1L)))
+
+      input.addData((1L, "d"), (3L, "e"))
+      q.processAllAvailable()
+      val all = spark.table("g_counts").as[(Long, Long)].collect().toSeq
+      // update mode appends the batch-2 updates to the sink
+      assert(all.count(_ == (1L, 3L)) == 1)
+      assert(all.count(_ == (3L, 1L)) == 1)
+    } finally q.stop()
+  }
+
+  test("bounded stream windowed agg equals the batch answer") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamOps.windowedEventCounts(spark, d)
+    import org.apache.spark.sql.functions._
+    val batch = graft.Tables.events(spark, d)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
