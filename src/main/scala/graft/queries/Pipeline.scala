@@ -156,23 +156,25 @@ object Pipeline {
     // ------------------------------------------------------------------
     // p03: SIMHASH — 32-bit document fingerprint: bit j is the sign of
     // the token-frequency-weighted sum of (2*bit_j(md5(token)) - 1),
-    // where bit_j(token) is the high bit of md5 hex nibble j. One
-    // shuffle on (doc, j) with partial sums; linear in corpus size.
+    // where bit_j(token) is the high bit of md5 hex nibble j. One row
+    // per token with 32 partial-sum columns — the token×bit rows never
+    // materialize and the shuffle is one 32-column row per doc per
+    // partition.
     QDef(
       "p03_dedup_simhash",
-      (s, d) =>
-        docs(s, d)
+      (s, d) => {
+        val tok = docs(s, d)
           .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
           .select(col("doc_id"), md5(col("tok")).as("h"))
-          .withColumn("j", explode(expr("sequence(0, 31)")))
-          .select(col("doc_id"), col("j"),
-            expr("CASE WHEN instr('89abcdef', substr(h, j + 1, 1)) > 0 THEN 1 ELSE -1 END").as("c"))
-          .groupBy("doc_id", "j").agg(sum("c").as("sgn"))
-          .groupBy("doc_id")
-          .agg(sum(when(col("sgn") > 0,
-              expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-            .otherwise(lit(0L))).cast("long").as("simhash"))
-          .select("doc_id", "simhash"),
+        val bitSums = (0 until 32).map(j =>
+          sum(expr(s"CASE WHEN instr('89abcdef', substr(h, ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END"))
+            .as(s"s$j"))
+        tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 32).map(j =>
+              when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ + _).cast("long").as("simhash"))
+      },
       Some(s"""WITH tok AS (
               |  SELECT doc_id, md5(unnest($toksDuck)) AS h FROM documents
               |), bits AS (
@@ -271,27 +273,28 @@ object Pipeline {
     // p07: DOCUMENT FINGERPRINT — md5 of the whitespace-normalized text
     // (exact-dup key) plus the minimum md5 over character 8-gram
     // shingles (a winnowing-style near-dup sketch: one value per doc,
-    // robust to local edits). Shingle explode + map-side min: linear.
+    // robust to local edits). array_min over a transform: a pure
+    // codegen projection — shingle rows never materialize and there is
+    // no shuffle at all.
     QDef(
       "p07_fingerprint",
       (s, d) =>
         docs(s, d)
           .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
-          .withColumn("i", explode(expr("sequence(1, greatest(length(norm) - 7, 1))")))
-          .groupBy(col("doc_id"))
-          .agg(
-            first(md5(col("norm"))).as("fp_doc"),
-            min(md5(expr("substring(norm, i, 8)"))).as("fp_min8"))
-          .select("doc_id", "fp_doc", "fp_min8"),
+          .select(
+            col("doc_id"),
+            md5(col("norm")).as("fp_doc"),
+            expr("""array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
+                   |                    i -> md5(substring(norm, i, 8))))""".stripMargin)
+              .as("fp_min8")),
       Some("""WITH n AS (
              |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
              |  FROM documents
              |)
              |SELECT doc_id, md5(norm) AS fp_doc,
-             |  min(md5(substr(norm, CAST(i AS INT), 8))) AS fp_min8
-             |FROM n, range(1, 4097) t(i)
-             |WHERE i <= greatest(length(norm) - 7, 1)
-             |GROUP BY doc_id, norm""".stripMargin)),
+             |  list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+             |                          i -> md5(substr(norm, CAST(i AS INT), 8)))) AS fp_min8
+             |FROM n""".stripMargin)),
 
     // ------------------------------------------------------------------
     // p08: BRUTE-FORCE COSINE k-NN — the ANN correctness baseline: a
