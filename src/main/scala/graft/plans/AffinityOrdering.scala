@@ -36,6 +36,7 @@ object AffinityOrdering extends Rule[LogicalPlan] {
   private def isAffinityAttr(e: Expression): Boolean = e match {
     case a: AttributeReference =>
       a.dataType == StringType && a.metadata.contains(AffinityKey)
+    case AffinityValue(_, _) => true // survives pushdown substitution
     case _ => false
   }
 
@@ -65,6 +66,25 @@ object AffinityOrdering extends Rule[LogicalPlan] {
         ae.copy(aggregateFunction = MinBy(a, sortKey(a)))
       case ae @ AggregateExpression(Max(a), _, _, _, _) if isAffinityAttr(a) =>
         ae.copy(aggregateFunction = MaxBy(a, sortKey(a)))
+      // Inequalities where BOTH sides are strings and at least one is
+      // an affinity column compare by the cross-type key ('9' < '10',
+      // numeric < text). Mixed string-vs-numeric comparisons keep
+      // Spark's numeric coercion (they arrive Cast-wrapped and don't
+      // match). Equality needs no rewrite: canonicalization already
+      // makes equal storage values string-identical.
+      case c @ LessThan(l, r) if comparableAffinityPair(l, r) =>
+        LessThan(sortKey(l), sortKey(r))
+      case c @ LessThanOrEqual(l, r) if comparableAffinityPair(l, r) =>
+        LessThanOrEqual(sortKey(l), sortKey(r))
+      case c @ GreaterThan(l, r) if comparableAffinityPair(l, r) =>
+        GreaterThan(sortKey(l), sortKey(r))
+      case c @ GreaterThanOrEqual(l, r) if comparableAffinityPair(l, r) =>
+        GreaterThanOrEqual(sortKey(l), sortKey(r))
     }
   }
+
+  private def comparableAffinityPair(l: Expression, r: Expression): Boolean =
+    l.dataType == StringType && r.dataType == StringType &&
+      (isAffinityAttr(l) || isAffinityAttr(r)) &&
+      (isAffinityAttr(l) || l.foldable) && (isAffinityAttr(r) || r.foldable)
 }

@@ -124,15 +124,30 @@ object RecordPipeline {
         throw new IllegalArgumentException(s"column name $n contains a grave accent")
     }
 
+    // Marker builder for AffinityValue (a custom expression cannot be
+    // built through the public Column API; the registry can).
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_affinity_value",
+      { children =>
+        val aff = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
+          case other => other.eval(null).toString
+        }
+        graft.plans.AffinityValue(children.head, aff)
+      },
+      "scala_udf")
+
     val fieldCols = (1 to numFields).map { i =>
       val declared = opts.datatypes.lift(i - 1).getOrElse("INTEGER")
       val affinity = Affinity.hasAffinity(declared)
       val raw = get(col("__fields"), lit(i - 1))
       val value = Affinity.canonicalExpr(raw, affinity)
-      // Numeric-affinity columns are marked so AffinityOrdering can
-      // give ORDER BY / min / max SQLite's cross-type semantics.
+      // Numeric-affinity columns are marked (attribute metadata for
+      // Sort/min/max, AffinityValue wrapper for pushed-down
+      // comparisons) so AffinityOrdering can give them SQLite's
+      // cross-type semantics.
       if (affinity == "TEXT" || affinity == "BLOB") value.as(fieldNames(i - 1))
-      else value.as(fieldNames(i - 1),
+      else call_function("graft_affinity_value", value, lit(affinity)).as(fieldNames(i - 1),
         new MetadataBuilder().putString(graft.plans.AffinityOrdering.AffinityKey, affinity).build())
     }
 

@@ -264,6 +264,10 @@ class CliSpec extends SparkSpec {
     assert(sqawk("select min(a1), max(a1) from a", f) == (0, "2 x\n"))
     // WHERE over mixed types keeps numerics only, like SQLite
     assert(sqawk("select a1 from a where a1 < 10 order by a1", f) == (0, "2\n2.5\n9\n"))
+    // column-vs-column comparison: numeric order between numerics,
+    // numeric < text, text memcmp ('a' > 'B'); sqlite3-verified
+    val g = tempFile("9 10\n10 9\n2 x\nx 2\na B\n")
+    assert(sqawk("select a1, a2 from a where a1 < a2 order by a1", g) == (0, "2 x\n9 10\n"))
   }
 
   test("join across two files (examples/hp, README.md:454)") {
