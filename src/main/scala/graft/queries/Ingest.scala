@@ -244,6 +244,63 @@ object Ingest {
               |FROM src""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // i17/S4: CSV alt (Excel) dialect — quotes open mid-field and a
+    // quoted span swallows the separator (csv2/csvalt,
+    // reference lib/parsers/csv.tcl:31-33; tests.tcl:527-549).
+    QDef(
+      "i17_csvalt",
+      (s, d) => CsvReader.parse(s,
+        lines(custSrc(s, d),
+          concat(col("ck"), lit(";p\"q;q\"r;"), col("seg"))),
+        CsvOptions(sep = ';', alt = true), TableOptions(nf = 3)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 3 AS anf,
+              |  CAST(ck AS VARCHAR) || ';p"q;q"r;' || seg AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, 'pq;qr' AS a2, seg AS a3
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i18/S5: JSON whole-file array of arrays through the REAL
+    // wholetext elements path (one task per file, like the reference's
+    // full-buffer parse; reference lib/parsers/json.tcl:51-73).
+    QDef(
+      "i18_json_array_file",
+      (s, d) => {
+        import s.implicits._
+        val rows = custSrc(s, d)
+          .select(concat(lit("["), col("ck"), lit(", \""), col("nm"), lit("\"]")))
+          .as[String].collect()
+        val path = spoolFile("i18", d, rows.mkString("[", ",\n", "]"))
+        JsonReader.read(s, Seq(path), JsonOptions(kv = false, lines = false),
+          TableOptions(nf = 2))
+      },
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 2 AS anf,
+              |  CAST(ck AS VARCHAR) || ' ' || nm AS a0,
+              |  CAST(ck AS VARCHAR) AS a1, nm AS a2
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i19/S7: Tcl dict scan kv=1 — same key-union + header contract as
+    // the JSON kv=1 path but over Tcl dicts
+    // (reference lib/parsers/tcl.tcl, tests.tcl:749-768 format-2.10).
+    QDef(
+      "i19_tcl_kv",
+      (s, d) => TclReader.parse(s,
+        lines(custSrc(s, d),
+          concat(lit("k "), col("ck"), lit(" n "), col("nm"),
+            when(col("ck") % 2 === 1, concat(lit(" m "), col("seg"))).otherwise(lit("")))),
+        TclOptions(kv = true, lines = true),
+        TableOptions(nf = 3, header = true)),
+      Some(s"""$srcCte
+              |SELECT rn AS anr, 3 AS anf,
+              |  'k ' || CAST(ck AS VARCHAR) || ' n ' || nm ||
+              |    CASE WHEN ck % 2 = 1 THEN ' m ' || seg ELSE '' END AS a0,
+              |  CAST(ck AS VARCHAR) AS k, nm AS n,
+              |  CASE WHEN ck % 2 = 1 THEN seg ELSE '' END AS m
+              |FROM src""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // i10/S6: JSON kv=1 — key union ordered first-object-first then
     // alphabetical; missing keys → ""; combined with header=1 so the
     // key record becomes the column names (reference json.tcl:76-106).
