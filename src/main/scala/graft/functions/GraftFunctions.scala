@@ -3,21 +3,21 @@ package graft.functions
 import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ScalaUDF}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 
 /** Compatibility scalar functions the reference registers into SQLite
   * (reference: sqawk-dev.tcl:199-215, behavior pinned by
   * tests.tcl:1108-1156), re-expressed for Spark SQL.
   *
-  * Fixed-arity functions go through the public `spark.udf.register`.
-  * Tcl's `lindex`/`dict get`/`regsub` are variadic, which plain Spark
-  * UDF registration cannot express, so those are registered as Catalyst
-  * function builders that pick a [[ScalaUDF]] of the right arity at
-  * analysis time. All are deterministic (the reference registers them
-  * `-deterministic` too), so Catalyst may factor/common-subexpression
-  * them freely.
+  * All functions are registered as Catalyst builders producing
+  * [[org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke]]
+  * calls into [[TclExprs]]' static entry points — direct calls inside
+  * whole-stage codegen with no per-row UDF encoder round trip; the
+  * variadic ones (`lindex`/`dict get`/`regsub`) pick the per-arity
+  * static at analysis time. All are deterministic (the reference
+  * registers them `-deterministic` too), so Catalyst may
+  * factor/common-subexpression them freely.
   */
 object GraftFunctions {
 
@@ -95,29 +95,22 @@ object GraftFunctions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.AffinityOrdering
     val u = spark.udf
-    u.register("regexp", (re: String, s: String) => tclRegexp(re, s))
-    u.register("glob", (p: String, s: String) => sqliteGlob(p, s))
-    u.register("llength", (l: String) => if (l == null) null else Int.box(TclList.llength(l)))
-    u.register("lrange", (l: String, a: String, b: String) =>
-      if (l == null) null else TclList.lrange(l, a, b))
+    // Fixed-arity compat functions as StaticInvoke builders: direct
+    // static calls inside whole-stage codegen, no ScalaUDF
+    // encoder/boxing round trip per row.
+    registerStatic(spark, "regexp", IntegerType, 2)
+    registerStatic(spark, "glob", IntegerType, 2)
+    registerStatic(spark, "llength", IntegerType, 1)
+    registerStatic(spark, "lrange", StringType, 3)
     u.register("sqlite_version", () => "3.45.0")
 
-    registerVariadic(spark, "lindex", StringType) { args =>
-      TclList.lindex(args.head, args.tail.map(_.trim.toInt))
-    }
-    registerVariadic(spark, "dict_get", StringType) { args =>
-      TclList.dictGet(args.head, args.tail).orNull
-    }
-    registerVariadic(spark, "dict_exists", IntegerType) { args =>
-      if (TclList.dictExists(args.head, args.tail)) Int.box(1) else Int.box(0)
-    }
-    // regsub: 3-arg = first-match, 4-arg with leading "-all" = global
-    // (Tcl regsub switch semantics, tests.tcl:1126-1132).
-    registerVariadic(spark, "regsub", StringType) { args =>
-      if (args.length >= 4 && args.head == "-all") tclRegsub(all = true, args(1), args(2), args(3))
-      else if (args.length >= 4) tclRegsub(all = false, args(1), args(2), args(3))
-      else tclRegsub(all = false, args(0), args(1), args(2))
-    }
+    // Variadic functions route to the per-arity statics in TclExprs
+    // (regsub: 3-arg = first-match, 4-arg with leading "-all" = global;
+    // Tcl switch semantics, tests.tcl:1126-1132).
+    registerStaticVariadic(spark, "lindex", StringType, 2 to 4)
+    registerStaticVariadic(spark, "dict_get", StringType, 2 to 4)
+    registerStaticVariadic(spark, "dict_exists", IntegerType, 2 to 4)
+    registerStaticVariadic(spark, "regsub", StringType, 3 to 4)
   }
 
   /** Run `body` with SQLite-semantic `sum`/`total` shadowing the
@@ -141,33 +134,43 @@ object GraftFunctions {
     }
   }
 
-  /** Register a variadic string-args function as a Catalyst builder:
-    * at analysis time we instantiate a [[ScalaUDF]] whose arity matches
-    * the call site. All arguments are coerced to string. */
-  private def registerVariadic(spark: SparkSession, name: String, out: DataType)(
-      f: Seq[String] => Any): Unit = {
+  /** The class holding [[TclExprs]]' static forwarders (the Scala
+    * object itself compiles to `TclExprs$`; codegen needs the statics). */
+  private lazy val tclExprsClass: Class[_] = Class.forName("graft.functions.TclExprs")
+
+  private def staticInvoke(name: String, out: DataType, children: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      staticObject = tclExprsClass,
+      dataType = out,
+      functionName = name,
+      arguments = children.map(c =>
+        if (c.dataType == StringType) c
+        else org.apache.spark.sql.catalyst.expressions.Cast(c, StringType)),
+      inputTypes = Seq.fill(children.length)(StringType),
+      propagateNull = true,
+      returnNullable = out == StringType)
+
+  private def registerStatic(
+      spark: SparkSession, name: String, out: DataType, arity: Int): Unit = {
     val builder: Seq[Expression] => Expression = { children =>
-      val n = children.length
-      val fn: AnyRef = n match {
-        case 1 => (a: String) => f(Seq(a))
-        case 2 => (a: String, b: String) => f(Seq(a, b))
-        case 3 => (a: String, b: String, c: String) => f(Seq(a, b, c))
-        case 4 => (a: String, b: String, c: String, d: String) => f(Seq(a, b, c, d))
-        case 5 => (a: String, b: String, c: String, d: String, e: String) => f(Seq(a, b, c, d, e))
-        case 6 => (a: String, b: String, c: String, d: String, e: String, g: String) =>
-          f(Seq(a, b, c, d, e, g))
-        case _ => throw new IllegalArgumentException(s"$name: unsupported arity $n")
-      }
-      ScalaUDF(
-        function = fn,
-        dataType = out,
-        children = children,
-        inputEncoders = Seq.fill(n)(Option(ExpressionEncoder[String]())),
-        outputEncoder = None,
-        udfName = Some(name),
-        nullable = true,
-        udfDeterministic = true)
+      if (children.length != arity)
+        throw new IllegalArgumentException(s"$name expects $arity arguments")
+      staticInvoke(name, out, children)
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  /** Variadic function whose per-arity static entry point is
+    * `<name><arity>` in [[TclExprs]]. */
+  private def registerStaticVariadic(
+      spark: SparkSession, name: String, out: DataType, arities: Range): Unit = {
+    val builder: Seq[Expression] => Expression = { children =>
+      if (!arities.contains(children.length))
+        throw new IllegalArgumentException(
+          s"$name: unsupported arity ${children.length}")
+      staticInvoke(s"$name${children.length}", out, children)
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
 }
