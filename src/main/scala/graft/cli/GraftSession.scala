@@ -2,6 +2,8 @@ package graft.cli
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -110,11 +112,14 @@ object GraftSession {
 
     // Seed with tables persisted by previous invocations.
     for (dir <- dbDir if Files.isDirectory(dir)) {
-      val subs = Files.list(dir).iterator()
-      val persisted = Iterator.continually(subs)
-        .takeWhile(_.hasNext).map(_.next())
-        .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
-        .toVector.sortBy(_.getFileName.toString)
+      val stream = Files.list(dir)
+      val persisted =
+        try stream.iterator()
+          .asInstanceOf[java.util.Iterator[Path]]
+          .asScala
+          .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
+          .toVector.sortBy(_.getFileName.toString)
+        finally stream.close()
       for (sub <- persisted) {
         val name = sub.getFileName.toString
         val df = spark.read.parquet(sub.toString)
@@ -174,8 +179,10 @@ object GraftSession {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
-      val it = Files.list(p).iterator()
-      while (it.hasNext) deleteRecursively(it.next())
+      val stream = Files.list(p)
+      try stream.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
+        .foreach(deleteRecursively)
+      finally stream.close()
     }
     Files.deleteIfExists(p)
   }

@@ -462,6 +462,20 @@ object Relational {
         .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv")),
       Some("""SELECT date_trunc('hour', ts) AS h, event_type,
              |  count(*) AS c, round(sum(value), 2) AS sv
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    QDef(
+      "q38_json_extract",
+      // JSON scalar extraction from the events props column (SQLite's
+      // json_* family maps to get_json_object and friends). The oracle
+      // recomputes with a regexp so it needs no DuckDB JSON extension.
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("c"), sum("k").as("sk"), max("k").as("mk")),
+      Some("""SELECT event_type, count(*) AS c,
+             |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sk,
+             |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS mk
+             |FROM events GROUP BY event_type""".stripMargin))
   )
 }

@@ -125,6 +125,14 @@ class CliSpec extends SparkSpec {
       "┌─┬─┬─┐\n│a│b│c│\n├─┼─┼─┤\n│d│e│f│\n├─┼─┼─┤\n│g│h│i│\n└─┴─┴─┘\n"))
   }
 
+  test("table output loFi style and margins (tests.tcl:862-897)") {
+    val f = tempFile("a,b\nd,e\n")
+    val (c, o) = sqawk("-FS", ",", "-output", "table,style=loFi,margins=1",
+      "select a1,a2 from a", f)
+    assert((c, o) == (0,
+      "+---+---+\n| a | b |\n+---+---+\n| d | e |\n+---+---+\n"))
+  }
+
   test("empty lines and fields (tests.tcl:1002-1040)") {
     val f = tempFile("0-1\n\na-b\n\nc-d\n")
     assert(sqawk("-FS", "-", "select a1, a2 from a", f) ==
