@@ -191,6 +191,31 @@ class CliSpec extends SparkSpec {
     assert(c == 1)
   }
 
+  private def withStdin[T](content: String)(body: => T): T = {
+    val saved = System.in
+    System.setIn(new java.io.ByteArrayInputStream(
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    try body finally System.setIn(saved)
+  }
+
+  test("stdin works for every input format (tests.tcl:719-768)") {
+    withStdin("a b\nc d\n") {
+      assert(sqawk("select a2 from a", "-") == (0, "b\nd\n"))
+    }
+    // default file spec: no filenames at all reads stdin
+    withStdin("x y\n") {
+      assert(sqawk("select a1 from a") == (0, "x\n"))
+    }
+    withStdin("[100]\n\n[101]\n") {
+      assert(sqawk("-NF", "1", "select a1 from a",
+        "format=json", "kv=0", "lines=1", "-") == (0, "100\n101\n"))
+    }
+    withStdin("k 100\nk 101\n") {
+      assert(sqawk("-NF", "1", "select k from a",
+        "format=tcl", "kv=1", "lines=1", "header=1", "-") == (0, "100\n101\n"))
+    }
+  }
+
   test("-dbfile persists tables across invocations (tests.tcl:1398-1474)") {
     val db = Files.createTempDirectory("graft-db").resolve("db").toString
     val f1 = tempFile("foo 1\nfoo 2\n")
