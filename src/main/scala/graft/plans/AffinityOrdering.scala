@@ -54,14 +54,11 @@ object AffinityOrdering extends Rule[LogicalPlan] {
   }
 
   def apply(plan: LogicalPlan): LogicalPlan = {
-    val sorted = plan.transform {
-      case s: Sort =>
-        val rewritten = s.order.map { so =>
-          if (isAffinityAttr(so.child)) so.copy(child = sortKey(so.child)) else so
-        }
-        if (rewritten == s.order) s else s.copy(order = rewritten)
-    }
-    sorted.transformAllExpressions {
+    plan.transformAllExpressions {
+      // every ordering spec — Sort nodes, window ORDER BY, ordered
+      // aggregates — sorts by the cross-type key
+      case so: SortOrder if isAffinityAttr(so.child) =>
+        so.copy(child = sortKey(so.child))
       case ae @ AggregateExpression(Min(a), _, _, _, _) if isAffinityAttr(a) =>
         ae.copy(aggregateFunction = MinBy(a, sortKey(a)))
       case ae @ AggregateExpression(Max(a), _, _, _, _) if isAffinityAttr(a) =>

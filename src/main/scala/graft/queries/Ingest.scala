@@ -453,6 +453,40 @@ object Ingest {
              |FROM src WHERE rn = 1""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // i20: SQLite cross-type ordering through the optimizer rule —
+    // rank numeric strings of different digit lengths plus text by a
+    // window over the affinity column ('2' < '10' < text; the oracle
+    // rebuilds the storage-class key explicitly).
+    QDef(
+      "i20_affinity_order",
+      (s, d) => {
+        val df = AwkReader.parse(s,
+          lines(custSrc(s, d), concat_ws(" ",
+            when(col("ck") % 7 === 0, concat(lit("t"), col("nm"))) // text for some rows
+              .otherwise((col("ck") * 37 % 100000).cast("string")),
+            col("nm"))),
+          AwkOptions(), TableOptions(nf = 2))
+        df.createOrReplaceTempView("g_aff")
+        graft.functions.GraftFunctions.register(s)
+        s.sql("""SELECT a2, CAST(row_number() OVER (ORDER BY a1, a2) AS BIGINT) AS rnk
+                |FROM g_aff""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT c_name AS nm,
+             |    CASE WHEN c_custkey % 7 = 0 THEN 't' || c_name
+             |         ELSE CAST(c_custkey * 37 % 100000 AS VARCHAR) END AS a1
+             |  FROM customer
+             |)
+             |SELECT nm AS a2,
+             |  CAST(row_number() OVER (ORDER BY
+             |    CASE WHEN regexp_full_match(a1, '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') THEN 0 ELSE 1 END,
+             |    TRY_CAST(a1 AS DOUBLE),
+             |    CASE WHEN regexp_full_match(a1, '[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?') THEN '' ELSE a1 END,
+             |    nm) AS BIGINT) AS rnk
+             |FROM src""".stripMargin))
+
+    ,
+    // ------------------------------------------------------------------
     // i16/S10: multi-statement script — both result sets pumped through
     // ONE serializer in order (reference tests.tcl:195-200), via the
     // real splitStatements → spark.sql → toLocalIterator path.
