@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, MaxBy, Min, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
@@ -13,12 +13,16 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
   *
   * Spark has no per-value dynamic typing, so this cannot be expressed
   * with built-in operators alone: a custom optimizer rule rewrites
-  *  - `ORDER BY col` into ordering by the struct key
+  *  - every ordering spec (Sort nodes, window ORDER BY, ordered
+  *    aggregates) into ordering by the struct key
   *    `(numeric?0:1, numericValue, textValue)` (struct comparison is
-  *    field-wise, NULL handling stays with SortOrder), and
-  *  - `min(col)` / `max(col)` into `min_by(col, key)` / `max_by` —
-  * for exactly those StringType attributes that RecordPipeline marked
-  * with numeric-affinity metadata. Everything else is untouched, so
+  *    field-wise, NULL handling stays with SortOrder),
+  *  - `min(col)` / `max(col)` into `min_by(col, key)` / `max_by`, and
+  *  - string inequalities between affinity operands into key
+  *    comparisons —
+  * for exactly those StringType operands that RecordPipeline marked
+  * (attribute metadata, or the [[AffinityValue]] wrapper once pushdown
+  * substitutes the attribute away). Everything else is untouched, so
   * the rule is a no-op outside sqawk-shaped tables. Verified against
   * sqlite3: ORDER BY gives NULL, 2, 2.5, 9, 10, 'B', 'a', 'x'.
   *
