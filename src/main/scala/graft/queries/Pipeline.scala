@@ -430,6 +430,32 @@ object Pipeline {
              |FROM documents""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // p12: SALTED SKEW JOIN — events join on event_type (~5 distinct
+    // values: every key is hot, the worst shuffle-join skew). The salt
+    // spreads each hot key over 16 sub-partitions: the fact side gets
+    // salt = hash(row) % 16, the build side is replicated ×16, and the
+    // join runs on (key, salt) — no single reducer receives a whole hot
+    // key. (With a dim THIS small you would broadcast instead — q05/q06
+    // do — this query demonstrates the pattern for build sides too big
+    // to broadcast; AQE's skew-join split is the runtime variant.)
+    QDef(
+      "p12_salted_join",
+      (s, d) => {
+        val salts = 16
+        val fact = Tables.events(s, d)
+          .withColumn("salt", pmod(hash(col("event_id")), lit(salts)))
+        val dim = Tables.events(s, d).select(col("event_type")).distinct()
+          .withColumn("label", upper(col("event_type")))
+          .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+        fact.join(dim, Seq("event_type", "salt"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+      },
+      Some("""SELECT upper(event_type) AS label, count(*) AS c,
+             |       round(sum(value), 2) AS sv
+             |FROM events GROUP BY upper(event_type)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // p11: MODALITY JOIN — documents ↔ embeddings on id: the join a
     // text+vector training pipeline runs constantly. Equi-join on the
     // shared key (shuffle-hash/SMJ at scale; co-partitionable by
