@@ -392,7 +392,9 @@ object Ingest {
           "awk" -> sinkLines(rows, w => new AwkSerializer(w)),
           "csv" -> sinkLines(rows, w => new CsvSerializer(w)),
           "json" -> sinkLines(rows, w => new JsonSerializer(w)),
-          "tcl" -> sinkLines(rows, w => new TclSerializer(w)))
+          "jsonp" -> sinkLines(rows, w => new JsonSerializer(w, pretty = true)),
+          "tcl" -> sinkLines(rows, w => new TclSerializer(w)),
+          "tclp" -> sinkLines(rows, w => new TclSerializer(w, pretty = true)))
         fmts.flatMap { case (f, ls) =>
           ls.zipWithIndex.map { case (l, i) => (f, (i + 1).toLong, l) }
         }.toDF("fmt", "ln", "line")
@@ -412,7 +414,20 @@ object Ingest {
              |FROM src
              |UNION ALL
              |SELECT 'tcl', 1, string_agg('{' || k || ' ' || v || '}', ' ' ORDER BY rn)
-             |FROM src""".stripMargin)),
+             |FROM src
+             |UNION ALL
+             |SELECT 'tclp', rn, '{' || k || ' ' || v || '}' FROM src
+             |-- pretty JSON: '[{' / per-row key,value lines / '},{' between rows / '}]'
+             |UNION ALL
+             |SELECT 'jsonp', 1, '[{' FROM src WHERE rn = 1
+             |UNION ALL
+             |SELECT 'jsonp', 3 * rn - 1, '    "k" : "' || k || '",' FROM src
+             |UNION ALL
+             |SELECT 'jsonp', 3 * rn, '    "v" : "' || v || '"' FROM src
+             |UNION ALL
+             |SELECT 'jsonp', 3 * rn + 1, '},{' FROM src WHERE rn < (SELECT max(rn) FROM src)
+             |UNION ALL
+             |SELECT 'jsonp', 3 * (SELECT max(rn) FROM src) + 1, '}]' FROM src WHERE rn = 1""".stripMargin)),
 
     // ------------------------------------------------------------------
     // i15/K4: the box-drawing table sink — exact geometry (widths,
