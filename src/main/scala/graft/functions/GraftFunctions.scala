@@ -4,7 +4,7 @@ import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 
 /** Compatibility scalar functions the reference registers into SQLite
   * (reference: sqawk-dev.tcl:199-215, behavior pinned by
@@ -113,20 +113,28 @@ object GraftFunctions {
     registerStaticVariadic(spark, "regsub", StringType, 3 to 4)
   }
 
-  /** Run `body` with SQLite-semantic `sum`/`total` shadowing the
-    * built-ins, restoring them afterwards. The shadow must be scoped to
-    * SCRIPT execution only: in this Spark version even the DataFrame
-    * API's `functions.sum` resolves by name through the session
-    * registry, so a session-global shadow would silently change every
-    * library query in the session. */
+  /** Run `body` with the SQLite script dialect's built-in shadows —
+    * `sum`/`total` aggregates and the `date`/`time`/`datetime`/
+    * `julianday`/`strftime` family — restoring the originals after.
+    * The shadows must be scoped to SCRIPT execution only: in this
+    * Spark version even the DataFrame API's `functions.sum` resolves
+    * by name through the session registry, so a session-global shadow
+    * would silently change every library query in the session. */
   def withSqliteAggregates[T](spark: SparkSession)(body: => T): T = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val registry = spark.sessionState.functionRegistry
-    val ids = Seq("sum", "total").map(n => FunctionIdentifier(n))
-    val saved = ids.map(id =>
+    val names = Seq("sum", "total", "date", "time", "datetime", "julianday", "strftime")
+    val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
     spark.udf.register("total", org.apache.spark.sql.functions.udaf(SqliteTotal))
+    // SQLite date/time family: base time-value forms (ISO text or
+    // julian day), NULL on invalid input like SQLite.
+    registerStatic(spark, "date", StringType, 1, sqliteDateClass)
+    registerStatic(spark, "time", StringType, 1, sqliteDateClass)
+    registerStatic(spark, "datetime", StringType, 1, sqliteDateClass)
+    registerStatic(spark, "julianday", DoubleType, 1, sqliteDateClass)
+    registerStatic(spark, "strftime", StringType, 2, sqliteDateClass)
     try body
     finally saved.foreach {
       case (id, Some(info), Some(builder)) => registry.registerFunction(id, info, builder)
@@ -134,13 +142,16 @@ object GraftFunctions {
     }
   }
 
-  /** The class holding [[TclExprs]]' static forwarders (the Scala
-    * object itself compiles to `TclExprs$`; codegen needs the statics). */
+  /** The classes holding the static forwarders (the Scala objects
+    * themselves compile to `...$`; codegen needs the statics). */
   private lazy val tclExprsClass: Class[_] = Class.forName("graft.functions.TclExprs")
+  private lazy val sqliteDateClass: Class[_] = Class.forName("graft.functions.SqliteDate")
 
-  private def staticInvoke(name: String, out: DataType, children: Seq[Expression]): Expression =
+  private def staticInvoke(
+      name: String, out: DataType, children: Seq[Expression],
+      target: Class[_] = null): Expression =
     org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-      staticObject = tclExprsClass,
+      staticObject = if (target == null) tclExprsClass else target,
       dataType = out,
       functionName = name,
       arguments = children.map(c =>
@@ -148,14 +159,15 @@ object GraftFunctions {
         else org.apache.spark.sql.catalyst.expressions.Cast(c, StringType)),
       inputTypes = Seq.fill(children.length)(StringType),
       propagateNull = true,
-      returnNullable = out == StringType)
+      returnNullable = true)
 
   private def registerStatic(
-      spark: SparkSession, name: String, out: DataType, arity: Int): Unit = {
+      spark: SparkSession, name: String, out: DataType, arity: Int,
+      target: Class[_] = null): Unit = {
     val builder: Seq[Expression] => Expression = { children =>
       if (children.length != arity)
         throw new IllegalArgumentException(s"$name expects $arity arguments")
-      staticInvoke(name, out, children)
+      staticInvoke(name, out, children, target)
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
   }

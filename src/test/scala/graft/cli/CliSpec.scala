@@ -170,6 +170,24 @@ class CliSpec extends SparkSpec {
       "select dict_get('k1 v1 k2 v2 k3 {nes ted}', 'k3', 'nes') as r") == (0, "ted\n"))
   }
 
+  test("SQLite date/time functions (sqlite3-verified outputs)") {
+    assert(sqawk("-noinput", "select date('2024-01-15 10:30:00') as r") == (0, "2024-01-15\n"))
+    assert(sqawk("-noinput", "select datetime('2024-01-15') as r") == (0, "2024-01-15 00:00:00\n"))
+    assert(sqawk("-noinput", "select datetime('2024-01-15 10:30:45.123') as r")
+      == (0, "2024-01-15 10:30:45\n"))
+    assert(sqawk("-noinput", "select time('2024-01-15 10:30:45') as r") == (0, "10:30:45\n"))
+    assert(sqawk("-noinput", "select julianday('2024-01-15') as r") == (0, "2460324.5\n"))
+    assert(sqawk("-noinput", "select julianday('2024-01-15 12:00:00') as r") == (0, "2460325.0\n"))
+    assert(sqawk("-noinput", "select date(2460324.5) as r") == (0, "2024-01-15\n"))
+    assert(sqawk("-noinput", "select datetime(2460325.0) as r") == (0, "2024-01-15 12:00:00\n"))
+    assert(sqawk("-noinput",
+      "select strftime('%Y/%m/%d %H:%M:%S', '2024-01-15 10:30:45') as r")
+      == (0, "2024/01/15 10:30:45\n"))
+    assert(sqawk("-noinput", "select strftime('%j %w %s', '2024-01-15 10:30:45') as r")
+      == (0, "015 1 1705314645\n"))
+    assert(sqawk("-noinput", "select date('not a date') as r") == (0, "\n"))
+  }
+
   test("select literal without FROM (tests.tcl:1050-1056)") {
     assert(sqawk("-noinput", "select 108") == (0, "108\n"))
   }
