@@ -123,7 +123,8 @@ object GraftFunctions {
   def withSqliteAggregates[T](spark: SparkSession)(body: => T): T = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val registry = spark.sessionState.functionRegistry
-    val names = Seq("sum", "total", "date", "time", "datetime", "julianday", "strftime")
+    val names = Seq("sum", "total", "date", "time", "datetime", "julianday",
+      "strftime", "random")
     val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
@@ -135,6 +136,11 @@ object GraftFunctions {
     registerStatic(spark, "datetime", StringType, 1, sqliteDateClass)
     registerStatic(spark, "julianday", DoubleType, 1, sqliteDateClass)
     registerStatic(spark, "strftime", StringType, 2, sqliteDateClass)
+    // SQLite random() returns a signed int64 (Spark's alias of rand()
+    // returns a double in [0,1)).
+    spark.udf.register("random",
+      org.apache.spark.sql.functions.udf(() => scala.util.Random.nextLong())
+        .asNondeterministic())
     try body
     finally saved.foreach {
       case (id, Some(info), Some(builder)) => registry.registerFunction(id, info, builder)

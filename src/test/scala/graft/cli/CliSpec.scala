@@ -188,6 +188,16 @@ class CliSpec extends SparkSpec {
     assert(sqawk("-noinput", "select date('not a date') as r") == (0, "\n"))
   }
 
+  test("ORDER BY random() shuffles without losing rows (README.md:329-331)") {
+    val f = tempFile("a 1\nb 2\nc 3\n")
+    val (c, o) = sqawk("select a1 from a order by random()", f)
+    assert(c == 0)
+    assert(o.split("\n").sorted.toSeq == Seq("a", "b", "c"))
+    // SQLite random() yields a signed int64
+    val (c2, o2) = sqawk("-noinput", "select random() as r")
+    assert(c2 == 0 && o2.trim.matches("-?[0-9]+"))
+  }
+
   test("select literal without FROM (tests.tcl:1050-1056)") {
     assert(sqawk("-noinput", "select 108") == (0, "108\n"))
   }
