@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.multimodal.ImageCodec
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
   * the beyond-the-reference surface (builder brief; BASELINE.json north
@@ -35,8 +36,8 @@ import graft.Tables
   *    knob is bands×bits, documented per query);
   *  - everything stays in whole-stage codegen: no Scala UDFs, only
   *    builtin expressions + higher-order functions, except the
-  *    clearly-marked multimodal decode STUB which exercises the real
-  *    typed `mapPartitions` plumbing a binary decoder would need.
+  *    multimodal decode which runs a dependency-free binary header
+  *    parser inside typed `mapPartitions` (see ImageCodec).
   */
 object Pipeline {
 
@@ -397,35 +398,48 @@ object Pipeline {
       Some(annLshOracle)),
 
     // ------------------------------------------------------------------
-    // p10: MULTIMODAL COLUMN PLUMBING — text bytes stand in for an
-    // opaque image/audio payload (the decode libraries are not in this
-    // container): encode → typed Dataset → mapPartitions "decoder"
-    // STUB deriving deterministic fake dimensions from the byte length
-    // — the schema/partitioning/batch shape a real decoder UDF needs,
-    // with the decode arithmetic replaced by a marked fake.
+    // p10: MULTIMODAL DECODE — images as opaque binary columns with a
+    // real header decode. Each document synthesizes a structurally
+    // valid payload (even doc_id → PNG, odd → JPEG; dims derived from
+    // n_chars; body bytes carried in IDAT/COM), then the typed
+    // mapPartitions decoder recovers format + width/height by PARSING
+    // THE BYTES (PNG IHDR fields / JPEG marker walk to SOF0 — see
+    // multimodal/ImageCodec.scala). The oracle recomputes dims and
+    // byte counts from the synthesis parameters, so a wrong parse
+    // hash-mismatches. At 100 TB this is the canonical shape: narrow
+    // per-partition decode, no shuffle until the metadata join.
     QDef(
-      "p10_multimodal_stub",
+      "p10_multimodal_decode",
       (s, d) => {
         import s.implicits._
         val raw = docs(s, d)
-          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-          .as[RawBlob]
-        // STUB DECODER: a real pipeline would parse image headers here
-        // (e.g. JPEG SOF dims); we derive deterministic fake dims from
-        // the payload length so the oracle can recompute them.
-        val decoded = raw.mapPartitions(_.map { r =>
-          val n = r.payload.length.toLong
-          DecodedBlob(r.doc_id, n, 64L + n % 513L, 64L + (n * 31L) % 417L)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            encode(col("text"), "UTF-8").as("body"))
+          .as[SynthSpec]
+        val blobs = raw.mapPartitions(_.map { r =>
+          val w = (64L + r.n_chars % 513L).toInt
+          val h = (64L + (r.n_chars * 31L) % 417L).toInt
+          val bytes =
+            if (r.doc_id % 2 == 0) ImageCodec.synthesizePng(w, h, r.body)
+            else ImageCodec.synthesizeJpeg(w, h, r.body)
+          ImageBlob(r.doc_id, bytes)
+        })
+        val decoded = blobs.mapPartitions(_.map { b =>
+          val dims = ImageCodec.decodeDims(b.payload)
+          DecodedImage(b.doc_id, dims.format, b.payload.length.toLong,
+            dims.width.toLong, dims.height.toLong)
         }).toDF()
         val tags = docs(s, d).select(col("doc_id"),
           substring(md5(col("text")), 1, 8).as("content_tag"))
         decoded.join(tags, "doc_id")
-          .select("doc_id", "n_bytes", "width", "height", "content_tag")
+          .select("doc_id", "format", "n_bytes", "width", "height", "content_tag")
       },
       Some("""SELECT doc_id,
-             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 513 AS width,
-             |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 31) % 417 AS height,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             |  CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 59 END
+             |    + CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  64 + n_chars % 513 AS width,
+             |  64 + (n_chars * 31) % 417 AS height,
              |  substr(md5(text), 1, 8) AS content_tag
              |FROM documents""".stripMargin)),
 
@@ -603,6 +617,8 @@ object Pipeline {
   }
 }
 
-/** Typed rows for the multimodal stub's mapPartitions plumbing. */
-final case class RawBlob(doc_id: Long, payload: Array[Byte])
-final case class DecodedBlob(doc_id: Long, n_bytes: Long, width: Long, height: Long)
+/** Typed rows for the multimodal decode's mapPartitions pipeline. */
+final case class SynthSpec(doc_id: Long, n_chars: Long, body: Array[Byte])
+final case class ImageBlob(doc_id: Long, payload: Array[Byte])
+final case class DecodedImage(
+    doc_id: Long, format: String, n_bytes: Long, width: Long, height: Long)
