@@ -80,28 +80,28 @@ object JsonReader {
         }
   }
 
+  /** kv=0 array records as `(a0, fields)`. The kv=1 object path goes
+    * through [[RecordPipeline.buildKv]], which folds the key union
+    * into its stats pass (single parse of the input). */
   def parseRecords(
       spark: SparkSession, elems: Dataset[String], opts: JsonOptions): Dataset[(String, Seq[String])] = {
     import spark.implicits._
-    if (!opts.kv) {
-      elems.map { e =>
-        val fields = arrayRecord(mapper.readTree(e))
-        (TclList.join(fields), fields)
-      }
-    } else {
-      val objs = elems.map(e => objectRecord(e))
-      val firstKeys = objs.take(1).headOption.map(_.map(_._1)).getOrElse(Nil)
-      val allKeys = objs.flatMap(_.map(_._1)).distinct().collect().toSeq
-      val keys = firstKeys ++ (allKeys.toSet -- firstKeys).toSeq.sorted
-      val keyRecord = spark.createDataset(Seq(
-        (TclList.join(keys), keys: Seq[String])))
-      val body = objs.map { pairs =>
-        val m = pairs.toMap
-        val a0 = TclList.join(pairs.flatMap(p => Seq(p._1, p._2)))
-        (a0, keys.map(k => m.getOrElse(k, "")): Seq[String])
-      }
-      keyRecord.union(body)
+    elems.map { e =>
+      val fields = arrayRecord(mapper.readTree(e))
+      (TclList.join(fields), fields)
     }
+  }
+
+  private def buildFrom(
+      spark: SparkSession,
+      elems: Dataset[String],
+      json: JsonOptions,
+      table: TableOptions): DataFrame = {
+    import spark.implicits._
+    if (json.kv)
+      RecordPipeline.buildKv(spark, elems.map(e => objectRecord(e)), table)
+    else
+      RecordPipeline.build(spark, parseRecords(spark, elems, json), table)
   }
 
   def read(
@@ -109,8 +109,7 @@ object JsonReader {
       paths: Seq[String],
       json: JsonOptions,
       table: TableOptions): DataFrame =
-    RecordPipeline.build(spark,
-      parseRecords(spark, elements(spark, paths, json.lines), json), table)
+    buildFrom(spark, elements(spark, paths, json.lines), json, table)
 
   /** Parse an in-memory element stream (tests and derived pipelines);
     * in lines mode blank entries are skipped like blank lines. */
@@ -121,6 +120,6 @@ object JsonReader {
       table: TableOptions): DataFrame = {
     import elems.sparkSession.implicits._
     val nonBlank = elems.filter((l: String) => l.trim.nonEmpty)
-    RecordPipeline.build(spark, parseRecords(spark, nonBlank, json), table)
+    buildFrom(spark, nonBlank, json, table)
   }
 }

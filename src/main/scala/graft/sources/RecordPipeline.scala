@@ -83,6 +83,99 @@ object RecordPipeline {
         if (opts.header && i == firstNonEmpty) s._4 else s._3
       }.max
 
+    val totalRows =
+      stats.iterator.map(_._2).sum - (if (opts.header && firstNonEmpty >= 0) 1L else 0L)
+
+    // Pass 2 — global 0-based input-order index from the partition
+    // offsets (MNF resolution comes after numbering, like the
+    // reference's load loop: table.tcl:102-132).
+    val offsets = stats.scanLeft(0L)(_ + _._2).init
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx = bcOffsets.value(pid)
+      it.map { case (a0, fields) =>
+        val cur = idx
+        idx += 1
+        (cur, a0, fields)
+      }
+    }
+    shape(spark, indexed, headerNames, maxNf, totalRows, opts)
+  }
+
+  /** Key-value records (JSON objects / Tcl dicts, S6-S7): the key
+    * union — keys of the FIRST record in their own order, then the
+    * remaining keys alphabetically — is folded into the SAME stats
+    * pass that counts rows, so kv ingest parses the input exactly
+    * twice like every other format (the r3 shape reparsed it ~4×:
+    * separate first-record and key-distinct jobs). The synthesized
+    * key record (reference: lib/parsers/json.tcl:76-93) is prepended
+    * as global record 0 and doubles as the header when `header=1`.
+    * Missing keys → "". */
+  def buildKv(
+      spark: SparkSession,
+      dicts: Dataset[Seq[(String, String)]],
+      opts: TableOptions): DataFrame = {
+    if (!Set("expand", "crop", "error").contains(opts.mnf))
+      throw new IllegalArgumentException(s"invalid MNF value: ${opts.mnf}")
+
+    val rdd = dicts.rdd
+
+    // Pass 1 — per-partition stats: rows, first record's key order,
+    // union of key sets (column names: small by construction).
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L
+      var firstKeys: Seq[String] = null
+      val keySet = scala.collection.mutable.HashSet.empty[String]
+      it.foreach { pairs =>
+        if (n == 0L) firstKeys = pairs.map(_._1)
+        pairs.foreach(keySet += _._1)
+        n += 1
+      }
+      Iterator.single((pid, n, Option(firstKeys).map(_.toVector), keySet.toSet))
+    }.collect().sortBy(_._1)
+
+    val firstNonEmpty = stats.indexWhere(_._2 > 0)
+    val firstKeys: Seq[String] =
+      if (firstNonEmpty >= 0) stats(firstNonEmpty)._3.get else Nil
+    val allKeys = stats.iterator.flatMap(_._4).toSet
+    val keys = firstKeys ++ (allKeys -- firstKeys).toSeq.sorted
+
+    val totalRows =
+      stats.iterator.map(_._2).sum + (if (opts.header) 0L else 1L)
+
+    // Pass 2 — align every record to the key order; the key record is
+    // global index 0, so body offsets start at 1.
+    val offsets = stats.scanLeft(1L)(_ + _._2).init
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val bcKeys = spark.sparkContext.broadcast(keys)
+    val body = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val ks = bcKeys.value
+      var idx = bcOffsets.value(pid)
+      it.map { pairs =>
+        val m = pairs.toMap
+        val cur = idx
+        idx += 1
+        (cur,
+          graft.functions.TclList.join(pairs.flatMap(p => Seq(p._1, p._2))),
+          ks.map(k => m.getOrElse(k, "")): Seq[String])
+      }
+    }
+    val keyRecord = spark.sparkContext.parallelize(
+      Seq((0L, graft.functions.TclList.join(keys), keys: Seq[String])), 1)
+    val headerNames = if (opts.header) keys else Nil
+    shape(spark, keyRecord.union(body), headerNames, keys.length, totalRows, opts)
+  }
+
+  /** Shared table shaping from globally-indexed records: header
+    * consumption (record 0), 1-based `nr`, MNF resolution, naming,
+    * affinity canonicalization. */
+  private def shape(
+      spark: SparkSession,
+      indexed: org.apache.spark.rdd.RDD[(Long, String, Seq[String])],
+      headerNames: Seq[String],
+      maxNf: Int,
+      totalRows: Long,
+      opts: TableOptions): DataFrame = {
     if (opts.mnf == "error" && maxNf > opts.nf)
       throw new IllegalStateException(
         s"table ${opts.table} has no column for field $maxNf (NF=${opts.nf}, MNF=error)")
@@ -92,23 +185,10 @@ object RecordPipeline {
       case _ => opts.nf
     }
 
-    val totalRows =
-      stats.iterator.map(_._2).sum - (if (opts.header && firstNonEmpty >= 0) 1L else 0L)
-
-    // Pass 2 — contiguous 1-based record numbers in input order from
-    // the partition offsets (MNF resolution comes after numbering, like
-    // the reference's load loop: table.tcl:102-132).
-    val offsets = stats.scanLeft(0L)(_ + _._2).init
     val header = opts.header
-    val bcOffsets = spark.sparkContext.broadcast(offsets)
-    val numbered = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var idx = bcOffsets.value(pid)
-      it.flatMap { case (a0, fields) =>
-        val cur = idx
-        idx += 1
-        if (header && cur == 0L) Iterator.empty
-        else Iterator.single((if (header) cur else cur + 1, a0, fields))
-      }
+    val numbered = indexed.flatMap { case (cur, a0, fields) =>
+      if (header && cur == 0L) Iterator.empty
+      else Iterator.single((if (header) cur else cur + 1, a0, fields))
     }
     import spark.implicits._
     val body = numbered.toDF("__nr", "__a0", "__fields")

@@ -24,28 +24,31 @@ object TclReader {
         .flatMap(text => TclList.split(text))
   }
 
+  /** kv=0 list records as `(a0, fields)`. The kv=1 dict path goes
+    * through [[RecordPipeline.buildKv]], which folds the key union
+    * into its stats pass (single parse of the input). */
   def parseRecords(
       spark: SparkSession, elems: Dataset[String], opts: TclOptions): Dataset[(String, Seq[String])] = {
     import spark.implicits._
-    if (!opts.kv) {
-      elems.map { e =>
-        val fields = TclList.split(e)
-        (e, fields: Seq[String])
-      }
-    } else {
-      val dicts = elems.map(e => TclList.split(e).grouped(2)
-        .collect { case Vector(k, v) => (k, v) }.toVector)
-      val firstKeys = dicts.take(1).headOption.map(_.map(_._1)).getOrElse(Nil)
-      val allKeys = dicts.flatMap(_.map(_._1)).distinct().collect().toSeq
-      val keys = firstKeys ++ (allKeys.toSet -- firstKeys).toSeq.sorted
-      val keyRecord = spark.createDataset(Seq((TclList.join(keys), keys: Seq[String])))
-      val body = dicts.map { pairs =>
-        val m = pairs.toMap
-        (TclList.join(pairs.flatMap(p => Seq(p._1, p._2))),
-          keys.map(k => m.getOrElse(k, "")): Seq[String])
-      }
-      keyRecord.union(body)
+    elems.map { e =>
+      val fields = TclList.split(e)
+      (e, fields: Seq[String])
     }
+  }
+
+  private def buildFrom(
+      spark: SparkSession,
+      elems: Dataset[String],
+      tcl: TclOptions,
+      table: TableOptions): DataFrame = {
+    import spark.implicits._
+    if (tcl.kv)
+      RecordPipeline.buildKv(spark,
+        elems.map(e => TclList.split(e).grouped(2)
+          .collect { case Vector(k, v) => (k, v) }.toVector: Seq[(String, String)]),
+        table)
+    else
+      RecordPipeline.build(spark, parseRecords(spark, elems, tcl), table)
   }
 
   def read(
@@ -53,13 +56,12 @@ object TclReader {
       paths: Seq[String],
       tcl: TclOptions,
       table: TableOptions): DataFrame =
-    RecordPipeline.build(spark,
-      parseRecords(spark, elements(spark, paths, tcl.lines), tcl), table)
+    buildFrom(spark, elements(spark, paths, tcl.lines), tcl, table)
 
   def parse(
       spark: SparkSession,
       elems: Dataset[String],
       tcl: TclOptions,
       table: TableOptions): DataFrame =
-    RecordPipeline.build(spark, parseRecords(spark, elems, tcl), table)
+    buildFrom(spark, elems, tcl, table)
 }
