@@ -122,8 +122,13 @@ object ScriptRunner {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try graft.functions.GraftFunctions.withSqliteAggregates(spark) {
       for (stmt <- splitStatements(script)) {
-        val df: DataFrame = spark.sql(stmt)
-        if (df.schema.nonEmpty) pump(df, serializer)
+        // Side-effecting dialect statements (CREATE TABLE/INSERT/DROP)
+        // bind temp views and emit no rows; UPDATE/DELETE etc. get a
+        // one-line rejection (ScriptDdl).
+        if (!ScriptDdl.execute(spark, stmt)) {
+          val df: DataFrame = spark.sql(stmt)
+          if (df.schema.nonEmpty) pump(df, serializer)
+        }
       }
     } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
     serializer.close()

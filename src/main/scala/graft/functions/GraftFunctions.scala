@@ -129,13 +129,14 @@ object GraftFunctions {
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
     spark.udf.register("total", org.apache.spark.sql.functions.udaf(SqliteTotal))
-    // SQLite date/time family: base time-value forms (ISO text or
-    // julian day), NULL on invalid input like SQLite.
-    registerStatic(spark, "date", StringType, 1, sqliteDateClass)
-    registerStatic(spark, "time", StringType, 1, sqliteDateClass)
-    registerStatic(spark, "datetime", StringType, 1, sqliteDateClass)
-    registerStatic(spark, "julianday", DoubleType, 1, sqliteDateClass)
-    registerStatic(spark, "strftime", StringType, 2, sqliteDateClass)
+    // SQLite date/time family: time-value forms (ISO text, julian
+    // day, 'now') plus up to three modifiers, NULL on invalid input
+    // like SQLite. Arity overloads on SqliteDate resolve per call.
+    registerStaticRange(spark, "date", StringType, 1 to 4, sqliteDateClass)
+    registerStaticRange(spark, "time", StringType, 1 to 4, sqliteDateClass)
+    registerStaticRange(spark, "datetime", StringType, 1 to 4, sqliteDateClass)
+    registerStaticRange(spark, "julianday", DoubleType, 1 to 4, sqliteDateClass)
+    registerStaticRange(spark, "strftime", StringType, 2 to 5, sqliteDateClass)
     // SQLite random() returns a signed int64 (Spark's alias of rand()
     // returns a double in [0,1)).
     spark.udf.register("random",
@@ -173,6 +174,20 @@ object GraftFunctions {
     val builder: Seq[Expression] => Expression = { children =>
       if (children.length != arity)
         throw new IllegalArgumentException(s"$name expects $arity arguments")
+      staticInvoke(name, out, children, target)
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
+  /** Variadic function resolved by Java-style arity OVERLOADS of one
+    * static name on `target` (StaticInvoke binds by argument count). */
+  private def registerStaticRange(
+      spark: SparkSession, name: String, out: DataType, arities: Range,
+      target: Class[_]): Unit = {
+    val builder: Seq[Expression] => Expression = { children =>
+      if (!arities.contains(children.length))
+        throw new IllegalArgumentException(
+          s"$name: unsupported arity ${children.length}")
       staticInvoke(name, out, children, target)
     }
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")

@@ -1,16 +1,27 @@
 package graft.functions
 
-import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import java.time.{LocalDate, LocalDateTime, ZoneId, ZoneOffset}
 import java.time.format.DateTimeFormatter
 
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQLite date/time functions: `date`, `time`, `datetime`, `julianday`
-  * and the `strftime` core (SURVEY.md §2.2 "scalar: date"; base
-  * time-value forms — ISO-8601 text or julian day numbers — without
-  * the modifier list, which the reference never exercises). Invalid
-  * input returns SQL NULL like SQLite. All outputs pinned against
-  * sqlite3 in CliSpec.
+  * and the `strftime` core, with the modifier list (SURVEY.md §2.2
+  * "scalar: date"). Time values: ISO-8601 text (date, date+time,
+  * bare time → 2000-01-01), julian day numbers, `'now'`. Modifiers,
+  * applied left to right like sqlite3's date.c:
+  * `±N days/hours/minutes/seconds/months/years` (months/years add the
+  * integer part then fraction×30/×365 days, day overflow normalizes
+  * through the calendar — Jan 31 +1 month = Mar 2/3, not a clamp),
+  * `start of day/month/year`, `weekday N` (0=Sunday, no move if
+  * already N), `unixepoch` (first modifier, reinterprets a numeric
+  * time value as epoch seconds), `localtime`/`utc` (JVM default
+  * zone). Invalid input returns SQL NULL like SQLite. Outputs pinned
+  * against sqlite3 in CliSpec.
+  *
+  * Divergence, documented: `'now'` is evaluated per row, not frozen
+  * per statement like SQLite's xCurrentTime — scripts that compare
+  * sub-second `'now'` values across rows may see it move.
   */
 object SqliteDate {
 
@@ -18,46 +29,159 @@ object SqliteDate {
   /** Julian day of the Unix epoch 1970-01-01T00:00Z. */
   private val EpochJd = 2440587.5
 
-  /** Parse a SQLite time value: ISO text (date, or date + time) or a
-    * julian day number. Returns UTC LocalDateTime. */
+  private def fromEpochSeconds(sec: Double): LocalDateTime =
+    LocalDateTime.ofEpochSecond(
+      math.floor(sec).toLong,
+      math.round((sec - math.floor(sec)) * 1e9).toInt, ZoneOffset.UTC)
+
+  private def isNumeric(t: String): Boolean =
+    t.matches("[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)")
+
+  /** Parse a SQLite time value: ISO text (date, date+time or bare
+    * time), a julian day number, or 'now'. Returns UTC LocalDateTime. */
   def parse(v: String): Option[LocalDateTime] = {
     if (v == null) return None
     val t = v.trim
     try {
-      if (t.matches("[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)")) {
+      if (isNumeric(t)) {
         val jd = t.toDouble
-        val epochSec = (jd - EpochJd) * SecondsPerDay
-        Some(LocalDateTime.ofEpochSecond(
-          math.floor(epochSec).toLong,
-          ((epochSec - math.floor(epochSec)) * 1e9).toInt, ZoneOffset.UTC))
+        Some(fromEpochSeconds((jd - EpochJd) * SecondsPerDay))
+      } else if (t.equalsIgnoreCase("now")) {
+        Some(LocalDateTime.now(ZoneOffset.UTC))
       } else if (t.matches("\\d{4}-\\d{2}-\\d{2}")) {
         Some(LocalDate.parse(t).atStartOfDay)
       } else if (t.matches("\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?")) {
         val norm = t.replace(' ', 'T')
         val padded = if (norm.length == 16) norm + ":00" else norm
         Some(LocalDateTime.parse(padded))
+      } else if (t.matches("\\d{2}:\\d{2}(:\\d{2}(\\.\\d+)?)?")) {
+        // bare time → 2000-01-01 (sqlite3 date.c parseHhMmSs)
+        val padded = if (t.length == 5) t + ":00" else t
+        Some(LocalDate.of(2000, 1, 1).atTime(java.time.LocalTime.parse(padded)))
       } else None
     } catch { case _: Exception => None }
   }
 
-  private def fmt(v: UTF8String, pattern: String): UTF8String =
-    parse(if (v == null) null else v.toString)
+  private val NumUnit =
+    """([+-]?\d+(?:\.\d+)?)\s+(day|hour|minute|second|month|year)s?""".r
+  private val StartOf = """start\s+of\s+(day|month|year)""".r
+  private val Weekday = """weekday\s+([0-6])""".r
+
+  /** Add months the way sqlite3's date.c does: adjust Y/M keeping D,
+    * then normalize day overflow through the julian-day calendar. */
+  private def addMonths(dt: LocalDateTime, n: Int): LocalDateTime = {
+    val m0 = dt.getYear * 12 + (dt.getMonthValue - 1) + n
+    val y = Math.floorDiv(m0, 12)
+    val m = Math.floorMod(m0, 12) + 1
+    LocalDate.of(y, m, 1).plusDays(dt.getDayOfMonth - 1L).atTime(dt.toLocalTime)
+  }
+
+  private def plusSeconds(dt: LocalDateTime, s: Double): LocalDateTime =
+    dt.plusNanos(math.round(s * 1e9))
+
+  private def applyModifier(dt: LocalDateTime, mod: String): Option[LocalDateTime] =
+    mod match {
+      case NumUnit(n, unit) =>
+        val x = n.toDouble
+        Some(unit match {
+          case "day" => plusSeconds(dt, x * SecondsPerDay)
+          case "hour" => plusSeconds(dt, x * 3600)
+          case "minute" => plusSeconds(dt, x * 60)
+          case "second" => plusSeconds(dt, x)
+          case "month" =>
+            plusSeconds(addMonths(dt, x.toInt), (x - x.toInt) * 30 * SecondsPerDay)
+          case "year" =>
+            plusSeconds(addMonths(dt, x.toInt * 12), (x - x.toInt) * 365 * SecondsPerDay)
+        })
+      case StartOf(what) =>
+        Some(what match {
+          case "day" => dt.toLocalDate.atStartOfDay
+          case "month" => dt.toLocalDate.withDayOfMonth(1).atStartOfDay
+          case "year" => dt.toLocalDate.withDayOfYear(1).atStartOfDay
+        })
+      case Weekday(n) =>
+        // days until the next weekday n (0=Sunday); 0 if already there
+        val cur = dt.getDayOfWeek.getValue % 7
+        Some(dt.plusDays(Math.floorMod(n.toInt - cur, 7).toLong))
+      case "localtime" =>
+        Some(dt.atZone(ZoneOffset.UTC).withZoneSameInstant(ZoneId.systemDefault()).toLocalDateTime)
+      case "utc" =>
+        Some(dt.atZone(ZoneId.systemDefault()).withZoneSameInstant(ZoneOffset.UTC).toLocalDateTime)
+      case _ => None
+    }
+
+  /** Resolve a time value + modifier list to a UTC LocalDateTime;
+    * None (→ SQL NULL) on any invalid part. */
+  def resolve(v: String, mods: Seq[String]): Option[LocalDateTime] = {
+    if (v == null || mods.exists(_ == null)) return None
+    var rest = mods.map(_.trim.toLowerCase)
+    val base: Option[LocalDateTime] =
+      if (rest.headOption.contains("unixepoch")) {
+        if (!isNumeric(v.trim)) None
+        else { rest = rest.tail; Some(fromEpochSeconds(v.trim.toDouble)) }
+      } else parse(v)
+    rest.foldLeft(base)((acc, m) => acc.flatMap(applyModifier(_, m)))
+  }
+
+  private def fmt(v: UTF8String, mods: Seq[UTF8String], pattern: String): UTF8String =
+    resolve(str(v), mods.map(str))
       .map(dt => UTF8String.fromString(dt.format(DateTimeFormatter.ofPattern(pattern))))
       .orNull
 
-  def date(v: UTF8String): UTF8String = fmt(v, "yyyy-MM-dd")
-  def time(v: UTF8String): UTF8String = fmt(v, "HH:mm:ss")
-  def datetime(v: UTF8String): UTF8String = fmt(v, "yyyy-MM-dd HH:mm:ss")
+  private def str(u: UTF8String): String = if (u == null) null else u.toString
 
-  def julianday(v: UTF8String): java.lang.Double =
-    parse(if (v == null) null else v.toString).map { dt =>
+  // Per-arity overloads: StaticInvoke resolves by argument count, so
+  // `date(x, '+1 day')` binds the 2-arg static and so on.
+  def date(v: UTF8String): UTF8String = fmt(v, Nil, "yyyy-MM-dd")
+  def date(v: UTF8String, m1: UTF8String): UTF8String = fmt(v, Seq(m1), "yyyy-MM-dd")
+  def date(v: UTF8String, m1: UTF8String, m2: UTF8String): UTF8String =
+    fmt(v, Seq(m1, m2), "yyyy-MM-dd")
+  def date(v: UTF8String, m1: UTF8String, m2: UTF8String, m3: UTF8String): UTF8String =
+    fmt(v, Seq(m1, m2, m3), "yyyy-MM-dd")
+
+  def time(v: UTF8String): UTF8String = fmt(v, Nil, "HH:mm:ss")
+  def time(v: UTF8String, m1: UTF8String): UTF8String = fmt(v, Seq(m1), "HH:mm:ss")
+  def time(v: UTF8String, m1: UTF8String, m2: UTF8String): UTF8String =
+    fmt(v, Seq(m1, m2), "HH:mm:ss")
+  def time(v: UTF8String, m1: UTF8String, m2: UTF8String, m3: UTF8String): UTF8String =
+    fmt(v, Seq(m1, m2, m3), "HH:mm:ss")
+
+  def datetime(v: UTF8String): UTF8String = fmt(v, Nil, "yyyy-MM-dd HH:mm:ss")
+  def datetime(v: UTF8String, m1: UTF8String): UTF8String =
+    fmt(v, Seq(m1), "yyyy-MM-dd HH:mm:ss")
+  def datetime(v: UTF8String, m1: UTF8String, m2: UTF8String): UTF8String =
+    fmt(v, Seq(m1, m2), "yyyy-MM-dd HH:mm:ss")
+  def datetime(v: UTF8String, m1: UTF8String, m2: UTF8String, m3: UTF8String): UTF8String =
+    fmt(v, Seq(m1, m2, m3), "yyyy-MM-dd HH:mm:ss")
+
+  private def jd(v: UTF8String, mods: Seq[UTF8String]): java.lang.Double =
+    resolve(str(v), mods.map(str)).map { dt =>
       val sec = dt.toEpochSecond(ZoneOffset.UTC) + dt.getNano / 1e9
       Double.box(EpochJd + sec / SecondsPerDay)
     }.orNull
 
+  def julianday(v: UTF8String): java.lang.Double = jd(v, Nil)
+  def julianday(v: UTF8String, m1: UTF8String): java.lang.Double = jd(v, Seq(m1))
+  def julianday(v: UTF8String, m1: UTF8String, m2: UTF8String): java.lang.Double =
+    jd(v, Seq(m1, m2))
+  def julianday(v: UTF8String, m1: UTF8String, m2: UTF8String, m3: UTF8String): java.lang.Double =
+    jd(v, Seq(m1, m2, m3))
+
   /** SQLite strftime core substitutions (%%-escape honored). */
-  def strftime(fmtSpec: UTF8String, v: UTF8String): UTF8String = {
-    val dtOpt = parse(if (v == null) null else v.toString)
+  def strftime(fmtSpec: UTF8String, v: UTF8String): UTF8String =
+    strftimeImpl(fmtSpec, v, Nil)
+  def strftime(fmtSpec: UTF8String, v: UTF8String, m1: UTF8String): UTF8String =
+    strftimeImpl(fmtSpec, v, Seq(m1))
+  def strftime(fmtSpec: UTF8String, v: UTF8String, m1: UTF8String, m2: UTF8String): UTF8String =
+    strftimeImpl(fmtSpec, v, Seq(m1, m2))
+  def strftime(
+      fmtSpec: UTF8String, v: UTF8String, m1: UTF8String, m2: UTF8String,
+      m3: UTF8String): UTF8String =
+    strftimeImpl(fmtSpec, v, Seq(m1, m2, m3))
+
+  private def strftimeImpl(
+      fmtSpec: UTF8String, v: UTF8String, mods: Seq[UTF8String]): UTF8String = {
+    val dtOpt = resolve(str(v), mods.map(str))
     if (fmtSpec == null || dtOpt.isEmpty) return null
     val dt = dtOpt.get
     val spec = fmtSpec.toString
@@ -75,7 +199,9 @@ object SqliteDate {
           case 'j' => sb.append(f"${dt.getDayOfYear}%03d")
           case 'w' => sb.append(dt.getDayOfWeek.getValue % 7) // Sunday=0
           case 's' => sb.append(dt.toEpochSecond(ZoneOffset.UTC))
-          case 'J' => sb.append(julianday(v))
+          case 'J' =>
+            val sec = dt.toEpochSecond(ZoneOffset.UTC) + dt.getNano / 1e9
+            sb.append(EpochJd + sec / SecondsPerDay)
           case '%' => sb.append('%')
           case c => sb.append('%').append(c)
         }
