@@ -93,12 +93,41 @@ object GraftSession {
     else df.count()
   }
 
+  private def listDir(p: Path)(keep: Path => Boolean): Vector[Path] = {
+    val stream = Files.list(p)
+    try stream.iterator()
+      .asInstanceOf[java.util.Iterator[Path]]
+      .asScala
+      .filter(keep)
+      .toVector.sortBy(_.getFileName.toString)
+    finally stream.close()
+  }
+
+  /** A persisted table is the ordered union of its immutable
+    * generation subdirs (`gen-00000`, `gen-00001`, …) — each
+    * invocation appends one generation and never rewrites earlier
+    * ones, so at scale an append costs only its own rows. Later
+    * generations may be wider (MNF expand); `unionByName` NULL-fills
+    * like the reference's ALTER TABLE ADD COLUMN. Reads the loose
+    * part files too for dirs written by the pre-generation layout. */
+  private def readPersisted(spark: SparkSession, tdir: Path): DataFrame = {
+    val gens = listDir(tdir)(p =>
+      Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-"))
+    val legacy = listDir(tdir)(p =>
+      !Files.isDirectory(p) && p.getFileName.toString.endsWith(".parquet"))
+    val parts =
+      (if (legacy.nonEmpty) Seq(spark.read.parquet(legacy.map(_.toString): _*)) else Nil) ++
+        gens.map(g => spark.read.parquet(g.toString))
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Load all files, appending files that share a `table=` target with
     * continuing record numbers (reference: tests.tcl:213-223), and
     * register each table as a temp view. With `-dbfile PATH`, tables
     * persist as parquet under `PATH.d/` across invocations — loaded
-    * tables append to the persisted ones and everything is saved back
-    * (the Spark analog of the reference's on-disk SQLite database,
+    * tables append to the persisted ones and only THIS invocation's
+    * rows are written back, as a new generation subdir (the Spark
+    * analog of the reference's on-disk SQLite database,
     * README.md:146-150; tests.tcl:1398-1474). */
   def loadAll(spark: SparkSession, parsed: ParsedArgs): Seq[String] = {
     val dbDir: Option[Path] = parsed.global.dbfile match {
@@ -108,21 +137,16 @@ object GraftSession {
 
     var tables = Vector.empty[(String, DataFrame)]
     var counts = Map.empty[String, Long]
-    var dirty = Set.empty[String]
+    // This invocation's rows per table — the only thing persisted.
+    var added = Map.empty[String, DataFrame]
 
     // Seed with tables persisted by previous invocations.
     for (dir <- dbDir if Files.isDirectory(dir)) {
-      val stream = Files.list(dir)
-      val persisted =
-        try stream.iterator()
-          .asInstanceOf[java.util.Iterator[Path]]
-          .asScala
-          .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
-          .toVector.sortBy(_.getFileName.toString)
-        finally stream.close()
+      val persisted = listDir(dir)(p =>
+        Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
       for (sub <- persisted) {
         val name = sub.getFileName.toString
-        val df = spark.read.parquet(sub.toString)
+        val df = readPersisted(spark, sub)
         val countFile = dir.resolve(s"$name.count")
         val n =
           if (Files.exists(countFile)) Files.readString(countFile).trim.toLong
@@ -132,16 +156,24 @@ object GraftSession {
       }
     }
 
+    // Default table names restart at 'a' every invocation: the
+    // reference indexes defaultTableNames by the size of its
+    // per-process table dict (lib/classes/sqawk.tcl:139), so a file
+    // loaded without table= in a second -dbfile run names itself 'a'
+    // and collide-appends into the persisted 'a'.
+    var loadedThisRun = Set.empty[String]
+
     for (spec <- parsed.files) {
-      val tableIndex = tables.map(_._1).distinct.length
+      val tableIndex = loadedThisRun.size
       val name = spec.options.getOrElse("table", Options.defaultTableName(tableIndex))
       val df = readFile(spark, spec, parsed.global, tableIndex)
       val n = rowCount(df)
-      dirty += name
+      loadedThisRun += name
       tables.indexWhere(_._1 == name) match {
         case -1 =>
           tables :+= (name -> df)
           counts += name -> n
+          added += name -> df
         case i =>
           val (_, prev) = tables(i)
           // Offset from tracked counts — no aggregation job per file.
@@ -150,40 +182,35 @@ object GraftSession {
             .toDF(prev.columns.take(df.columns.length) ++ df.columns.drop(prev.columns.length): _*)
           tables = tables.updated(i, name -> prev.unionByName(renumbered, allowMissingColumns = true))
           counts += name -> (offset + n)
+          added += name -> added.get(name).fold(renumbered)(
+            _.unionByName(renumbered, allowMissingColumns = true))
       }
     }
 
-    // Persist changed tables back to the dbfile directory: write to a
-    // temp subdir first (a table appended to itself still lazily READS
-    // its old parquet), then swap.
+    // Persist this invocation's new rows as one fresh generation per
+    // table; existing generations are immutable and never rewritten
+    // (the `added` plans read only the input files, so writing a new
+    // subdir cannot invalidate what they read).
     for (dir <- dbDir) {
       Files.createDirectories(dir)
-      for ((name, df) <- tables if dirty.contains(name)) {
-        val tmp = dir.resolve(s".tmp-$name")
-        df.write.mode("overwrite").parquet(tmp.toString)
-        val dest = dir.resolve(name)
-        deleteRecursively(dest)
-        Files.move(tmp, dest)
+      for ((name, df) <- added) {
+        val tdir = dir.resolve(name)
+        Files.createDirectories(tdir)
+        val gen = listDir(tdir)(p => p.getFileName.toString.startsWith("gen-"))
+          .map(_.getFileName.toString.stripPrefix("gen-").toInt)
+          .maxOption.getOrElse(-1) + 1
+        df.write.mode("errorifexists").parquet(tdir.resolve(f"gen-$gen%05d").toString)
         Files.writeString(dir.resolve(s"$name.count"), counts(name).toString)
       }
-      // Re-read swapped tables so views point at the new files.
+      // Re-read written tables so views read back from parquet (input
+      // temp files like the stdin spool do not outlive the process).
       tables = tables.map { case (name, df) =>
-        if (dirty.contains(name)) name -> spark.read.parquet(dir.resolve(name).toString)
+        if (added.contains(name)) name -> readPersisted(spark, dir.resolve(name))
         else name -> df
       }
     }
 
     tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     tables.map(_._1)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
-      val stream = Files.list(p)
-      try stream.iterator().asInstanceOf[java.util.Iterator[Path]].asScala
-        .foreach(deleteRecursively)
-      finally stream.close()
-    }
-    Files.deleteIfExists(p)
   }
 }

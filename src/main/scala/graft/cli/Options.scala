@@ -118,13 +118,17 @@ object Options {
       throw new UsageException(usage, 1))
     rest = rest.drop(1)
 
-    // Per-file key=value accumulation until a filename flushes an entry.
+    // Per-file key=value accumulation until a filename flushes an
+    // entry. Classification is by PATTERN only, like the reference's
+    // `regexp {([^=]+)=(.*)}` (sqawk-dev.tcl:124): anything with a
+    // non-empty key before '=' is a setting even if a file by that
+    // name exists in cwd.
     val files = Vector.newBuilder[FileSpec]
     var current = Map.empty[String, String]
     var count = 0
     for (elem <- rest) {
       val kv = elem.split("=", 2)
-      if (kv.length == 2 && !new java.io.File(elem).exists() && elem != "-") {
+      if (kv.length == 2 && kv(0).nonEmpty) {
         current += kv(0) -> kv(1)
       } else {
         if (!new java.io.File(elem).exists() && elem != "-")

@@ -188,6 +188,48 @@ class CliSpec extends SparkSpec {
     assert(sqawk("-noinput", "select date('not a date') as r") == (0, "\n"))
   }
 
+  test("SQLite date/time modifiers (sqlite3-verified outputs)") {
+    // calendar normalization, not clamping: Jan 31 + 1 month = Mar 2
+    assert(sqawk("-noinput", "select date('2024-01-31','+1 month') as r") == (0, "2024-03-02\n"))
+    assert(sqawk("-noinput", "select date('2024-01-31','+13 months') as r") == (0, "2025-03-03\n"))
+    assert(sqawk("-noinput", "select date('2024-02-29','+1 year') as r") == (0, "2025-03-01\n"))
+    assert(sqawk("-noinput", "select date('2024-01-31','-2 months') as r") == (0, "2023-12-01\n"))
+    assert(sqawk("-noinput", "select datetime('2024-03-10 23:30:00','+90 minutes') as r")
+      == (0, "2024-03-11 01:00:00\n"))
+    assert(sqawk("-noinput", "select datetime('2024-01-01','+1.5 days') as r")
+      == (0, "2024-01-02 12:00:00\n"))
+    assert(sqawk("-noinput", "select time('12:00:00','+30 seconds') as r") == (0, "12:00:30\n"))
+    assert(sqawk("-noinput", "select date('2024-03-15','start of month') as r")
+      == (0, "2024-03-01\n"))
+    assert(sqawk("-noinput", "select date('2024-03-15','start of year') as r")
+      == (0, "2024-01-01\n"))
+    assert(sqawk("-noinput", "select datetime('2024-03-15 12:34:56','start of day') as r")
+      == (0, "2024-03-15 00:00:00\n"))
+    // weekday 0 = next Sunday; no move when already on that weekday
+    assert(sqawk("-noinput", "select date('2024-03-15','weekday 0') as r") == (0, "2024-03-17\n"))
+    assert(sqawk("-noinput", "select date('2024-03-16','weekday 6') as r") == (0, "2024-03-16\n"))
+    assert(sqawk("-noinput", "select datetime('86400','unixepoch') as r")
+      == (0, "1970-01-02 00:00:00\n"))
+    assert(sqawk("-noinput", "select datetime('1700000000','unixepoch','start of day') as r")
+      == (0, "2023-11-14 00:00:00\n"))
+    // modifiers chain left to right
+    assert(sqawk("-noinput", "select date('2023-11-30','+2 months','-1 day') as r")
+      == (0, "2024-01-29\n"))
+    assert(sqawk("-noinput", "select datetime('2440587.5','+12 hours') as r")
+      == (0, "1970-01-01 12:00:00\n"))
+    assert(sqawk("-noinput", "select strftime('%Y/%m/%d','2024-03-15','+10 days') as r")
+      == (0, "2024/03/25\n"))
+    // invalid value or modifier → NULL → empty
+    assert(sqawk("-noinput", "select date('junk','+1 day') as r") == (0, "\n"))
+    assert(sqawk("-noinput", "select date('2024-01-15','bogus modifier') as r") == (0, "\n"))
+    // 'now' resolves to a plausible current date
+    val (c, o) = sqawk("-noinput", "select date('now') as r")
+    assert(c == 0 && o.trim.matches("20\\d{2}-\\d{2}-\\d{2}"))
+    // unixepoch round trip via strftime
+    assert(sqawk("-noinput", "select strftime('%s','2023-11-14','+0 days') as r")
+      == (0, "1699920000\n"))
+  }
+
   test("ORDER BY random() shuffles without losing rows (README.md:329-331)") {
     val f = tempFile("a 1\nb 2\nc 3\n")
     val (c, o) = sqawk("select a1 from a order by random()", f)
@@ -258,6 +300,90 @@ class CliSpec extends SparkSpec {
       == (0, "1 1\n2 2\n3 3\n"))
     // run 4: the append itself was persisted
     assert(sqawk("-dbfile", db, "-noinput", "select count(*) from a") == (0, "3\n"))
+  }
+
+  test("-dbfile appends are incremental and default names restart at 'a'") {
+    import java.nio.file.{Files => F, Paths}
+    import scala.jdk.CollectionConverters._
+    val db = F.createTempDirectory("graft-db").resolve("db").toString
+    val f1 = tempFile("foo 1\nfoo 2\n")
+    assert(sqawk("-dbfile", db, "select a2 from a", f1) == (0, "1\n2\n"))
+    val tdir = Paths.get(db + ".d", "a")
+    def snapshot(): Map[String, Long] =
+      F.walk(tdir).iterator().asScala
+        .filter(F.isRegularFile(_))
+        .map(p => p.toString -> F.getLastModifiedTime(p).toMillis)
+        .toMap
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // Append WITHOUT table=: per-invocation default naming restarts at
+    // 'a' (reference: lib/classes/sqawk.tcl:139 indexes the per-process
+    // table dict) and collide-appends into the persisted table.
+    val f2 = tempFile("foo 3\n")
+    assert(sqawk("-dbfile", db, "select anr, a2 from a order by anr", f2)
+      == (0, "1 1\n2 2\n3 3\n"))
+    // Incremental: every first-run file is still present with its
+    // original mtime — the append only added a new generation dir.
+    val after = snapshot()
+    before.foreach { case (p, t) =>
+      assert(after.get(p).contains(t), s"first-run file rewritten: $p")
+    }
+    assert(after.size > before.size)
+    val gens = F.list(tdir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen-")).toVector.sorted
+    assert(gens == Vector("gen-00000", "gen-00001"))
+  }
+
+  test("key=value args are settings even when a file by that name exists (sqawk-dev.tcl:120-136)") {
+    import java.nio.file.{Files => F, Paths}
+    // The reference classifies by pattern only: a stray file named
+    // `header=1` in cwd must not turn the setting into an input file.
+    val stray = Paths.get("header=1")
+    F.writeString(stray, "should never be read\n")
+    try {
+      val data = tempFile("name\nAlice\nBob\n")
+      assert(sqawk("select name from a", "header=1", data) == (0, "Alice\nBob\n"))
+    } finally F.deleteIfExists(stray)
+  }
+
+  test("CREATE TABLE AS SELECT binds a queryable table mid-script (README.md:100 dialect)") {
+    val f = tempFile("foo 1\nfoo 2\nfoo 3\n")
+    val (c, o) = sqawk(
+      "create table big as select a2 from a where a2 > 1; select a2 from big order by a2",
+      f)
+    assert((c, o) == (0, "2\n3\n"))
+  }
+
+  test("CREATE TABLE + INSERT INTO VALUES/SELECT rebind the view") {
+    val f = tempFile("foo 10\n")
+    val (c, o) = sqawk(
+      "create table kv (k, v); " +
+        "insert into kv values ('x', 1), ('y', 2); " +
+        "insert into kv (k) values ('z'); " +
+        "insert into kv select a1, a2 from a; " +
+        "select k, v from kv order by k",
+      f)
+    assert((c, o) == (0, "foo 10\nx 1\ny 2\nz \n"))
+  }
+
+  test("DROP TABLE removes the view; IF EXISTS tolerates absence") {
+    val f = tempFile("foo 1\n")
+    val (c, o) = sqawk(
+      "create table tmpt as select * from a; drop table tmpt; " +
+        "drop table if exists tmpt; select a2 from a",
+      f)
+    assert((c, o) == (0, "1\n"))
+    // dropping a missing table without IF EXISTS errors
+    val (c2, _) = sqawk("drop table never_there", f)
+    assert(c2 == 1)
+  }
+
+  test("UPDATE/DELETE statements are rejected with a one-line error") {
+    val f = tempFile("foo 1\n")
+    assert(sqawk("update a set a2 = 5", f)._1 == 1)
+    assert(sqawk("delete from a", f)._1 == 1)
+    // the rest of the script surface stays usable after a rejection
+    assert(sqawk("select a2 from a", f) == (0, "1\n"))
   }
 
   test("append into an initially empty first file does not fail") {
