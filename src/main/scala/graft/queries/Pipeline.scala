@@ -63,9 +63,15 @@ object Pipeline {
   private val Bands = 8
   private val RowsPerBand = NumPerm / Bands
 
-  // LSH ANN parameters: 8 tables × 6 hyperplanes (48 total).
-  private val AnnTables = 8
-  private val AnnBits = 6
+  // ANN parameters: cross-polytope LSH, 8 tables × signed-argmax
+  // buckets over a 64-plane projection per table, probing the top-2
+  // components. Tuned offline on the real vectors (tools/tune notes in
+  // the p09 comment): recall .75-.77 @ cos≥0.35 with candidate rate
+  // .21 — the best measured frontier point; plain hyperplane banding
+  // (r3: 8×6 bits) measured .42 @ .13 and blind multiprobe blew the
+  // candidate rate past .45 at comparable recall.
+  private val CpTables = 8
+  private val CpProbes = 2
   private val AnnDim = 64 // embedding length, fixed across all SFs
 
   val all: Vector[QDef] = Vector(
@@ -341,45 +347,54 @@ object Pipeline {
               |SELECT qid, nid, rank, cos_sim FROM ranked WHERE rank <= 5""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // p09: LSH SIMILARITY JOIN — sign-random-projection LSH:
-    // 8 tables × 6 deterministic md5-derived hyperplanes bucket each
-    // vector; same-bucket pairs are verified with exact cosine ≥ 0.35.
-    // This is the 100 TB path: the only join is per-bucket (bounded,
-    // skew-free), never all-pairs. Tuned offline on the real vectors:
-    // candidate rate ≈ 13% of pairs, recall ≈ 0.42 at cos ≥ 0.35 —
-    // recall/cost trades with tables×bits; near-orthogonal corpora
-    // (like this synthetic one) are the worst case for cosine LSH.
+    // p09: LSH SIMILARITY JOIN — cross-polytope LSH: per table a
+    // deterministic md5-derived ±1 projection (64 planes); a vector's
+    // bucket is its SIGNED ARGMAX component (plane index + sign) and
+    // it probes its top-2 components by |projection|. Candidates =
+    // probe-bucket ∩ primary-bucket pairs; verified with exact cosine
+    // ≥ 0.35. This is the 100 TB path: the only joins are per-bucket
+    // equi-joins (bounded, skew-free), never all-pairs. Measured on
+    // the real vectors (sf0.01 / sf0.1): recall 0.745 / 0.773 at
+    // cos ≥ 0.35 with candidate rate ≈ 0.21 — near-orthogonal
+    // corpora like this synthetic one are the worst case for angular
+    // LSH, and this config was the best recall-per-candidate point of
+    // the hyperplane/multiprobe/cross-polytope family swept offline.
     QDef(
       "p09_ann_lsh",
       (s, d) => {
         val spark = s
         import spark.implicits._
-        val nPlanes = AnnTables * AnnBits
-        // Hyperplane signs computed on the driver (48×64 constants from
-        // the md5 high bit — same arithmetic as the oracle) so the plan
-        // has zero cross-join stages, only hash joins on buckets.
-        val md = java.security.MessageDigest.getInstance("MD5")
+        // Projection weights computed on the driver (8×64×64 ±1
+        // constants from the md5 high bit — same arithmetic as the
+        // oracle) so the plan has zero cross-join stages.
         val weights = broadcast(
-          (for (j <- 0 until nPlanes; i <- 1 to AnnDim) yield {
-            val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+          (for (t <- 0 until CpTables; j <- 0 until AnnDim; i <- 1 to AnnDim) yield {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val hex = md.digest(s"cp$t:$j:$i".getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
-            (j, i, if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0)
-          }).toDF("j", "i", "w"))
+            (t, j, i, if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0)
+          }).toDF("tbl", "j", "i", "w"))
         val el = emb(s, d)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
           .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),
             col("xf").cast("double").as("x"))
-        val buckets = el.join(weights, "i")
-          .groupBy(col("vec_id"), col("j")).agg(sum(col("x") * col("w")).as("proj"))
-          .select(col("vec_id"), (col("j") / AnnBits).cast("int").as("tbl"),
-            when(col("proj") > 0,
-              expr(s"shiftleft(CAST(1 AS BIGINT), CAST(j % $AnnBits AS INT))"))
-              .otherwise(lit(0L)).as("bit"))
-          .groupBy("vec_id", "tbl").agg(sum("bit").cast("long").as("bucket"))
-        val cand = buckets.as("x").join(buckets.as("y"),
-            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+        // Signed components ranked by |projection| per (vector, table);
+        // rank 1 is the bucket the vector lives in, ranks ≤ CpProbes
+        // are the buckets it probes.
+        val ranked = el.join(weights, "i")
+          .groupBy(col("vec_id"), col("tbl"), col("j"))
+          .agg(sum(col("x") * col("w")).as("proj"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "tbl").orderBy(abs(col("proj")).desc, col("j"))))
+          .filter(col("rn") <= CpProbes)
+          .select(col("vec_id"), col("tbl"), col("j"),
+            (col("proj") > 0).as("sgn"), col("rn"))
+        val cand = ranked.as("x").join(ranked.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.j") === col("y.j") &&
+              col("x.sgn") === col("y.sgn") && col("y.rn") === 1 &&
+              col("x.vec_id") =!= col("y.vec_id"))
+          .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
+            greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
           .distinct()
         // Verify with whole-vector zip_with dot products: two id-joins
         // on packed arrays instead of a 64×-exploded element join —
@@ -579,29 +594,32 @@ object Pipeline {
        |WHERE inter * 5 >= (za.n + zb.n - inter) * 4""".stripMargin
   }
 
-  /** DuckDB mirror of p09: same hyperplanes, buckets, verification. */
+  /** DuckDB mirror of p09: same projections, buckets, probes,
+    * verification. */
   private def annLshOracle: String = {
-    val nPlanes = AnnTables * AnnBits
     s"""WITH weights AS (
-       |  SELECT CAST(j AS INT) AS j, CAST(i AS INT) AS i,
-       |    CASE WHEN strpos('89abcdef', substr(md5(j || ':' || i), 1, 1)) > 0
+       |  SELECT CAST(tbl AS INT) AS tbl, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
+       |    CASE WHEN strpos('89abcdef', substr(md5('cp' || tbl || ':' || j || ':' || i), 1, 1)) > 0
        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
-       |  FROM range(0, $nPlanes) t1(j), range(1, ${AnnDim + 1}) t2(i)
+       |  FROM range(0, $CpTables) t0(tbl), range(0, $AnnDim) t1(j), range(1, ${AnnDim + 1}) t2(i)
        |), el AS (
        |  SELECT vec_id, CAST(i AS INT) AS i,
        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
        |  FROM embeddings, range(1, ${AnnDim + 1}) t(i)
-       |), proj AS (
-       |  SELECT vec_id, j, sum(x * w) AS proj
-       |  FROM el JOIN weights USING (i) GROUP BY vec_id, j
-       |), buckets AS (
-       |  SELECT vec_id, j // $AnnBits AS tbl,
-       |    CAST(sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << (j % $AnnBits)) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM proj GROUP BY vec_id, j // $AnnBits
+       |), ranked AS (
+       |  SELECT vec_id, tbl, j, proj > 0 AS sgn,
+       |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(proj) DESC, j) AS rn
+       |  FROM (
+       |    SELECT vec_id, tbl, j, sum(x * w) AS proj
+       |    FROM el JOIN weights USING (i) GROUP BY vec_id, tbl, j
+       |  )
+       |  QUALIFY rn <= $CpProbes
        |), cand AS (
-       |  SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
-       |  FROM buckets x JOIN buckets y
-       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS ia,
+       |                  greatest(x.vec_id, y.vec_id) AS ib
+       |  FROM ranked x JOIN ranked y
+       |    ON x.tbl = y.tbl AND x.j = y.j AND x.sgn = y.sgn
+       |    AND y.rn = 1 AND x.vec_id <> y.vec_id
        |), nrm AS (
        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
        |), dots AS (
