@@ -21,10 +21,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType
   */
 object GraftFunctions {
 
-  /** Tcl `regexp RE STRING` → 1 if RE matches anywhere, else 0. */
+  /** Tcl `regexp RE STRING` → 1 if RE matches anywhere, else 0.
+    * The pattern is Tcl ARE syntax, bridged by [[TclRegex]]. */
   def tclRegexp(re: String, s: String): Int =
     if (re == null || s == null) 0
-    else if (Pattern.compile(re).matcher(s).find()) 1 else 0
+    else if (TclRegex.compile(re).matcher(s).find()) 1 else 0
 
   /** Convert a Tcl regsub replacement spec to a Java one:
     * `&` → whole match, `\N` → group N; `$` and stray `\` escaped. */
@@ -53,15 +54,22 @@ object GraftFunctions {
   def tclRegsub(all: Boolean, re: String, s: String, spec: String): String =
     if (re == null || s == null || spec == null) null
     else {
-      val m = Pattern.compile(re).matcher(s)
+      val m = TclRegex.compile(re).matcher(s)
       val j = tclSubSpecToJava(spec)
       if (all) m.replaceAll(j) else m.replaceFirst(j)
     }
+
+  /** Compiled glob patterns, keyed by the raw glob text (a distinct
+    * namespace from TclRegex's ARE cache). Bounded like TclRegex's. */
+  private val globCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pattern]()
 
   /** SQLite `glob(PATTERN, STRING)` → 0/1; `*`, `?`, `[...]` wildcards,
     * case-sensitive (unlike LIKE). */
   def sqliteGlob(pattern: String, s: String): Int = {
     if (pattern == null || s == null) return 0
+    val cached = globCache.get(pattern)
+    if (cached != null) return if (cached.matcher(s).matches()) 1 else 0
     val sb = new StringBuilder
     var i = 0
     while (i < pattern.length) {
@@ -83,7 +91,10 @@ object GraftFunctions {
       }
       i += 1
     }
-    if (Pattern.compile("^" + sb.toString + "$", Pattern.DOTALL).matcher(s).matches()) 1 else 0
+    val p = Pattern.compile("^" + sb.toString + "$", Pattern.DOTALL)
+    if (globCache.size >= 10000) globCache.clear()
+    globCache.put(pattern, p)
+    if (p.matcher(s).matches()) 1 else 0
   }
 
   /** Register every compat function on the session. Idempotent. */

@@ -16,7 +16,8 @@ import graft.sources.Affinity
   * (pinned by the chunked-input test, reference tests.tcl:505-525), so
   * the CLI dialect registers these in place of the built-ins.
   */
-final case class SumAcc(seenAny: Boolean, seenReal: Boolean, l: Long, d: Double)
+final case class SumAcc(
+    seenAny: Boolean, seenReal: Boolean, overflow: Boolean, l: Long, d: Double)
 
 object SqliteSum extends Aggregator[String, SumAcc, String] {
 
@@ -38,37 +39,44 @@ object SqliteSum extends Aggregator[String, SumAcc, String] {
     }
   }
 
-  def zero: SumAcc = SumAcc(seenAny = false, seenReal = false, 0L, 0.0)
+  def zero: SumAcc =
+    SumAcc(seenAny = false, seenReal = false, overflow = false, 0L, 0.0)
 
   def reduce(acc: SumAcc, v: String): SumAcc =
     if (v == null) acc
     else {
       val (d, isReal, lOpt) = coerce(v)
       val real = acc.seenReal || isReal
-      val l = lOpt match {
-        case Some(x) if !real =>
-          try Math.addExact(acc.l, x)
-          catch { case _: ArithmeticException => acc.l } // overflow → REAL below
-        case _ => acc.l
-      }
-      val overflowed = lOpt.exists(x => !real && {
-        try { Math.addExact(acc.l, x); false } catch { case _: ArithmeticException => true }
-      })
-      SumAcc(seenAny = true, seenReal = real || overflowed, l, acc.d + d)
+      var overflow = acc.overflow
+      val l =
+        if (real || overflow) acc.l
+        else lOpt match {
+          case Some(x) =>
+            try Math.addExact(acc.l, x)
+            catch { case _: ArithmeticException => overflow = true; acc.l }
+          case None => acc.l // unreachable: coerce sets isReal when lOpt is None
+        }
+      SumAcc(seenAny = true, real, overflow, l, acc.d + d)
     }
 
   def merge(a: SumAcc, b: SumAcc): SumAcc = {
     val real = a.seenReal || b.seenReal
-    val (l, over) =
-      if (real) (0L, false)
-      else try (Math.addExact(a.l, b.l), false)
-      catch { case _: ArithmeticException => (0L, true) }
-    SumAcc(a.seenAny || b.seenAny, real || over, l, a.d + b.d)
+    var overflow = a.overflow || b.overflow
+    val l =
+      if (real || overflow) 0L
+      else try Math.addExact(a.l, b.l)
+      catch { case _: ArithmeticException => overflow = true; 0L }
+    SumAcc(a.seenAny || b.seenAny, real, overflow, l, a.d + b.d)
   }
 
+  /** SQLite raises 'integer overflow' iff every input was an integer
+    * (or NULL) and the int64 sum overflowed; any REAL input makes the
+    * result an approximate REAL instead (verified against sqlite3;
+    * total() below never errors). */
   def finish(acc: SumAcc): String =
     if (!acc.seenAny) null
     else if (acc.seenReal) Affinity.formatReal(acc.d)
+    else if (acc.overflow) throw new ArithmeticException("integer overflow")
     else acc.l.toString
 
   def bufferEncoder: Encoder[SumAcc] = Encoders.product[SumAcc]

@@ -26,6 +26,18 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
   * the rule is a no-op outside sqawk-shaped tables. Verified against
   * sqlite3: ORDER BY gives NULL, 2, 2.5, 9, 10, 'B', 'a', 'x'.
   *
+  * SCOPE LIMIT: the inequality rewrite only fires when each side is an
+  * affinity column or a FOLDABLE string expression. An affinity column
+  * compared to a computed string (`a1 < upper(a2)`) or to another
+  * table's plain string column in a join predicate keeps Spark's
+  * memcmp string ordering, where SQLite would apply storage-class
+  * ordering; `BETWEEN`/`IN`/`greatest`/`least` over affinity columns
+  * are likewise untouched. Those shapes don't occur in the reference
+  * suite; widening the match to arbitrary non-foldable string operands
+  * would rewrite comparisons on unrelated tables wherever one side is
+  * an affinity column, which is unsafe without per-expression
+  * provenance, so the narrower contract is deliberate.
+  *
   * Registered via `spark.experimental.extraOptimizations` (it must run
   * after analysis; it only reshapes expressions, never plan structure,
   * so optimizer placement is safe).

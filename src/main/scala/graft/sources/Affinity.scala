@@ -74,7 +74,13 @@ object Affinity {
       val d = t.try_cast("double")
       when(t.rlike("^[+-]?[0-9]+$") && t.try_cast("long").isNotNull,
           t.try_cast("long").cast("string"))
-        .when(isNumericExpr(raw) && d === floor(d) &&
+        // The !rlike guard keeps int64-OVERFLOWING integer text (long
+        // cast above was null) out of the lossless-long branch: its
+        // double image can round exactly onto -2^63 and pass the
+        // round-trip check, but SQLite (and canonicalize) store it as
+        // REAL — e.g. '-9223372036854775809'.
+        .when(isNumericExpr(raw) && !t.rlike("^[+-]?[0-9]+$") &&
+            d === floor(d) &&
             d.between(-9.223372036854776e18, 9.223372036854775e18) &&
             d.cast("long").cast("double") === d,
           d.cast("long").cast("string"))

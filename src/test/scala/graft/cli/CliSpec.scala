@@ -133,6 +133,34 @@ class CliSpec extends SparkSpec {
       "+---+---+\n| a | b |\n+---+---+\n| d | e |\n+---+---+\n"))
   }
 
+  // Expected bytes generated by running the reference's own renderer
+  // (lib/tabulate.tcl, sourced with -encoding utf-8) on the same rows:
+  // CJK/fullwidth chars count 2 columns (lib/tabulate.tcl:364-367), so
+  // col 0 is 10 wide (東京タワー) and 名前 centers with 3+3 padding.
+  test("table output CJK double-width geometry (lib/tabulate.tcl:364-367)") {
+    val f = tempFile("名前,値\n東京タワー,333\nx,1\n")
+    val (c, o) = sqawk("-FS", ",", "-output", "table", "select a1,a2 from a", f)
+    assert((c, o) == (0,
+      "┌──────────┬───┐\n" +
+      "│   名前   │値 │\n" +
+      "├──────────┼───┤\n" +
+      "│東京タワー│333│\n" +
+      "├──────────┼───┤\n" +
+      "│    x     │ 1 │\n" +
+      "└──────────┴───┘\n"))
+    val (c2, o2) = sqawk("-FS", ",",
+      "-output", "table,style=loFi,margins=1,alignments=left right",
+      "select a1,a2 from a", f)
+    assert((c2, o2) == (0,
+      "+------------+-----+\n" +
+      "| 名前       |  値 |\n" +
+      "+------------+-----+\n" +
+      "| 東京タワー | 333 |\n" +
+      "+------------+-----+\n" +
+      "| x          |   1 |\n" +
+      "+------------+-----+\n"))
+  }
+
   test("empty lines and fields (tests.tcl:1002-1040)") {
     val f = tempFile("0-1\n\na-b\n\nc-d\n")
     assert(sqawk("-FS", "-", "select a1, a2 from a", f) ==
@@ -399,7 +427,11 @@ class CliSpec extends SparkSpec {
     val tricky = Seq(
       "001", "-042", "2.0", "1e2", "2.5", " 42 ", "abc", "", "0.1",
       "99999999999999999999", "1e400", "-1e400", "nan", "-0.0", ".5",
-      "1.0E-7", "3.14159", "1e15", "123x", "+7", null)
+      "1.0E-7", "3.14159", "1e15", "123x", "+7", null,
+      // int64 boundary: max, min, and one-past-min whose double image
+      // rounds exactly onto -2^63 (sqlite3 stores the overflow as REAL)
+      "9223372036854775807", "-9223372036854775808", "-9223372036854775809",
+      "9223372036854775808")
     import spark.implicits._
     val df = tricky.toDF("v")
     for (aff <- Seq("INTEGER", "NUMERIC", "REAL", "TEXT", "BLOB")) {
@@ -407,6 +439,22 @@ class CliSpec extends SparkSpec {
       val want = tricky.map(v => Affinity.canonicalize(v, aff))
       assert(got == want, s"affinity $aff")
     }
+  }
+
+  // sqlite3-pinned: `sum()` raises "integer overflow" iff ALL inputs
+  // were integers/NULL and int64 overflowed; one REAL input instead
+  // degrades the result to approximate REAL, and total() never errors.
+  test("sum() integer overflow errors like sqlite3; REAL input or total() does not") {
+    val f = tempFile("9223372036854775807 a\n1 b\n")
+    val (c, _) = sqawk("select sum(a1) from a", f)
+    assert(c == 1)
+    // same sum with one REAL input: approximate REAL, no error (the
+    // double equals sqlite3's; we render shortest-round-trip
+    // "9.223372036854776e+18" where sqlite3's %!.15g shows
+    // "9.22337203685478e+18")
+    val g = tempFile("9223372036854775807 a\n1 b\n0.5 c\n")
+    assert(sqawk("select sum(a1) from a", g) == (0, "9.223372036854776e+18\n"))
+    assert(sqawk("select total(a1) from a", f) == (0, "9.223372036854776e+18\n"))
   }
 
   test("chunked >1 MiB input sums correctly (tests.tcl:505-525)") {

@@ -59,4 +59,55 @@ class TclCompatSpec extends AnyFunSuite {
     assert(GraftFunctions.sqliteGlob("a[!bd]c", "adc") == 0)
     assert(GraftFunctions.sqliteGlob("ABC", "abc") == 0) // case-sensitive
   }
+
+  // ARE dialect rows below are pinned against tclsh 8.6 output
+  // (`regexp {...} $s`), mirroring re_syntax(n) examples.
+
+  test("ARE word-boundary escapes \\m \\M \\y \\Y") {
+    assert(GraftFunctions.tclRegexp("""\mbar""", "foo bar") == 1)
+    assert(GraftFunctions.tclRegexp("""\mbar""", "foobar") == 0)
+    assert(GraftFunctions.tclRegexp("""bar\M""", "barfly bar") == 1)
+    assert(GraftFunctions.tclRegexp("""\ybar\y""", "a bar b") == 1)
+    assert(GraftFunctions.tclRegexp("""\Ybar\Y""", "xbary") == 1)
+    assert(GraftFunctions.tclRegsub(all = true, """\y\w+\y""", "one two", "X") == "X X")
+    assert(GraftFunctions.tclRegsub(all = false, """\M""", "word up", "!") == "word! up")
+    assert(GraftFunctions.tclRegexp("""\m\w+""", "héllo") == 1) // Unicode word chars
+  }
+
+  test("ARE \\Z is absolute end of string (not Java's before-final-newline)") {
+    assert(GraftFunctions.tclRegexp("""a\Z""", "a") == 1)
+    assert(GraftFunctions.tclRegexp("""a\Z""", "a\n") == 0)
+  }
+
+  test("ARE embedded options (?i) (?c) (?q) (?x) (?e)") {
+    assert(GraftFunctions.tclRegexp("(?i)HELLO", "hello") == 1)
+    assert(GraftFunctions.tclRegexp("(?ic)A", "a") == 0) // later c wins
+    assert(GraftFunctions.tclRegexp("(?q)a.b", "a.b") == 1)
+    assert(GraftFunctions.tclRegexp("(?q)a.b", "axb") == 0)
+    assert(GraftFunctions.tclRegexp("(?x)a  b  c", "abc") == 1)
+    assert(GraftFunctions.tclRegexp("(?e)a.b", "axb") == 1)
+    // Java group syntax must still work after the option-director parse
+    assert(GraftFunctions.tclRegexp("(?:ab)+", "abab") == 1)
+    assert(GraftFunctions.tclRegexp("a(?=b)", "ab") == 1)
+  }
+
+  test("ARE newline sensitivity: dot-all default, (?n)/(?w) opt-outs") {
+    assert(GraftFunctions.tclRegexp("a.b", "a\nb") == 1) // ARE default: . matches \n
+    assert(GraftFunctions.tclRegexp("(?n)a.b", "a\nb") == 0)
+    assert(GraftFunctions.tclRegexp("(?w)^b", "a\nb") == 1) // anchors go multiline
+    assert(GraftFunctions.tclRegexp("^b", "a\nb") == 0)
+  }
+
+  test("ARE ***= and ***: directors") {
+    assert(GraftFunctions.tclRegexp("***=a.b", "a.b") == 1)
+    assert(GraftFunctions.tclRegexp("***=a.b", "axb") == 0)
+    assert(GraftFunctions.tclRegexp("***:a.b", "axb") == 1)
+  }
+
+  test("ARE bracket expressions: POSIX classes, leading ]") {
+    assert(GraftFunctions.tclRegexp("[[:digit:]]+", "ab123") == 1)
+    assert(GraftFunctions.tclRegexp("[[:alpha:][:digit:]]", "5") == 1)
+    assert(GraftFunctions.tclRegexp("[]x]", "]") == 1)
+    assert(GraftFunctions.tclRegexp("[^]x]", "y") == 1)
+  }
 }
