@@ -9,10 +9,11 @@ import graft.multimodal.ImageCodec
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
   * the beyond-the-reference surface (builder brief; BASELINE.json north
-  * star): deduplication (exact, MinHash+LSH, SimHash), similarity
-  * search (brute-force k-NN baseline, sign-random-projection LSH scale
-  * path), text analysis (stats, language ID, tokenization,
-  * fingerprinting) and multimodal column plumbing.
+  * star): deduplication (exact, MinHash+LSH, SimHash, exact n-gram
+  * Jaccard, embedding-cosine), similarity search (brute-force k-NN
+  * baseline, cross-polytope LSH scale path), text analysis (stats,
+  * language ID, tokenization, fingerprinting) and multimodal column
+  * plumbing.
   *
   * Every operator is a [[QDef]] with a DuckDB oracle that recomputes
   * the SAME deterministic arithmetic, so the driver's hash compare
@@ -30,10 +31,11 @@ import graft.multimodal.ImageCodec
   *    *bucket* self-join (skew-free: bucket sizes are tiny by
   *    construction), NEVER an all-pairs join;
   *  - ANN: brute force is restricted to a small broadcast query set;
-  *    the LSH variant buckets by 8×6-bit signatures so the verify
-  *    join touches ~a few % of pairs (tuned offline against the real
-  *    vectors: recall .42 @ cos≥0.35, candidate rate .13 — the
-  *    knob is bands×bits, documented per query);
+  *    the LSH variant buckets by cross-polytope signed-argmax
+  *    components so the verify join touches ~21% of pairs (tuned
+  *    offline against the real vectors: recall .75-.77 @ cos≥0.35 —
+  *    the knobs are tables×probes, documented at the parameter
+  *    declarations);
   *  - everything stays in whole-stage codegen: no Scala UDFs, only
   *    builtin expressions + higher-order functions, except the
   *    multimodal decode which runs a dependency-free binary header
@@ -73,6 +75,15 @@ object Pipeline {
   private val CpTables = 8
   private val CpProbes = 2
   private val AnnDim = 64 // embedding length, fixed across all SFs
+
+  // p13 parameters: bigrams in more than DfCap docs leave the inverted
+  // index (pruning only — full sets still verify); candidate pairs
+  // need MinSharedRare shared rare bigrams. NOTE: every constant a
+  // QDef's ORACLE STRING interpolates must be declared ABOVE `all` —
+  // the oracle strings are built during object init, before
+  // later-declared vals are assigned.
+  private val DfCap = 10
+  private val MinSharedRare = 2
 
   val all: Vector[QDef] = Vector(
     // ------------------------------------------------------------------
@@ -361,56 +372,80 @@ object Pipeline {
     // the hyperplane/multiprobe/cross-polytope family swept offline.
     QDef(
       "p09_ann_lsh",
-      (s, d) => {
-        val spark = s
-        import spark.implicits._
-        // Projection weights computed on the driver (8×64×64 ±1
-        // constants from the md5 high bit — same arithmetic as the
-        // oracle) so the plan has zero cross-join stages.
-        val weights = broadcast(
-          (for (t <- 0 until CpTables; j <- 0 until AnnDim; i <- 1 to AnnDim) yield {
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val hex = md.digest(s"cp$t:$j:$i".getBytes("UTF-8"))
-              .map("%02x".format(_)).mkString
-            (t, j, i, if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0)
-          }).toDF("tbl", "j", "i", "w"))
-        val el = emb(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
-          .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),
-            col("xf").cast("double").as("x"))
-        // Signed components ranked by |projection| per (vector, table);
-        // rank 1 is the bucket the vector lives in, ranks ≤ CpProbes
-        // are the buckets it probes.
-        val ranked = el.join(weights, "i")
-          .groupBy(col("vec_id"), col("tbl"), col("j"))
-          .agg(sum(col("x") * col("w")).as("proj"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("vec_id", "tbl").orderBy(abs(col("proj")).desc, col("j"))))
-          .filter(col("rn") <= CpProbes)
-          .select(col("vec_id"), col("tbl"), col("j"),
-            (col("proj") > 0).as("sgn"), col("rn"))
-        val cand = ranked.as("x").join(ranked.as("y"),
-            col("x.tbl") === col("y.tbl") && col("x.j") === col("y.j") &&
-              col("x.sgn") === col("y.sgn") && col("y.rn") === 1 &&
-              col("x.vec_id") =!= col("y.vec_id"))
-          .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
-            greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
-          .distinct()
-        // Verify with whole-vector zip_with dot products: two id-joins
-        // on packed arrays instead of a 64×-exploded element join —
-        // candidates × dim rows never materialize.
-        val vecs = withNorm(emb(s, d))
-          .select(col("vec_id"), col("v"), col("nrm"))
-        cand
-          .join(vecs.as("va"), col("ia") === col("va.vec_id"))
-          .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
-          .withColumn("cos",
-            expr("aggregate(zip_with(va.v, vb.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
-              / (col("va.nrm") * col("vb.nrm")))
-          .filter(round(col("cos"), 6) >= 0.35)
-          .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
-      },
+      (s, d) => cosineNearDupPairs(s, d),
       Some(annLshOracle)),
+
+    // ------------------------------------------------------------------
+    // p13: EXACT N-GRAM JACCARD DEDUP — the exact counterpart to p02's
+    // MinHash approximation: a word-BIGRAM inverted index pruned by
+    // document frequency (bigrams appearing in > DfCap docs are
+    // dropped from the INDEX — the prefix-filtering family's stopword
+    // pruning; bucket sizes are bounded by DfCap so the posting-list
+    // self-join can never blow up), candidate pairs = docs sharing
+    // ≥ MinSharedRare rare bigrams, then exact Jaccard over the FULL
+    // bigram sets of candidate docs only. All integer arithmetic:
+    // jac ≥ 0.5 ⇔ 2*inter ≥ uni. At 100 TB: two hash-partitioned
+    // groupBys + a df-capped posting join — never all-pairs.
+    QDef(
+      "p13_dedup_ngram_jaccard",
+      (s, d) => {
+        val big = bigrams(s, d).distinct()
+        // document frequency per bigram; the groupBy leaves both sides
+        // hash-partitioned by sh, so the pruning join adds no shuffle
+        val dfreq = big.groupBy("sh").agg(count(lit(1)).as("dfreq"))
+        val rare = big.join(dfreq.filter(col("dfreq") <= DfCap), "sh")
+        val cand = rare.as("x").join(rare.as("y"),
+            col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= MinSharedRare)
+          .select("ida", "idb")
+          .localCheckpoint()
+        val candIds = cand.select(col("ida").as("doc_id"))
+          .unionByName(cand.select(col("idb").as("doc_id"))).distinct()
+        val sh = big.join(broadcast(candIds), "doc_id")
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("idb") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.as("za"), col("ida") === col("za.doc_id"))
+          .join(sizes.as("zb"), col("idb") === col("zb.doc_id"))
+          .select(col("ida"), col("idb"), col("inter"),
+            (col("za.n") + col("zb.n") - col("inter")).as("uni"))
+          .filter(col("inter") * 2 >= col("uni"))
+      },
+      Some(ngramJaccardOracle)),
+
+    // ------------------------------------------------------------------
+    // p14: EMBEDDING-COSINE NEAR-DUP DEDUP — the vector-space dedup
+    // decision on top of the p09 machinery: near-dup pairs (cross-
+    // polytope LSH candidates, exact-cosine verified at ≥ 0.35) feed
+    // the greedy min-id survivor rule — a vector is dropped iff it has
+    // a near-dup neighbor with a smaller id. Output is the full
+    // keep/drop ledger (one row per vector, with the smallest
+    // offending neighbor for dropped ones). At 100 TB the only
+    // addition over p09 is one groupBy(ib) and a left join — both
+    // hash-partitioned on the id.
+    QDef(
+      "p14_dedup_embed_cosine",
+      (s, d) => {
+        val drops = cosineNearDupPairs(s, d)
+          .groupBy(col("ib")).agg(min("ia").as("min_nbr"))
+          .withColumnRenamed("ib", "vec_id")
+        emb(s, d).select("vec_id").join(drops, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("min_nbr").isNull.as("kept"),
+            col("min_nbr"))
+      },
+      Some(s"""WITH pairs AS (
+              |$annLshOracle
+              |), drops AS (
+              |  SELECT ib AS vec_id, min(ia) AS min_nbr FROM pairs GROUP BY ib
+              |)
+              |SELECT e.vec_id, d.vec_id IS NULL AS kept, d.min_nbr
+              |FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // p10: MULTIMODAL DECODE — images as opaque binary columns with a
@@ -520,6 +555,101 @@ object Pipeline {
           |THEN transform(sequence(0, size(toks) - 3),
           |               k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2]))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
+
+  /** Distinct-free word bigrams per document (callers dedupe). */
+  private def bigrams(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+          |THEN transform(sequence(0, size(toks) - 2),
+          |               k -> concat(toks[k], ' ', toks[k + 1]))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
+
+  /** The p09/p14 shared core: cross-polytope-LSH candidate pairs with
+    * exact-cosine verification — returns (ia, ib, cos_sim) with
+    * ia < ib and cos ≥ 0.35. See the p09 QDef comment for the tuning
+    * history and plan-shape argument. */
+  private def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    // Projection weights computed on the driver (8×64×64 ±1
+    // constants from the md5 high bit — same arithmetic as the
+    // oracle) so the plan has zero cross-join stages.
+    val weights = broadcast(
+      (for (t <- 0 until CpTables; j <- 0 until AnnDim; i <- 1 to AnnDim) yield {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"cp$t:$j:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (t, j, i, if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0)
+      }).toDF("tbl", "j", "i", "w"))
+    val el = emb(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
+      .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),
+        col("xf").cast("double").as("x"))
+    // Signed components ranked by |projection| per (vector, table);
+    // rank 1 is the bucket the vector lives in, ranks ≤ CpProbes
+    // are the buckets it probes.
+    val ranked = el.join(weights, "i")
+      .groupBy(col("vec_id"), col("tbl"), col("j"))
+      .agg(sum(col("x") * col("w")).as("proj"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "tbl").orderBy(abs(col("proj")).desc, col("j"))))
+      .filter(col("rn") <= CpProbes)
+      .select(col("vec_id"), col("tbl"), col("j"),
+        (col("proj") > 0).as("sgn"), col("rn"))
+    val cand = ranked.as("x").join(ranked.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.j") === col("y.j") &&
+          col("x.sgn") === col("y.sgn") && col("y.rn") === 1 &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
+      .distinct()
+    // Verify with whole-vector zip_with dot products: two id-joins
+    // on packed arrays instead of a 64×-exploded element join —
+    // candidates × dim rows never materialize.
+    val vecs = withNorm(emb(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(vecs.as("va"), col("ia") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(va.v, vb.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
+          / (col("va.nrm") * col("vb.nrm")))
+      .filter(round(col("cos"), 6) >= 0.35)
+      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** DuckDB mirror of p13: same bigrams, df pruning, verification. */
+  private def ngramJaccardOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksDuck AS tk FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    tk[CAST(k AS INT)] || ' ' || tk[CAST(k AS INT) + 1] AS sh
+       |  FROM toks, range(1, 2049) t(k) WHERE k <= len(tk) - 1
+       |), dfreq AS (
+       |  SELECT sh, count(*) AS dfreq FROM sh GROUP BY sh
+       |), rare AS (
+       |  SELECT s.doc_id, s.sh FROM sh s JOIN dfreq USING (sh)
+       |  WHERE dfreq <= $DfCap
+       |), cand AS (
+       |  SELECT x.doc_id AS ida, y.doc_id AS idb
+       |  FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id
+       |  HAVING count(*) >= $MinSharedRare
+       |), sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT ida, idb, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand
+       |  JOIN sh sa ON ida = sa.doc_id
+       |  JOIN sh sb ON idb = sb.doc_id AND sa.sh = sb.sh
+       |  GROUP BY ida, idb
+       |)
+       |SELECT ida, idb, inter, za.n + zb.n - inter AS uni
+       |FROM inter JOIN sizes za ON ida = za.doc_id JOIN sizes zb ON idb = zb.doc_id
+       |WHERE inter * 2 >= za.n + zb.n - inter""".stripMargin
 
   /** Embedding as double array plus its L2 norm. */
   private def withNorm(e: DataFrame): DataFrame =
