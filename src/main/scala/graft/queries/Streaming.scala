@@ -11,6 +11,17 @@ object Streaming {
       (s, d) => graft.streaming.StreamOps.windowedEventCounts(s, d),
       Some("""SELECT date_trunc('hour', ts) AS h, event_type,
              |  count(*) AS c, round(sum(value), 2) AS sv
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Append-mode/file-sink variant: only watermark-finalized windows
+    // (end <= max(ts) - 1 hour) are emitted — the oracle applies the
+    // same rule, pinning the emission semantics.
+    QDef(
+      "s02_stream_append",
+      (s, d) => graft.streaming.StreamOps.appendWindowCounts(s, d),
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type,
+             |  count(*) AS c, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2
+             |HAVING h + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)""".stripMargin))
   )
 }

@@ -46,6 +46,39 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** The unbounded-safe sibling of [[windowedEventCounts]]: APPEND
+    * output mode into a durable parquet FILE SINK with a checkpoint —
+    * the shape a production pipeline runs, where state never reaches
+    * the driver and each window is emitted exactly once, when the
+    * watermark passes its end. On bounded input that means windows
+    * with `end <= max(ts) - delay` (the final in-flight windows stay
+    * in state by design — Structured Streaming's no-data micro-batch
+    * emits the rest after the last file); the oracle applies the same
+    * watermark rule, so the driver hash-compare pins the emission
+    * semantics, not just the arithmetic. */
+  def appendWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("c"), col("sv"))
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val q = agg.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.schema(org.apache.spark.sql.types.StructType(agg.schema)).parquet(out.toString)
+  }
+
   /** Per-user running event counts via `mapGroupsWithState` — the
     * custom-state primitive (reference has no analog; pinned by
     * StreamingSpec over a MemoryStream). Update-mode output: one
