@@ -323,13 +323,12 @@ object Pipeline {
     QDef(
       "p08_knn_brute",
       (s, d) => {
-        val e = withNorm(emb(s, d))
+        val e = withNorm(s, emb(s, d))
         val q = broadcast(e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
         val c = e.select(col("vec_id").as("nid"), col("v").as("cv"), col("nrm").as("cn"))
         val cos = c.join(q, col("qid") =!= col("nid"))
-          .withColumn("cos",
-            expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x) / (qn * cn)"))
+          .withColumn("cos", expr("graft_dot(qv, cv) / (qn * cn)"))
         cos
           .withColumn("rank", row_number().over(
             Window.partitionBy("qid").orderBy(round(col("cos"), 6).desc, col("nid"))).cast("long"))
@@ -527,7 +526,7 @@ object Pipeline {
     QDef(
       "p11_modality_join",
       (s, d) =>
-        docs(s, d).join(withNorm(emb(s, d)), col("doc_id") === col("vec_id"))
+        docs(s, d).join(withNorm(s, emb(s, d)), col("doc_id") === col("vec_id"))
           .select(
             col("doc_id"), col("lang"), col("label").cast("long").as("label"),
             col("n_chars"), round(col("nrm"), 4).as("emb_norm")),
@@ -571,33 +570,75 @@ object Pipeline {
     * ia < ib and cos ≥ 0.35. See the p09 QDef comment for the tuning
     * history and plan-shape argument. */
   private def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    // Projection weights computed on the driver (8×64×64 ±1
-    // constants from the md5 high bit — same arithmetic as the
-    // oracle) so the plan has zero cross-join stages.
-    val weights = broadcast(
-      (for (t <- 0 until CpTables; j <- 0 until AnnDim; i <- 1 to AnnDim) yield {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"cp$t:$j:$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        (t, j, i, if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0)
-      }).toDF("tbl", "j", "i", "w"))
-    val el = emb(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "xf")))
-      .select(col("vec_id"), (col("p") + 1).cast("int").as("i"),
-        col("xf").cast("double").as("x"))
-    // Signed components ranked by |projection| per (vector, table);
-    // rank 1 is the bucket the vector lives in, ranks ≤ CpProbes
-    // are the buckets it probes.
-    val ranked = el.join(weights, "i")
-      .groupBy(col("vec_id"), col("tbl"), col("j"))
-      .agg(sum(col("x") * col("w")).as("proj"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "tbl").orderBy(abs(col("proj")).desc, col("j"))))
-      .filter(col("rn") <= CpProbes)
-      .select(col("vec_id"), col("tbl"), col("j"),
-        (col("proj") > 0).as("sgn"), col("rn"))
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    // Projection weights computed on the driver (8 tables × 64 planes ×
+    // 64 components of ±1 from the md5 high bit — same arithmetic as
+    // the oracle) and shipped to executors in the task closure
+    // (~256 KB). Each vector computes all 512 projections in a typed
+    // mapPartitions kernel — a fused primitive-double loop — and emits
+    // only its 16 (table, bucket, probe-rank) rows. The r3 shape
+    // (element-explode joined to a 32k-row weights table, groupBy
+    // (vec,tbl,j), then a rank window) materialized vectors×512 rows
+    // into a shuffle (164M at sf0.1); a higher-order-function spelling
+    // avoids the shuffle but pays interpreted per-element lambdas and
+    // measured SLOWER than the join. The kernel does identical flops
+    // with zero shuffle, zero window and no per-element allocation
+    // before the candidate stage.
+    val weights: Array[Array[Double]] =
+      (for (t <- 0 until CpTables; j <- 0 until AnnDim) yield {
+        (1 to AnnDim).map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"cp$t:$j:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0
+        }.toArray
+      }).toArray
+    val nTables = CpTables
+    val nDim = AnnDim
+    val nProbes = CpProbes
+    val ranked = emb(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val out = new Array[BucketKey](nTables * nProbes)
+          var t = 0
+          while (t < nTables) {
+            // top-nProbes planes by (|proj| desc, j asc): insertion
+            // into two parallel length-nProbes arrays; ascending-j scan
+            // with strict > keeps the earlier plane on ties.
+            val topJ = Array.fill(nProbes)(-1)
+            val topP = new Array[Double](nProbes)
+            var j = 0
+            while (j < nDim) {
+              val w = weights(t * nDim + j)
+              val n = math.min(v.length, nDim)
+              var acc = 0.0
+              var i = 0
+              while (i < n) { acc += v(i) * w(i); i += 1 }
+              val a = math.abs(acc)
+              var r = 0
+              while (r < nProbes && (topJ(r) >= 0 && math.abs(topP(r)) >= a)) r += 1
+              if (r < nProbes) {
+                var k = nProbes - 1
+                while (k > r) { topJ(k) = topJ(k - 1); topP(k) = topP(k - 1); k -= 1 }
+                topJ(r) = j
+                topP(r) = acc
+              }
+              j += 1
+            }
+            var r = 0
+            while (r < nProbes) {
+              out(t * nProbes + r) = BucketKey(id, t, topJ(r), topP(r) > 0, r + 1)
+              r += 1
+            }
+            t += 1
+          }
+          out
+        }
+      }
+      .toDF("vec_id", "tbl", "j", "sgn", "rn")
     val cand = ranked.as("x").join(ranked.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.j") === col("y.j") &&
           col("x.sgn") === col("y.sgn") && col("y.rn") === 1 &&
@@ -605,17 +646,17 @@ object Pipeline {
       .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
       .distinct()
-    // Verify with whole-vector zip_with dot products: two id-joins
-    // on packed arrays instead of a 64×-exploded element join —
-    // candidates × dim rows never materialize.
-    val vecs = withNorm(emb(s, d))
+    // Verify with whole-vector dot products via the codegen
+    // `graft_dot` kernel: two id-joins on packed arrays instead of a
+    // 64×-exploded element join — candidates × dim rows never
+    // materialize, and the per-pair cost is one fused loop.
+    val vecs = withNorm(s, emb(s, d))
       .select(col("vec_id"), col("v"), col("nrm"))
     cand
       .join(vecs.as("va"), col("ia") === col("va.vec_id"))
       .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
       .withColumn("cos",
-        expr("aggregate(zip_with(va.v, vb.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (s, x) -> s + x)")
-          / (col("va.nrm") * col("vb.nrm")))
+        expr("graft_dot(va.v, vb.v)") / (col("va.nrm") * col("vb.nrm")))
       .filter(round(col("cos"), 6) >= 0.35)
       .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
   }
@@ -651,10 +692,14 @@ object Pipeline {
        |FROM inter JOIN sizes za ON ida = za.doc_id JOIN sizes zb ON idb = zb.doc_id
        |WHERE inter * 2 >= za.n + zb.n - inter""".stripMargin
 
-  /** Embedding as double array plus its L2 norm. */
-  private def withNorm(e: DataFrame): DataFrame =
+  /** Embedding as double array plus its L2 norm (via the codegen
+    * `graft_dot` self-product — registered here so every caller gets
+    * it without its own register call). */
+  private def withNorm(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(s)
     e.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (s, x) -> s + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   // Stopword lists for the lang-ID heuristic (public common stopwords).
   private def enStops = Seq("the", "a", "of", "and", "to", "in", "is", "on")
@@ -764,6 +809,12 @@ object Pipeline {
        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35""".stripMargin
   }
 }
+
+/** Typed row for the cross-polytope bucket-assignment kernel (p09/p14):
+  * vector `vec_id` occupies (table `tbl`, plane `j`, sign `sgn`) at
+  * probe rank `rn` (1 = primary bucket). */
+final case class BucketKey(
+    vec_id: Long, tbl: Int, j: Int, sgn: Boolean, rn: Int)
 
 /** Typed rows for the multimodal decode's mapPartitions pipeline. */
 final case class SynthSpec(doc_id: Long, n_chars: Long, body: Array[Byte])
