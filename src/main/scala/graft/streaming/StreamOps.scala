@@ -39,10 +39,12 @@ object StreamOps {
       .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("c"), col("sv"))
     val name = s"graft_stream_${math.abs(sfDir.hashCode)}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -70,13 +72,30 @@ object StreamOps {
       .select(col("window.start").as("h"), col("event_type"), col("c"), col("sv"))
     val out = java.nio.file.Files.createTempDirectory("graft-stream-out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
-    val q = agg.writeStream.format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append").start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     spark.read.schema(org.apache.spark.sql.types.StructType(agg.schema)).parquet(out.toString)
+  }
+
+  /** Runs `body` with `spark.sql.shuffle.partitions` sized for the
+    * stateful-streaming state, then restores the session default.
+    * Shuffle partitions fix the state-store partition count for the
+    * life of a streaming query, so they must be sized to STATE volume
+    * (windows in flight × event types — tiny here), not to the batch
+    * default: every micro-batch pays per-state-partition task and
+    * store-commit overhead regardless of data volume. On a real
+    * cluster this is the knob a production job sets per stream. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int = 4)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Per-user running event counts via `mapGroupsWithState` — the
