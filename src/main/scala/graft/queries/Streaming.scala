@@ -22,6 +22,19 @@ object Streaming {
       Some("""SELECT date_trunc('hour', ts) AS h, event_type,
              |  count(*) AS c, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2
+             |HAVING h + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)""".stripMargin)),
+
+    // Streaming dedup: every event delivered twice (two unioned
+    // sources), dropDuplicatesWithinWatermark restores exactly-once
+    // before the windowed agg — so the oracle is the SINGLE-copy
+    // batch answer under the same append emission rule as s02. A
+    // wrong or missing dedup doubles every count and hash-mismatches.
+    QDef(
+      "s03_stream_dedup",
+      (s, d) => graft.streaming.StreamOps.dedupWindowCounts(s, d),
+      Some("""SELECT date_trunc('hour', ts) AS h, event_type,
+             |  count(*) AS c, round(sum(value), 2) AS sv
+             |FROM events GROUP BY 1, 2
              |HAVING h + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)""".stripMargin))
   )
 }

@@ -83,6 +83,45 @@ object StreamOps {
     spark.read.schema(org.apache.spark.sql.types.StructType(agg.schema)).parquet(out.toString)
   }
 
+  /** STREAMING DEDUPLICATION — the streaming side of the dedup theme:
+    * two identical file sources union into a stream where every event
+    * arrives twice (the at-least-once delivery a real ingest bus
+    * produces), and `dropDuplicatesWithinWatermark` on the unique key
+    * restores exactly-once before a downstream windowed aggregation —
+    * two CHAINED stateful operators in one append-mode query. Dedup
+    * state is watermark-bounded (keys older than the delay are
+    * dropped from state), so state size tracks the delay window, not
+    * stream length — the only dedup shape that survives an unbounded
+    * stream. On bounded input the result must equal the single-copy
+    * batch answer under the s02 emission rule, which the oracle
+    * recomputes. */
+  def dedupWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def src() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val deduped = src().union(src())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val agg = deduped
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+      .select(col("window.start").as("h"), col("event_type"), col("c"), col("sv"))
+    val out = java.nio.file.Files.createTempDirectory("graft-dedup-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(agg.schema)).parquet(out.toString)
+  }
+
   /** Runs `body` with `spark.sql.shuffle.partitions` sized for the
     * stateful-streaming state, then restores the session default.
     * Shuffle partitions fix the state-store partition count for the
