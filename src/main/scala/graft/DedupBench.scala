@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-at-scale micro-benchmark: generates a multi-hundred-MB
+  * synthetic corpus ENTIRELY ON EXECUTORS (spark.range → codegen text
+  * synthesis; the driver never sees a document) with a known ~9%
+  * exact-duplicate rate, then times the three dedup pipelines from
+  * queries/Pipeline.scala at ~2000× the sf0.01 row count:
+  *
+  *  - exact dedup: sha256 groupBy with map-side partial min/count;
+  *  - MinHash signatures + LSH banding: md5 per 3-gram shingle, 32
+  *    permutations by double hashing, 8 band buckets, candidate-pair
+  *    count (the expensive stages of p02 minus the tiny verify tail);
+  *  - SimHash: 32 partial-sum columns per token row (p03's shape).
+  *
+  * The point is the scaling evidence: every stage is one
+  * hash-partitioned groupBy over codegen projections — no driver
+  * loops, no persisted intermediates, no all-pairs joins — so wall
+  * time should track corpus bytes, and the known duplicate rate
+  * checks the answer (dup groups ≈ n/11).
+  */
+object DedupBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Synthetic corpus: doc id → 24 words of 8 hex chars each, from a
+    // seed shared by every 11th doc and its predecessor (≈9% exact
+    // dups). Codegen end-to-end; regenerated per consumer (cheaper
+    // than caching 200+ MB for a bench about the dedup stages).
+    def corpus: DataFrame = spark.range(0, n).select(
+      col("id").as("doc_id"),
+      array_join(expr(
+        """transform(sequence(1, 24),
+          |  k -> substr(md5(concat(
+          |    CAST(CASE WHEN id % 11 = 10 THEN id - 1 ELSE id END AS STRING),
+          |    ':', k)), 1, 8))"""
+          .stripMargin), " ").as("text"))
+
+    def timed(name: String)(df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val summary = rows.map(_.toSeq.mkString(",")).mkString("; ")
+      println(f"[dedup-bench] $name: $summary wall=$secs%.2f s (${n / secs}%.0f docs/s)")
+    }
+
+    timed("exact") {
+      corpus.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("keep"), count(lit(1)).as("copies"))
+        .agg(count(lit(1)).as("groups"),
+          sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_groups"))
+    }
+
+    timed("minhash_lsh") {
+      val sh = corpus
+        .withColumn("toks", expr("split(text, ' ')"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 3),
+            |  k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2]))"""
+            .stripMargin)).as("sh"))
+      val hashed = sh.select(col("doc_id"),
+        expr("CAST(conv(substr(md5(sh), 1, 13), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substr(md5(sh), 14, 13), 16, 10) AS BIGINT)").as("h2"))
+      val aggs = (0 until 32).map(i =>
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+      val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandCols = (0 until 8).map { b =>
+        val ms = (b * 4 until (b + 1) * 4).map(i => col(s"m$i"))
+        struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bkey"))
+      }
+      val buckets = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      buckets.groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+        .agg(sum(expr("sz * (sz - 1) / 2")).as("cand_pairs"))
+    }
+
+    timed("simhash") {
+      val tok = corpus
+        .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+        .select(col("doc_id"), md5(col("tok")).as("h"))
+      val bitSums = (0 until 32).map(j =>
+        sum(expr(s"CASE WHEN instr('89abcdef', substr(h, ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END"))
+          .as(s"s$j"))
+      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"))
+        .agg(count(lit(1)).as("docs"))
+    }
+
+    spark.stop()
+  }
+}
