@@ -331,6 +331,45 @@ object Pipeline {
              |FROM n""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // p17: ROLLING-HASH FINGERPRINT — the brief's named fingerprint
+    // shape: minimum Rabin–Karp hash over all 8-byte windows of the
+    // normalized text, computed with the true O(n) rolling update in
+    // a native codegen expression (functions/RollingHashMin.scala —
+    // one fused loop per row, no per-window rehash, no HOF lambdas).
+    // Parameters (B=31, w=8, no modulus) keep every value exact in
+    // both int64 and float64, so the oracle recomputes the SAME
+    // values positionally in SQL. Pure projection: zero shuffle.
+    QDef(
+      "p17_rolling_fingerprint",
+      (s, d) => {
+        graft.functions.RollingHashMin.register(s)
+        docs(s, d)
+          .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+          .select(col("doc_id"),
+            expr("graft_rollhash_min(norm)").as("roll_min"),
+            greatest(length(col("norm")) - 7, lit(1)).cast("long").as("n_windows"))
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm,
+             |         CAST(greatest(length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 7, 1) AS BIGINT) AS n_windows
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id, norm, CAST(i AS INT) AS i,
+             |         least(length(norm) - CAST(i AS INT) + 1, 8) AS wlen
+             |  FROM n, range(1, 4097) t(i)
+             |  WHERE i <= greatest(length(norm) - 7, 1)
+             |), h AS (
+             |  SELECT doc_id, i,
+             |    CAST(sum(ascii(substr(norm, i + CAST(j AS INT), 1))
+             |             * CAST(pow(31, wlen - 1 - CAST(j AS INT)) AS BIGINT)) AS BIGINT) AS hash
+             |  FROM w, range(0, 8) t(j) WHERE j < wlen
+             |  GROUP BY doc_id, i
+             |)
+             |SELECT n.doc_id, min(hash) AS roll_min, any_value(n_windows) AS n_windows
+             |FROM n JOIN h ON n.doc_id = h.doc_id
+             |GROUP BY n.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // p08: BRUTE-FORCE COSINE k-NN — the ANN correctness baseline: a
     // small broadcast query set (vec_id < 20) against all candidates;
     // dot products via zip_with/aggregate in codegen; top-5 per query by
