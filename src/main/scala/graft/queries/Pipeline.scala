@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.ImageCodec
+import graft.multimodal.{AudioCodec, ImageCodec}
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
   * the beyond-the-reference surface (builder brief; BASELINE.json north
@@ -637,6 +637,49 @@ object Pipeline {
              |FROM base b JOIN stats s ON b.doc_id = s.doc_id""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // p18: MULTIMODAL AUDIO DECODE — the audio leg of the triad
+    // (image p10/p16, frame-sample "video" p16): each document
+    // synthesizes a structurally valid 16-bit PCM WAV (sample rate
+    // and channel count derived from the row; body bytes in the data
+    // chunk; a LIST chunk ahead of fmt so the decoder must walk RIFF
+    // chunks, not read fixed offsets — see multimodal/AudioCodec).
+    // The typed mapPartitions decoder recovers rate/channels/data
+    // length FROM THE BYTES and derives sample count and integer
+    // microsecond duration; the oracle recomputes all of it from the
+    // synthesis parameters. Same 100 TB shape: narrow per-partition
+    // decode, no shuffle.
+    QDef(
+      "p18_multimodal_audio",
+      (s, d) => {
+        import s.implicits._
+        val raw = docs(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            encode(col("text"), "UTF-8").as("body"))
+          .as[SynthSpec]
+        raw.mapPartitions(_.map { r =>
+          val rate = (8000L * (1L + r.n_chars % 5L)).toInt
+          val chans = (1L + r.doc_id % 2L).toInt
+          val payload = AudioCodec.synthesizeWav(rate, chans, r.body)
+          val info = AudioCodec.decodeWav(payload)
+          val blockAlign = info.channels * info.bitsPerSample / 8
+          val nSamples = info.dataLen.toLong / blockAlign
+          DecodedAudio(r.doc_id, info.sampleRate.toLong, info.channels.toLong,
+            nSamples, nSamples * 1000000L / info.sampleRate,
+            payload.length.toLong)
+        }).toDF()
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8000 * (1 + n_chars % 5) AS BIGINT) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |  blen // (2 * (1 + doc_id % 2)) AS n_samples,
+             |  (blen // (2 * (1 + doc_id % 2))) * 1000000
+             |    // (8000 * (1 + n_chars % 5)) AS duration_us,
+             |  78 + blen + blen % 2 AS n_bytes
+             |FROM (SELECT doc_id, n_chars,
+             |        CAST(octet_length(encode(text)) AS BIGINT) AS blen
+             |      FROM documents)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // p12: SALTED SKEW JOIN — events join on event_type (~5 distinct
     // values: every key is hot, the worst shuffle-join skew). The salt
     // spreads each hot key over 16 sub-partitions: the fact side gets
@@ -1098,6 +1141,11 @@ final case class SynthSpec(doc_id: Long, n_chars: Long, body: Array[Byte])
 final case class ImageBlob(doc_id: Long, payload: Array[Byte])
 final case class DecodedImage(
     doc_id: Long, format: String, n_bytes: Long, width: Long, height: Long)
+
+/** Typed row for the audio decode (p18). */
+final case class DecodedAudio(
+    doc_id: Long, sample_rate: Long, channels: Long, n_samples: Long,
+    duration_us: Long, n_bytes: Long)
 
 /** Typed row for the multimodal feature extraction (p16). */
 final case class MediaFeatures(
