@@ -145,9 +145,14 @@ object Pipeline {
         // (perm_i = h1 + i*h2 over 52-bit halves — overflow-free in
         // int64): a 16× hash-compute reduction vs. md5-per-permutation,
         // identical arithmetic in the DuckDB oracle.
-        val hashed = shRaw.select(col("doc_id"),
-          expr("CAST(conv(substr(md5(sh), 1, 13), 16, 10) AS BIGINT)").as("h1"),
-          expr("CAST(conv(substr(md5(sh), 14, 13), 16, 10) AS BIGINT)").as("h2"))
+        // md5 once per shingle (the separate projection keeps
+        // CollapseProject from inlining the non-cheap md5 into both
+        // conv branches), then split the hex into the two 52-bit
+        // halves.
+        val hashed = shRaw.select(col("doc_id"), md5(col("sh")).as("m"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substr(m, 1, 13), 16, 10) AS BIGINT)").as("h1"),
+            expr("CAST(conv(substr(m, 14, 13), 16, 10) AS BIGINT)").as("h2"))
         val minhAggs = (0 until NumPerm).map(i =>
           min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
         val sig = hashed.groupBy("doc_id").agg(minhAggs.head, minhAggs.tail: _*)
@@ -197,12 +202,21 @@ object Pipeline {
     QDef(
       "p03_dedup_simhash",
       (s, d) => {
+        // Bit j's sign is the high bit of md5 hex nibble j. Rather
+        // than 32 substr+instr ops per token, pack each 8-nibble
+        // group into a long once (4 convs) and test bits: nibble
+        // d of group g has its high bit at position 31-4d. Same ±1
+        // values as the oracle's substr formulation.
         val tok = docs(s, d)
           .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
-          .select(col("doc_id"), md5(col("tok")).as("h"))
-        val bitSums = (0 until 32).map(j =>
-          sum(expr(s"CASE WHEN instr('89abcdef', substr(h, ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END"))
-            .as(s"s$j"))
+          .select(col("doc_id") +: (0 until 4).map(g =>
+            expr(s"CAST(conv(substr(md5(tok), ${g * 8 + 1}, 8), 16, 10) AS BIGINT)")
+              .as(s"g$g")): _*)
+        val bitSums = (0 until 32).map { j =>
+          val (g, dIdx) = (j / 8, j % 8)
+          sum(expr(s"CASE WHEN (g$g >> ${31 - 4 * dIdx}) & 1 = 1 THEN 1 ELSE -1 END"))
+            .as(s"s$j")
+        }
         tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"),
             (0 until 32).map(j =>
