@@ -21,6 +21,26 @@ import scala.collection.mutable.ArrayBuffer
   */
 object TclList {
 
+  /** One-entry per-thread memo for [[split]]: scripts routinely probe
+    * the same list/dict column with several compat calls per row
+    * (`dict_get(a1,…), dict_exists(a1,…), …`), and each call would
+    * otherwise re-tokenize the identical string. Keyed by value
+    * equality (the equal-string compare is far cheaper than a
+    * re-parse); one entry suffices because per-row calls on the same
+    * input are adjacent. */
+  private val lastSplit = new ThreadLocal[(String, Vector[String])]
+
+  /** [[split]] through the per-thread memo. */
+  def splitCached(s: String): Vector[String] = {
+    val e = lastSplit.get()
+    if (e != null && ((e._1 eq s) || e._1 == s)) e._2
+    else {
+      val v = split(s)
+      lastSplit.set((s, v))
+      v
+    }
+  }
+
   /** Split a Tcl list string into its top-level elements. */
   def split(s: String): Vector[String] = {
     val out = ArrayBuffer.empty[String]
@@ -108,16 +128,18 @@ object TclList {
   /** Tcl `lindex` with a chain of indices (each indexes into the result
     * of parsing the previous level as a list). Out-of-range → "". */
   def lindex(list: String, indices: Seq[Int]): String =
-    indices.foldLeft(list) { (cur, idx) =>
-      val elems = split(cur)
+    indices.zipWithIndex.foldLeft(list) { case (cur, (idx, lvl)) =>
+      // memo only the top level: nested levels parse derived strings
+      // that would churn the one-entry cache
+      val elems = if (lvl == 0) splitCached(cur) else split(cur)
       if (idx < 0 || idx >= elems.length) "" else elems(idx)
     }
 
-  def llength(list: String): Int = split(list).length
+  def llength(list: String): Int = splitCached(list).length
 
   /** Tcl `lrange`: inclusive range, clamped; supports "end"/"end-N". */
   def lrange(list: String, first: String, last: String): String = {
-    val elems = split(list)
+    val elems = splitCached(list)
     def resolve(spec: String): Int = {
       val t = spec.trim
       if (t == "end") elems.length - 1
@@ -132,9 +154,9 @@ object TclList {
   /** Tcl `dict get` with a key path; dict = flat k v list, nested dicts
     * are braced elements. Returns None if any key is missing/odd list. */
   def dictGet(dict: String, keys: Seq[String]): Option[String] =
-    keys.foldLeft(Option(dict)) { (cur, key) =>
+    keys.zipWithIndex.foldLeft(Option(dict)) { case (cur, (key, lvl)) =>
       cur.flatMap { d =>
-        val elems = split(d)
+        val elems = if (lvl == 0) splitCached(d) else split(d)
         if (elems.length % 2 != 0) None
         else elems.grouped(2).collectFirst { case Vector(k, v) if k == key => v }
       }
