@@ -35,6 +35,20 @@ object Streaming {
       Some("""SELECT date_trunc('hour', ts) AS h, event_type,
              |  count(*) AS c, round(sum(value), 2) AS sv
              |FROM events GROUP BY 1, 2
-             |HAVING h + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)""".stripMargin))
+             |HAVING h + INTERVAL 2 HOUR <= (SELECT max(ts) FROM events)""".stripMargin)),
+
+    // Stream-stream interval join: watermarked event-time range join
+    // on user. Inner matches emit as soon as both rows arrive, so on
+    // bounded input the result is EXACTLY the batch join — the oracle
+    // — while state stays bounded by watermark + range eviction.
+    QDef(
+      "s04_stream_join",
+      (s, d) => graft.streaming.StreamOps.intervalJoinPairs(s, d),
+      Some("""SELECT a.event_id AS ida, b.event_id AS idb, a.user_id,
+             |  a.event_type AS type_a, b.event_type AS type_b,
+             |  CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+             |  AND a.event_id < b.event_id""".stripMargin))
   )
 }

@@ -122,6 +122,46 @@ object StreamOps {
     spark.read.schema(org.apache.spark.sql.types.StructType(agg.schema)).parquet(out.toString)
   }
 
+  /** STREAM-STREAM INTERVAL JOIN — the sessionization/attribution
+    * primitive: two event streams joined on user with an event-time
+    * range (`b.ts` within 10 minutes after `a.ts`). Both sides carry
+    * watermarks and the join condition bounds event time, so each
+    * side's buffered state is evicted once the watermark passes the
+    * range — state tracks the interval width, not stream length.
+    * Inner-join matches emit as soon as both rows arrive; on bounded
+    * input the result equals the batch join exactly, which is what
+    * the oracle computes. */
+  def intervalJoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def src() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val a = src().withWatermark("ts", "1 hour").alias("a")
+    val b = src().withWatermark("ts", "1 hour").alias("b")
+    val joined = a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 10 MINUTES") &&
+          col("a.event_id") < col("b.event_id"))
+      .select(col("a.event_id").as("ida"), col("b.event_id").as("idb"),
+        col("a.user_id").as("user_id"),
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        (col("b.ts").cast("long") - col("a.ts").cast("long")).as("gap_s"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sjoin-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjoin-ckpt")
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
+  }
+
   /** Runs `body` with `spark.sql.shuffle.partitions` sized for the
     * stateful-streaming state, then restores the session default.
     * Shuffle partitions fix the state-store partition count for the
