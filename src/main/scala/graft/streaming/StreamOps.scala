@@ -151,14 +151,20 @@ object StreamOps {
         (col("b.ts").cast("long") - col("a.ts").cast("long")).as("gap_s"))
     val out = java.nio.file.Files.createTempDirectory("graft-sjoin-out")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sjoin-ckpt")
-    withStatePartitions(spark) {
+    // inner-join matches emit on arrival — the trailing no-data
+    // micro-batch exists only to evict state early, which a bounded
+    // run doesn't need; skipping it saves a full state-store pass
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noData)
+    spark.conf.set(noData, "false")
+    try withStatePartitions(spark) {
       val q = joined.writeStream.format("parquet")
         .option("path", out.toString)
         .option("checkpointLocation", ckpt.toString)
         .outputMode("append").start()
       try q.processAllAvailable()
       finally q.stop()
-    }
+    } finally spark.conf.set(noData, prevNoData)
     spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
   }
 
