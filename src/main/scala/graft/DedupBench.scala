@@ -68,9 +68,12 @@ object DedupBench {
           """transform(sequence(0, size(toks) - 3),
             |  k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2]))"""
             .stripMargin)).as("sh"))
-      val hashed = sh.select(col("doc_id"),
-        expr("CAST(conv(substr(md5(sh), 1, 13), 16, 10) AS BIGINT)").as("h1"),
-        expr("CAST(conv(substr(md5(sh), 14, 13), 16, 10) AS BIGINT)").as("h2"))
+      // single md5 per shingle in its own projection, exactly like
+      // p02 (CollapseProject would otherwise duplicate it)
+      val hashed = sh.select(col("doc_id"), md5(col("sh")).as("m"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substr(m, 1, 13), 16, 10) AS BIGINT)").as("h1"),
+          expr("CAST(conv(substr(m, 14, 13), 16, 10) AS BIGINT)").as("h2"))
       val aggs = (0 until 32).map(i =>
         min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
       val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -86,12 +89,17 @@ object DedupBench {
     }
 
     timed("simhash") {
+      // conv bit-packing per token, exactly like p03
       val tok = corpus
         .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
-        .select(col("doc_id"), md5(col("tok")).as("h"))
-      val bitSums = (0 until 32).map(j =>
-        sum(expr(s"CASE WHEN instr('89abcdef', substr(h, ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END"))
-          .as(s"s$j"))
+        .select(col("doc_id") +: (0 until 4).map(g =>
+          expr(s"CAST(conv(substr(md5(tok), ${g * 8 + 1}, 8), 16, 10) AS BIGINT)")
+            .as(s"g$g")): _*)
+      val bitSums = (0 until 32).map { j =>
+        val (g, dIdx) = (j / 8, j % 8)
+        sum(expr(s"CASE WHEN (g$g >> ${31 - 4 * dIdx}) & 1 = 1 THEN 1 ELSE -1 END"))
+          .as(s"s$j")
+      }
       tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"))
         .agg(count(lit(1)).as("docs"))

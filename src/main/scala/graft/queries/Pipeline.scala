@@ -367,11 +367,14 @@ object Pipeline {
              |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm,
              |         CAST(greatest(length(regexp_replace(lower(text), '\s+', ' ', 'g')) - 7, 1) AS BIGINT) AS n_windows
              |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, norm,
+             |         unnest(range(1, greatest(length(norm) - 7, 1) + 1)) AS i
+             |  FROM n
              |), w AS (
              |  SELECT doc_id, norm, CAST(i AS INT) AS i,
              |         least(length(norm) - CAST(i AS INT) + 1, 8) AS wlen
-             |  FROM n, range(1, 4097) t(i)
-             |  WHERE i <= greatest(length(norm) - 7, 1)
+             |  FROM pos
              |), h AS (
              |  SELECT doc_id, i,
              |    CAST(sum(ascii(substr(norm, i + CAST(j AS INT), 1))
@@ -630,10 +633,12 @@ object Pipeline {
              |    64 + n_chars % 513 AS w, 64 + (n_chars * 31) % 417 AS h,
              |    CAST(octet_length(encode(text)) AS BIGINT) AS blen
              |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, text, unnest(range(1, blen + 1)) AS i FROM base
              |), bytes AS (
              |  SELECT doc_id, CAST(i AS BIGINT) AS i,
              |         ascii(substr(text, CAST(i AS INT), 1)) AS bv
-             |  FROM base, range(1, 4097) t(i) WHERE i <= blen
+             |  FROM pos
              |), stats AS (
              |  SELECT doc_id, CAST(sum(bv) AS BIGINT) AS byte_sum,
              |    CAST(count(*) FILTER (WHERE bv BETWEEN 97 AND 122) AS BIGINT) AS lower_cnt,

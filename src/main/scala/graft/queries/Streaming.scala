@@ -44,10 +44,18 @@ object Streaming {
     QDef(
       "s04_stream_join",
       (s, d) => graft.streaming.StreamOps.intervalJoinPairs(s, d),
-      Some("""SELECT a.event_id AS ida, b.event_id AS idb, a.user_id,
+      // the µs truncation (epoch_ns // 1000) mirrors the Spark side's
+      // `ts DIV 1000`: the 10-minute bound must be evaluated on the
+      // same precision or sub-µs remainders could flip boundary pairs
+      Some("""WITH e AS (
+             |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             |         user_id, event_type
+             |  FROM events
+             |)
+             |SELECT a.event_id AS ida, b.event_id AS idb, a.user_id,
              |  a.event_type AS type_a, b.event_type AS type_b,
              |  CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
-             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |FROM e a JOIN e b ON a.user_id = b.user_id
              |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
              |  AND a.event_id < b.event_id""".stripMargin))
   )

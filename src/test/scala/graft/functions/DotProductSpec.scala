@@ -60,6 +60,22 @@ class DotProductSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("null ELEMENT in the clamped range yields null, like zip_with") {
+    DotProduct.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      // null beyond the clamp (shorter other side) doesn't participate
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](5.0)))
+      .toDF("id", "a", "b")
+      .selectExpr("id", "graft_dot(a, b) AS dot")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows === Map(1L -> None, 2L -> Some(11.0), 3L -> Some(5.0)))
+  }
+
   test("rejects non-double-array inputs at analysis") {
     DotProduct.register(spark)
     val err = intercept[Exception] {
