@@ -122,6 +122,12 @@ object GraftFunctions {
     registerStaticVariadic(spark, "dict_get", StringType, 2 to 4)
     registerStaticVariadic(spark, "dict_exists", IntegerType, 2 to 4)
     registerStaticVariadic(spark, "regsub", StringType, 3 to 4)
+
+    // Beyond-reference codegen kernels, exposed to scripts too:
+    // graft_dot(array<double>, array<double>) and
+    // graft_rollhash_min(string).
+    DotProduct.register(spark)
+    RollingHashMin.register(spark)
   }
 
   /** Run `body` with the SQLite script dialect's built-in shadows —

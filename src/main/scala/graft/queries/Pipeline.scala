@@ -75,6 +75,17 @@ object Pipeline {
   private val CpTables = 8
   private val CpProbes = 2
   private val AnnDim = 64 // embedding length, fixed across all SFs
+  // Scale knob (100 TB note): bucket cardinality here is fixed at
+  // 2·AnnDim signed components per table, so bucket OCCUPANCY — and
+  // with it the per-bucket self-join — grows linearly in corpus size
+  // (quadratic pair count). The standard remedy, as in MinHash
+  // banding, is a COMPOSITE bucket key: concatenate the argmaxes of
+  // k independent projections per table (bucket count (2·AnnDim)^k),
+  // choosing k ≈ log_{2·AnnDim}(n/target_bucket_size) so occupancy
+  // stays constant as n grows; probes then multiply across the k
+  // slots. k=1 is the tuned point for this corpus; the pipeline
+  // shape (kernel → bucket equi-join → exact verify) is unchanged
+  // at any k.
 
   // p13 parameters: bigrams in more than DfCap docs leave the inverted
   // index (pruning only — full sets still verify); candidate pairs
@@ -97,7 +108,10 @@ object Pipeline {
   // real-world embeddings cells align with clusters; the operator
   // under test is the partition-pruned SEARCH SHAPE (per-cell
   // equi-joins, candidate set bounded by probes/cells), which is
-  // what survives at 100 TB.
+  // what survives at 100 TB. Scale knob: IVF convention sizes the
+  // cell count ~√n (cells come from a sampled k-means there), so
+  // per-cell scan cost and cell count grow together; the pipeline
+  // shape is unchanged at any K.
   private val IvfCells = 8
   private val IvfProbes = 4
 

@@ -198,6 +198,15 @@ class CliSpec extends SparkSpec {
       "select dict_get('k1 v1 k2 v2 k3 {nes ted}', 'k3', 'nes') as r") == (0, "ted\n"))
   }
 
+  test("beyond-reference codegen kernels are script-callable") {
+    val roll = graft.functions.RollingHashMin.minHash("abcdefghij".getBytes("UTF-8"))
+    assert(sqawk("-noinput",
+      "select graft_rollhash_min('abcdefghij') as r") == (0, s"$roll\n"))
+    val (code, out) = sqawk("-noinput",
+      "select graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) as r")
+    assert(code == 0 && out.trim.toDouble == 11.0)
+  }
+
   test("SQLite date/time functions (sqlite3-verified outputs)") {
     assert(sqawk("-noinput", "select date('2024-01-15 10:30:00') as r") == (0, "2024-01-15\n"))
     assert(sqawk("-noinput", "select datetime('2024-01-15') as r") == (0, "2024-01-15 00:00:00\n"))
