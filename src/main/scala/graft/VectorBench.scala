@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN-at-scale micro-benchmark: 1M+ synthetic 64-dim vectors
+  * generated ON EXECUTORS (seeded SplittableRandom per id — bench
+  * only; the verified operators derive weights from md5 for oracle
+  * parity) and pushed through the p09 cross-polytope bucket-assignment
+  * kernel shape at ~500× the sf0.1 vector count. Two measurements:
+  *
+  *  - kernel throughput: generate + 8×64 projections + top-2 probes
+  *    per vector, one fused loop, zero shuffle (the 100 TB map side);
+  *  - bucket occupancy at composite-key arity k=1 vs k=2 — the scale
+  *    knob documented at Pipeline's CpTables declaration: at k=1 the
+  *    2·64-bucket tables overfill linearly with n (quadratic
+  *    candidate pairs); k=2 (ordered top-2 component pair, ~16k
+  *    buckets/table) restores bounded occupancy. The printed
+  *    max/mean bucket sizes and estimated candidate-pair counts make
+  *    the trade-off concrete.
+  */
+object VectorBench {
+
+  final case class Bucket1(vec_id: Long, tbl: Int, j: Int, sgn: Boolean)
+  final case class Bucket2(
+      vec_id: Long, tbl: Int, j1: Int, sgn1: Boolean, j2: Int, sgn2: Boolean)
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nTables = 8
+    val nDim = 64
+    // ±1 projection weights, seeded deterministically
+    val weights: Array[Array[Double]] = {
+      val rnd = new java.util.SplittableRandom(0x5eed)
+      Array.fill(nTables * nDim)(Array.fill(nDim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    }
+
+    def timed[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[vector-bench] $name: wall=$secs%.2f s (${n / secs}%.0f vec/s)")
+      r
+    }
+
+    /** Generate vector id's components and return its per-table top-2
+      * signed components — the p09 kernel shape. */
+    def topTwo(id: Long): Array[(Int, Int, Boolean, Int, Boolean)] = {
+      val rnd = new java.util.SplittableRandom(id)
+      val v = Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+      val out = new Array[(Int, Int, Boolean, Int, Boolean)](nTables)
+      var t = 0
+      while (t < nTables) {
+        var bestJ = -1; var bestA = -1.0; var bestP = 0.0
+        var secJ = -1; var secA = -1.0; var secP = 0.0
+        var j = 0
+        while (j < nDim) {
+          val w = weights(t * nDim + j)
+          var acc = 0.0
+          var i = 0
+          while (i < nDim) { acc += v(i) * w(i); i += 1 }
+          val a = math.abs(acc)
+          if (a > bestA) {
+            secJ = bestJ; secA = bestA; secP = bestP
+            bestJ = j; bestA = a; bestP = acc
+          } else if (a > secA) { secJ = j; secA = a; secP = acc }
+          j += 1
+        }
+        out(t) = (t, bestJ, bestP > 0, secJ, secP > 0)
+        t += 1
+      }
+      out
+    }
+
+    // Stage 1: kernel throughput (generate + 512 projections + probes).
+    val ranked1 = spark.range(0, n).as[Long].mapPartitions(_.flatMap { id =>
+      topTwo(id).map { case (t, j, sgn, _, _) => Bucket1(id, t, j, sgn) }
+    })
+    timed("cp_kernel_k1") {
+      val r = ranked1.groupBy().agg(count(lit(1)).as("rows")).collect()(0)
+      assert(r.getLong(0) == n * nTables)
+    }
+
+    def occupancy(name: String, buckets: DataFrame): Unit = {
+      val stats = buckets
+        .groupBy(buckets.columns.filter(_ != "vec_id").map(col): _*)
+        .agg(count(lit(1)).as("sz"))
+        .agg(max("sz").as("max_sz"), avg("sz").as("mean_sz"),
+          sum(expr("sz * (sz - 1) / 2")).as("cand_pairs"))
+        .collect()(0)
+      println(s"[vector-bench] $name: max_bucket=${stats.get(0)} " +
+        f"mean_bucket=${stats.getDouble(1)}%.1f est_cand_pairs=${stats.get(2)}")
+    }
+
+    // Stage 2: occupancy — k=1 (home bucket only) vs k=2 composite.
+    occupancy("occupancy_k1", ranked1.toDF())
+    val ranked2 = spark.range(0, n).as[Long].mapPartitions(_.flatMap { id =>
+      topTwo(id).map { case (t, j1, s1, j2, s2) => Bucket2(id, t, j1, s1, j2, s2) }
+    })
+    occupancy("occupancy_k2", ranked2.toDF())
+
+    spark.stop()
+  }
+}
