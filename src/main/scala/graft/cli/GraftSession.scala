@@ -1,6 +1,7 @@
 package graft.cli
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
 
 import scala.jdk.CollectionConverters._
 
@@ -110,7 +111,7 @@ object GraftSession {
     * generations may be wider (MNF expand); `unionByName` NULL-fills
     * like the reference's ALTER TABLE ADD COLUMN. Reads the loose
     * part files too for dirs written by the pre-generation layout. */
-  private def readPersisted(spark: SparkSession, tdir: Path): DataFrame = {
+  private def readPersisted(spark: SparkSession, tdir: Path): Option[DataFrame] = {
     val gens = listDir(tdir)(p =>
       Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-"))
     val legacy = listDir(tdir)(p =>
@@ -118,8 +119,18 @@ object GraftSession {
     val parts =
       (if (legacy.nonEmpty) Seq(spark.read.parquet(legacy.map(_.toString): _*)) else Nil) ++
         gens.map(g => spark.read.parquet(g.toString))
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // empty = a table dir whose only write crashed before the rename
+    // below — treat as absent rather than failing every later run
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   /** Load all files, appending files that share a `table=` target with
     * continuing record numbers (reference: tests.tcl:213-223), and
@@ -144,9 +155,8 @@ object GraftSession {
     for (dir <- dbDir if Files.isDirectory(dir)) {
       val persisted = listDir(dir)(p =>
         Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
-      for (sub <- persisted) {
+      for (sub <- persisted; df <- readPersisted(spark, sub)) {
         val name = sub.getFileName.toString
-        val df = readPersisted(spark, sub)
         val countFile = dir.resolve(s"$name.count")
         val n =
           if (Files.exists(countFile)) Files.readString(countFile).trim.toLong
@@ -199,13 +209,27 @@ object GraftSession {
         val gen = listDir(tdir)(p => p.getFileName.toString.startsWith("gen-"))
           .map(_.getFileName.toString.stripPrefix("gen-").toInt)
           .maxOption.getOrElse(-1) + 1
-        df.write.mode("errorifexists").parquet(tdir.resolve(f"gen-$gen%05d").toString)
+        // Crash safety: write into a dot-prefixed temp dir (readers
+        // skip dot entries), then atomically rename into place — a
+        // failed or interrupted write can never surface as a visible
+        // generation, and stale temp dirs are swept on the next run.
+        listDir(tdir)(p => p.getFileName.toString.startsWith(".tmp-"))
+          .foreach(deleteRecursively)
+        val genName = f"gen-$gen%05d"
+        val tmp = tdir.resolve(s".tmp-$genName")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        try Files.move(tmp, tdir.resolve(genName), StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: AtomicMoveNotSupportedException =>
+            Files.move(tmp, tdir.resolve(genName))
+        }
         Files.writeString(dir.resolve(s"$name.count"), counts(name).toString)
       }
       // Re-read written tables so views read back from parquet (input
       // temp files like the stdin spool do not outlive the process).
       tables = tables.map { case (name, df) =>
-        if (added.contains(name)) name -> readPersisted(spark, dir.resolve(name))
+        if (added.contains(name))
+          name -> readPersisted(spark, dir.resolve(name)).getOrElse(df)
         else name -> df
       }
     }

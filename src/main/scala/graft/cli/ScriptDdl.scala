@@ -94,6 +94,11 @@ object ScriptDdl {
           if (names.length != rows.columns.length)
             throw new IllegalArgumentException(
               s"${names.length} columns but ${rows.columns.length} values were supplied")
+          // unknown target columns error like sqlite3, instead of the
+          // value silently vanishing in the NULL-fill below
+          for (n <- names if !target.columns.exists(_.equalsIgnoreCase(n)))
+            throw new IllegalArgumentException(
+              s"table $name has no column named $n")
           val named = rows.toDF(names: _*)
           val filled = target.columns.foldLeft(named) { (df, c) =>
             if (names.exists(_.equalsIgnoreCase(c))) df

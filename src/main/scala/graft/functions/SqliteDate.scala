@@ -83,7 +83,13 @@ object SqliteDate {
     mod match {
       case NumUnit(n, unit) =>
         val x = n.toDouble
-        Some(unit match {
+        // month/year counts must stay Int-exact: Double→Int saturation
+        // followed by Int wrap-around can otherwise land back INSIDE
+        // the calendar and silently fabricate a date (second/hour
+        // overflows throw from plusNanos and are caught by resolve;
+        // the final julian-range filter there rejects the rest)
+        if ((unit == "month" || unit == "year") && x.abs > 1.7e8) None
+        else Some(unit match {
           case "day" => plusSeconds(dt, x * SecondsPerDay)
           case "hour" => plusSeconds(dt, x * 3600)
           case "minute" => plusSeconds(dt, x * 60)
@@ -112,7 +118,7 @@ object SqliteDate {
 
   /** Resolve a time value + modifier list to a UTC LocalDateTime;
     * None (→ SQL NULL) on any invalid part. */
-  def resolve(v: String, mods: Seq[String]): Option[LocalDateTime] = {
+  def resolve(v: String, mods: Seq[String]): Option[LocalDateTime] = try {
     if (v == null || mods.exists(_ == null)) return None
     var rest = mods.map(_.trim.toLowerCase)
     val base: Option[LocalDateTime] =
@@ -121,6 +127,14 @@ object SqliteDate {
         else { rest = rest.tail; Some(fromEpochSeconds(v.trim.toDouble)) }
       } else parse(v)
     rest.foldLeft(base)((acc, m) => acc.flatMap(applyModifier(_, m)))
+      // sqlite3 validates the result against its julian-day range
+      // (date.c: years -4713..9999) and yields NULL outside it
+      .filter(dt => dt.getYear >= -4713 && dt.getYear <= 9999)
+  } catch {
+    // out-of-range epochs / modifier arithmetic overflow
+    // (DateTimeException, saturated int math, …) are invalid input →
+    // SQL NULL, like sqlite3 — never a query-aborting throw
+    case _: Exception => None
   }
 
   private def fmt(v: UTF8String, mods: Seq[UTF8String], pattern: String): UTF8String =

@@ -81,6 +81,9 @@ object TclRegex {
       if (close > 2 && re.substring(2, close).forall(_.isLetter)) {
         val opts = re.substring(2, close)
         re = re.substring(close + 1)
+        // all letters of the director apply before 'q' takes effect
+        // (regcomp parses the whole director, so (?qi) == (?iq))
+        var quote = false
         opts.foreach {
           case 'i' => flags |= Pattern.CASE_INSENSITIVE
           case 'c' => flags &= ~Pattern.CASE_INSENSITIVE
@@ -91,13 +94,13 @@ object TclRegex {
           case 's' => flags |= Pattern.DOTALL // non-newline-sensitive (default)
           case 'x' => flags |= Pattern.COMMENTS // expanded syntax
           case 't' => flags &= ~Pattern.COMMENTS // tight syntax (default)
-          case 'q' => // remainder is a literal string
-            return Pattern.compile(Pattern.quote(re), flags)
+          case 'q' => quote = true // remainder is a literal string
           case 'e' | 'b' => // ERE/BRE syntax levels: pass body through
           case other =>
             throw new IllegalArgumentException(
               s"regexp: unknown embedded option '$other' in '$re0'")
         }
+        if (quote) return Pattern.compile(Pattern.quote(re), flags)
       }
     }
 

@@ -131,6 +131,7 @@ object ImageCodec {
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
+          require(pos + 9 <= b.length, "JPEG truncated inside SOF")
           return Dims("jpeg", readBe16(b, pos + 7), readBe16(b, pos + 5))
         }
         if (marker == 0xd9 || marker == 0xda) {

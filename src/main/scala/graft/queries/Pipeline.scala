@@ -805,10 +805,10 @@ object Pipeline {
     // measured SLOWER than the join. The kernel does identical flops
     // with zero shuffle, zero window and no per-element allocation
     // before the candidate stage.
+    val md = java.security.MessageDigest.getInstance("MD5") // digest() resets it
     val weights: Array[Array[Double]] =
       (for (t <- 0 until CpTables; j <- 0 until AnnDim) yield {
         (1 to AnnDim).map { i =>
-          val md = java.security.MessageDigest.getInstance("MD5")
           val hex = md.digest(s"cp$t:$j:$i".getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
           if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0
@@ -893,10 +893,10 @@ object Pipeline {
     // arithmetic as the oracle's weights CTE. Norms precomputed so
     // the kernel ranks by dot/|c| (cosine up to the constant |v|)
     // with the SAME operation order as the oracle's sum(x*w)/cn.
+    val md = java.security.MessageDigest.getInstance("MD5") // digest() resets it
     val cents: Array[Array[Double]] =
       (0 until IvfCells).map { c =>
         (1 to AnnDim).map { i =>
-          val md = java.security.MessageDigest.getInstance("MD5")
           val hex = md.digest(s"ivf$c:$i".getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
           java.lang.Long.parseLong(hex.substring(0, 13), 16) / 4503599627370496.0 * 2 - 1
@@ -1014,10 +1014,12 @@ object Pipeline {
   private def ngramJaccardOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, $toksDuck AS tk FROM documents
+       |), kpos AS (
+       |  SELECT doc_id, tk, unnest(range(1, len(tk))) AS k FROM toks
        |), sh AS (
        |  SELECT DISTINCT doc_id,
        |    tk[CAST(k AS INT)] || ' ' || tk[CAST(k AS INT) + 1] AS sh
-       |  FROM toks, range(1, 2049) t(k) WHERE k <= len(tk) - 1
+       |  FROM kpos
        |), dfreq AS (
        |  SELECT sh, count(*) AS dfreq FROM sh GROUP BY sh
        |), rare AS (
@@ -1085,10 +1087,12 @@ object Pipeline {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH toks AS (
        |  SELECT doc_id, $toksDuck AS tk FROM documents
+       |), kpos AS (
+       |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS k FROM toks
        |), sh AS (
        |  SELECT DISTINCT doc_id,
        |    tk[CAST(k AS INT)] || ' ' || tk[CAST(k AS INT) + 1] || ' ' || tk[CAST(k AS INT) + 2] AS sh
-       |  FROM toks, range(1, 2049) t(k) WHERE k <= len(tk) - 2
+       |  FROM kpos
        |), hashed AS (
        |  SELECT doc_id,
        |    CAST(('0x' || substr(md5(sh), 1, 13)) AS BIGINT) AS h1,

@@ -70,8 +70,8 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("c"), col("sv"))
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-out")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val out = tempDir("graft-stream-out")
+    val ckpt = tempDir("graft-stream-ckpt")
     withStatePartitions(spark) {
       val q = agg.writeStream.format("parquet")
         .option("path", out.toString)
@@ -109,8 +109,8 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
       .select(col("window.start").as("h"), col("event_type"), col("c"), col("sv"))
-    val out = java.nio.file.Files.createTempDirectory("graft-dedup-out")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt")
+    val out = tempDir("graft-dedup-out")
+    val ckpt = tempDir("graft-dedup-ckpt")
     withStatePartitions(spark) {
       val q = agg.writeStream.format("parquet")
         .option("path", out.toString)
@@ -149,8 +149,8 @@ object StreamOps {
         col("a.user_id").as("user_id"),
         col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
         (col("b.ts").cast("long") - col("a.ts").cast("long")).as("gap_s"))
-    val out = java.nio.file.Files.createTempDirectory("graft-sjoin-out")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjoin-ckpt")
+    val out = tempDir("graft-sjoin-out")
+    val ckpt = tempDir("graft-sjoin-ckpt")
     // inner-join matches emit on arrival — the trailing no-data
     // micro-batch exists only to evict state early, which a bounded
     // run doesn't need; skipping it saves a full state-store pass
@@ -166,6 +166,21 @@ object StreamOps {
       finally q.stop()
     } finally spark.conf.set(noData, prevNoData)
     spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
+  }
+
+  /** Temp dir for a sink/checkpoint, removed on JVM exit — the
+    * returned DataFrames read the sink dir lazily for the rest of the
+    * process, so cleanup must not run earlier. */
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      catch { case _: Exception => () }
+      finally s.close()
+    }))
+    p
   }
 
   /** Runs `body` with `spark.sql.shuffle.partitions` sized for the

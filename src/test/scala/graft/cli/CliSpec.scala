@@ -259,6 +259,11 @@ class CliSpec extends SparkSpec {
     // invalid value or modifier → NULL → empty
     assert(sqawk("-noinput", "select date('junk','+1 day') as r") == (0, "\n"))
     assert(sqawk("-noinput", "select date('2024-01-15','bogus modifier') as r") == (0, "\n"))
+    // out-of-range values overflow to NULL like sqlite3, never throw
+    assert(sqawk("-noinput",
+      "select datetime('99999999999999999999','unixepoch') as r") == (0, "\n"))
+    assert(sqawk("-noinput",
+      "select date('2024-01-01','+100000000000 years') as r") == (0, "\n"))
     // 'now' resolves to a plausible current date
     val (c, o) = sqawk("-noinput", "select date('now') as r")
     assert(c == 0 && o.trim.matches("20\\d{2}-\\d{2}-\\d{2}"))
@@ -371,6 +376,24 @@ class CliSpec extends SparkSpec {
     assert(gens == Vector("gen-00000", "gen-00001"))
   }
 
+  test("-dbfile survives a crashed generation write") {
+    import java.nio.file.{Files => F, Paths}
+    val db = F.createTempDirectory("graft-db").resolve("db").toString
+    // simulate a table dir whose only write died mid-flight: a
+    // dot-prefixed temp dir with partial output and no visible gen
+    val crashed = Paths.get(db + ".d", "b", ".tmp-gen-00000")
+    F.createDirectories(crashed)
+    F.writeString(crashed.resolve("part-00000.parquet"), "torn write")
+    // the dir must not brick later runs: 'b' is treated as absent,
+    // loading works, and the stale temp dir is swept on next write
+    val f = tempFile("foo 1\n")
+    assert(sqawk("-dbfile", db, "select a2 from a", f) == (0, "1\n"))
+    val f2 = tempFile("bar 2\n")
+    assert(sqawk("-dbfile", db, "select b2 from b", "table=b", f2) == (0, "2\n"))
+    assert(!F.exists(crashed), "stale temp dir must be swept by the next write")
+    assert(sqawk("-dbfile", db, "-noinput", "select b2 from b") == (0, "2\n"))
+  }
+
   test("key=value args are settings even when a file by that name exists (sqawk-dev.tcl:120-136)") {
     import java.nio.file.{Files => F, Paths}
     // The reference classifies by pattern only: a stray file named
@@ -401,6 +424,11 @@ class CliSpec extends SparkSpec {
         "select k, v from kv order by k",
       f)
     assert((c, o) == (0, "foo 10\nx 1\ny 2\nz \n"))
+    // unknown target column errors like sqlite3 instead of silently
+    // inserting an all-NULL row
+    val (c2, _) = sqawk(
+      "create table kv2 (k, v); insert into kv2 (nosuch) values (5); select 1", f)
+    assert(c2 == 1)
   }
 
   test("DROP TABLE removes the view; IF EXISTS tolerates absence") {

@@ -70,6 +70,11 @@ class TclCompatSpec extends AnyFunSuite {
     assert(GraftFunctions.tclRegexp("""\ybar\y""", "a bar b") == 1)
     assert(GraftFunctions.tclRegexp("""\Ybar\Y""", "xbary") == 1)
     assert(GraftFunctions.tclRegsub(all = true, """\y\w+\y""", "one two", "X") == "X X")
+    // director letters all apply before 'q' quoting: (?qi) == (?iq)
+    assert(GraftFunctions.tclRegexp("(?qi)HELLO", "hello") == 1)
+    assert(GraftFunctions.tclRegexp("(?iq)HELLO", "hello") == 1)
+    assert(GraftFunctions.tclRegexp("(?q)a.c", "abc") == 0)
+    assert(GraftFunctions.tclRegexp("(?q)a.c", "xa.cx") == 1)
     assert(GraftFunctions.tclRegsub(all = false, """\M""", "word up", "!") == "word! up")
     assert(GraftFunctions.tclRegexp("""\m\w+""", "héllo") == 1) // Unicode word chars
   }
