@@ -713,6 +713,60 @@ object Pipeline {
              |      FROM documents)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // p19: CURATION FUNNEL — the composition the individual operators
+    // exist for: one pass produces the training-set keep decision per
+    // document as the conjunction of (a) exact-dedup survivorship
+    // (doc_id = min over its content hash — a groupBy + semi-join,
+    // the only shuffle), (b) the p04 quality gate, (c) the p05
+    // language gate. Per-stage booleans are emitted so the oracle
+    // pins each gate, not just the conjunction. At 100 TB the gates
+    // are codegen projections fused into the scan; only the dedup
+    // stage shuffles, hash-partitioned by content hash.
+    QDef(
+      "p19_curation_funnel",
+      (s, d) => {
+        val base = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+          .withColumn("pass_quality",
+            col("n_tokens").between(8, 2000) &&
+              col("n_distinct") * 10 >= col("n_tokens") * 3)
+          .withColumn("s_en", expr(langScore("array", Pipeline.enStops)))
+          .withColumn("s_de", expr(langScore("array", Pipeline.deStops)))
+          .withColumn("s_es", expr(langScore("array", Pipeline.esStops)))
+          .withColumn("s_fr", expr(langScore("array", Pipeline.frStops)))
+          .withColumn("pass_lang", expr(langCase) === "en")
+        val survivors = base
+          .groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        base
+          .join(survivors.withColumn("pass_dedup", lit(true)), Seq("doc_id"), "left")
+          .na.fill(false, Seq("pass_dedup"))
+          .select(col("doc_id"), col("n_tokens"),
+            col("pass_dedup"), col("pass_quality"), col("pass_lang"),
+            (col("pass_dedup") && col("pass_quality") && col("pass_lang")).as("keep"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, text, $toksDuck AS toks FROM documents
+              |), g AS (
+              |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+              |    len(toks) BETWEEN 8 AND 2000
+              |      AND len(list_distinct(toks)) * 10 >= len(toks) * 3 AS pass_quality,
+              |    ${duckScore(Pipeline.enStops)} AS s_en,
+              |    ${duckScore(Pipeline.deStops)} AS s_de,
+              |    ${duckScore(Pipeline.esStops)} AS s_es,
+              |    ${duckScore(Pipeline.frStops)} AS s_fr,
+              |    doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS pass_dedup
+              |  FROM t
+              |)
+              |SELECT doc_id, n_tokens, pass_dedup, pass_quality,
+              |  $langCase = 'en' AS pass_lang,
+              |  pass_dedup AND pass_quality AND ($langCase = 'en') AS keep
+              |FROM g""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // p12: SALTED SKEW JOIN — events join on event_type (~5 distinct
     // values: every key is hot, the worst shuffle-join skew). The salt
     // spreads each hot key over 16 sub-partitions: the fact side gets
