@@ -115,6 +115,20 @@ object Pipeline {
   private val IvfCells = 8
   private val IvfProbes = 4
 
+  // p20 thresholds (Gopher/MassiveText-style intra-document repetition
+  // gates, re-tuned on this corpus so both classes are populated):
+  // most-common-token fraction ≤ 1/RepTopMult, duplicate-bigram
+  // fraction ≤ 1/RepDupBiMult.
+  private val RepTopMult = 10
+  private val RepDupBiMult = 20
+
+  // p21 patterns — deliberately restricted to the regex subset with
+  // identical semantics in java.util.regex (Spark codegen) and RE2
+  // (DuckDB): character classes, bounded repetition, no lookaround.
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\+1-[0-9]{3}-[0-9]{4}"""
+  private val IpRe = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
+
   val all: Vector[QDef] = Vector(
     // ------------------------------------------------------------------
     // p01: EXACT DEDUP — content-hash groupBy. The 500-doc corpus has no
@@ -765,6 +779,168 @@ object Pipeline {
               |  $langCase = 'en' AS pass_lang,
               |  pass_dedup AND pass_quality AND ($langCase = 'en') AS keep
               |FROM g""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p20: INTRA-DOC REPETITION FILTER — the Gopher/MassiveText quality
+    // gate the inter-doc dedup family (p01/p02/p13) does not cover:
+    // repetition WITHIN a document (boilerplate, keyword stuffing,
+    // degenerate generations). Signals: most-common-token count (run
+    // length over the sorted token array — O(n log n) per doc, NOT the
+    // naive O(n·distinct) count-per-token scan) and duplicate-bigram
+    // count; keep = both fractions under threshold, integer arithmetic
+    // only so the oracle hash is exact. Scale shape: pure per-row
+    // array expressions, zero shuffle — the gate fuses into the scan
+    // like p04/p05 and survives any corpus size untouched.
+    QDef(
+      "p20_repetition_filter",
+      (s, d) => docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("bi", expr(
+          """CASE WHEN size(toks) >= 2
+            |THEN transform(sequence(0, size(toks) - 2),
+            |               k -> concat(toks[k], ' ', toks[k + 1]))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .withColumn("top_count", expr(
+          """aggregate(array_sort(toks),
+            |  named_struct('run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
+            |               'prev', CAST(NULL AS STRING)),
+            |  (acc, x) -> named_struct(
+            |    'run', IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT)),
+            |    'best', greatest(acc.best,
+            |                     IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT))),
+            |    'prev', x),
+            |  acc -> acc.best)""".stripMargin))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("n_bigrams", size(col("bi")).cast("long"))
+        .withColumn("n_distinct_bigrams",
+          size(array_distinct(col("bi"))).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("top_count"), col("n_bigrams"), col("n_distinct_bigrams"),
+          (col("top_count") * RepTopMult <= col("n_tokens") &&
+            (col("n_bigrams") - col("n_distinct_bigrams")) * RepDupBiMult
+              <= col("n_bigrams")).as("keep")),
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+              |c AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+              |tc AS (SELECT doc_id, max(c) AS top_count FROM c GROUP BY doc_id),
+              |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+              |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+              |        CASE WHEN len(toks) >= 2
+              |          THEN list_transform(range(1, len(toks)),
+              |                              i -> toks[i] || ' ' || toks[i + 1])
+              |          ELSE [] END AS bi
+              |      FROM t)
+              |SELECT b.doc_id, n_tokens, n_distinct,
+              |  CAST(coalesce(top_count, 0) AS BIGINT) AS top_count,
+              |  CAST(len(bi) AS BIGINT) AS n_bigrams,
+              |  CAST(len(list_distinct(bi)) AS BIGINT) AS n_distinct_bigrams,
+              |  coalesce(top_count, 0) * $RepTopMult <= n_tokens
+              |    AND (len(bi) - len(list_distinct(bi))) * $RepDupBiMult
+              |          <= len(bi) AS keep
+              |FROM b LEFT JOIN tc ON b.doc_id = tc.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p21: PII SCRUB — the redaction pass a web-scale curation pipeline
+    // runs before training (emails / phone numbers / IPv4 addresses →
+    // typed placeholders, plus per-doc match counts for audit). The
+    // synthetic corpus contains no PII, so the operator first injects
+    // deterministic doc_id-derived spans (so the oracle can recompute
+    // the exact augmented text), then provably finds and redacts them;
+    // the hash compare covers the FULL redacted string, not just
+    // counts. Patterns live in the java.util.regex ∩ RE2 common
+    // subset. Scale shape: codegen regexp projection, zero shuffle.
+    QDef(
+      "p21_pii_scrub",
+      (s, d) => docs(s, d)
+        .withColumn("aug", concat(
+          col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" cc admin"), col("doc_id").cast("string"),
+              lit("@corp.test.org"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" host 10.0."), (col("doc_id") % 200).cast("string"),
+              lit("."), (col("doc_id") % 97).cast("string")))
+            .otherwise(lit(""))))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all(col("aug"), lit(IpRe), lit(0)))
+            .cast("long").as("n_ips"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+              PhoneRe, "<PHONE>"),
+            IpRe, "<IP>").as("redacted")),
+      Some(s"""WITH a AS (
+              |  SELECT doc_id, text
+              |    || CASE WHEN doc_id % 3 <> 0
+              |         THEN ' reach user' || doc_id || '@example.com' ELSE '' END
+              |    || CASE WHEN doc_id % 5 = 0
+              |         THEN ' cc admin' || doc_id || '@corp.test.org' ELSE '' END
+              |    || CASE WHEN doc_id % 4 = 0
+              |         THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |         ELSE '' END
+              |    || CASE WHEN doc_id % 7 = 0
+              |         THEN ' host 10.0.' || (doc_id % 200) || '.' || (doc_id % 97)
+              |         ELSE '' END AS aug
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+              |  CAST(len(regexp_extract_all(aug, '$IpRe')) AS BIGINT) AS n_ips,
+              |  regexp_replace(regexp_replace(regexp_replace(aug,
+              |    '$EmailRe', '<EMAIL>', 'g'),
+              |    '$PhoneRe', '<PHONE>', 'g'),
+              |    '$IpRe', '<IP>', 'g') AS redacted
+              |FROM a""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p22: INT8 EMBEDDING QUANTIZATION — symmetric per-vector int8
+    // quantization (q_i = round(x_i · 127 / max|x|)), the standard 4×
+    // storage/bandwidth reduction applied to embedding columns before
+    // ANN serving at scale. Rounding is spelled as an explicit
+    // floor/ceil half-away-from-zero so both engines compute
+    // bit-identical integers regardless of their round() tie rules;
+    // the scale factor is emitted as integer ppm for the same reason.
+    // Scale shape: per-row array arithmetic, zero shuffle.
+    QDef(
+      "p22_embed_quantize",
+      (s, d) => emb(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mx",
+          expr("greatest(array_max(transform(v, x -> abs(x))), CAST(1e-300 AS DOUBLE))"))
+        .withColumn("q", expr(
+          """transform(v, x -> CAST(
+            |  CASE WHEN x * 127.0 / mx >= 0 THEN floor(x * 127.0 / mx + 0.5)
+            |       ELSE ceil(x * 127.0 / mx - 0.5) END AS BIGINT))""".stripMargin))
+        .select(col("vec_id"),
+          expr("CAST(floor(mx * 1000000 + 0.5) AS BIGINT)").as("scale_ppm"),
+          expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").as("q_csv"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))").as("l1")),
+      Some("""WITH e AS (SELECT vec_id,
+             |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |       FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |        greatest(list_max(list_transform(v, x -> abs(x))), 1e-300) AS mx
+             |      FROM e),
+             |qq AS (SELECT vec_id, mx, list_transform(v, x -> CAST(
+             |         CASE WHEN x * 127.0 / mx >= 0 THEN floor(x * 127.0 / mx + 0.5)
+             |              ELSE ceil(x * 127.0 / mx - 0.5) END AS BIGINT)) AS q
+             |       FROM m)
+             |SELECT vec_id, CAST(floor(mx * 1000000 + 0.5) AS BIGINT) AS scale_ppm,
+             |  array_to_string(q, ',') AS q_csv,
+             |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS l1
+             |FROM qq""".stripMargin)),
 
     // ------------------------------------------------------------------
     // p12: SALTED SKEW JOIN — events join on event_type (~5 distinct

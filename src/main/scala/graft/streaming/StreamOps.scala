@@ -140,6 +140,12 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val a = src().withWatermark("ts", "1 hour").alias("a")
     val b = src().withWatermark("ts", "1 hour").alias("b")
+    // note: StreamingJoinHelper logs a scary-but-benign
+    // "[INTERNAL_ERROR] Cannot evaluate expression: event_id" WARN while
+    // probing conjuncts for extra state bounds — the non-temporal
+    // id-ordering predicate can't yield one (and spelling it as a
+    // post-join filter doesn't help: PushPredicateThroughJoin merges it
+    // right back). State eviction comes from the event-time range.
     val joined = a.join(b,
         col("a.user_id") === col("b.user_id") &&
           col("b.ts") >= col("a.ts") &&

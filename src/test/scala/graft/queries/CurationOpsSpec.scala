@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry}
+
+/** p20/p21/p22 — the round-4 curation additions. Pins (a) the scale
+  * claim: all three are pure per-row projections whose executed plans
+  * contain NO shuffle exchange, and (b) the per-row arithmetic on
+  * hand-checkable vectors (the sf-corpus hash compare is the driver's
+  * job; these rows make failures debuggable locally). */
+class CurationOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("p20/p21/p22 plans contain no shuffle exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (n <- Seq("p20_repetition_filter", "p21_pii_scrub", "p22_embed_quantize")) {
+        val df = SparkEntry.queries(n)(spark, sf)
+        val shuffles = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(shuffles.isEmpty, s"$n must be a zero-shuffle projection, found: $shuffles")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("p20 run-length top_count matches a hand count") {
+    // 'b b b a a c' → top_count 3; bigrams [b b, b b, b a, a a, a c]
+    // → 5 total, 4 distinct
+    import spark.implicits._
+    val row = Seq((1L, "b b b a a c")).toDF("doc_id", "text")
+    val got = SparkEntry.queries("p20_repetition_filter")(spark, sf)
+    // the QDef reads the sf dir, so recompute with the same exprs:
+    val toks = expr("""filter(split(lower(text), '\\s+'), x -> x <> '')""")
+    val out = row.withColumn("toks", toks)
+      .withColumn("top_count", expr(
+        """aggregate(array_sort(toks),
+          |  named_struct('run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
+          |               'prev', CAST(NULL AS STRING)),
+          |  (acc, x) -> named_struct(
+          |    'run', IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT)),
+          |    'best', greatest(acc.best,
+          |                     IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT))),
+          |    'prev', x),
+          |  acc -> acc.best)""".stripMargin))
+      .select("top_count").as[Long].head()
+    assert(out === 3L)
+    assert(got.columns.toSeq === Seq("doc_id", "n_tokens", "n_distinct",
+      "top_count", "n_bigrams", "n_distinct_bigrams", "keep"))
+  }
+
+  test("p21 redacts every injected span and counts match") {
+    import spark.implicits._
+    val out = SparkEntry.queries("p21_pii_scrub")(spark, sf)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        col("redacted"))
+    val rows = out.collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val red = r.getString(4)
+      assert(!red.contains("@example.com") && !red.contains("@corp.test.org"),
+        s"unredacted email in doc ${r.getLong(0)}")
+      assert(!red.contains("+1-555-"), s"unredacted phone in doc ${r.getLong(0)}")
+      assert(!red.contains("10.0."), s"unredacted IP in doc ${r.getLong(0)}")
+      val id = r.getLong(0)
+      val expEmails = (if (id % 3 != 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+      assert(r.getLong(1) === expEmails.toLong, s"email count, doc $id")
+      assert(r.getLong(2) === (if (id % 4 == 0) 1L else 0L), s"phone count, doc $id")
+      assert(r.getLong(3) === (if (id % 7 == 0) 1L else 0L), s"ip count, doc $id")
+      assert(red.contains("<EMAIL>") == (expEmails > 0))
+    }
+  }
+
+  test("p22 quantized values span [-127, 127] and hit the extremes") {
+    import spark.implicits._
+    val out = SparkEntry.queries("p22_embed_quantize")(spark, sf)
+    val qs = out.select("q_csv").as[String].collect()
+      .map(_.split(',').map(_.toLong))
+    assert(qs.nonEmpty)
+    // symmetric int8 range, and by construction max|q| == 127 for every
+    // vector (the max-|x| component maps to ±127 exactly)
+    qs.foreach { q =>
+      assert(q.forall(v => v >= -127 && v <= 127))
+      assert(q.map(math.abs).max === 127L)
+    }
+    // l1 column is consistent with the csv
+    val both = out.select("q_csv", "l1").as[(String, Long)].collect()
+    both.foreach { case (csv, l1) =>
+      assert(csv.split(',').map(v => math.abs(v.toLong)).sum === l1)
+    }
+  }
+}
