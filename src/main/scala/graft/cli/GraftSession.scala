@@ -37,9 +37,25 @@ object GraftSession {
   /** Spool stdin to a temp file in 1 MiB chunks (the reference's
     * buffered-read granularity, awk.tcl:150) so every format goes
     * through its normal file reader — stdin is never buffered whole
-    * on the driver. */
+    * on the driver.
+    *
+    * The spool lands in `java.io.tmpdir` by default, which is only
+    * readable by executors in local mode; on a real cluster point
+    * `graft.staging.dir` (system property) or `SPARK_GRAFT_STAGING_DIR`
+    * (env) at a shared filesystem (NFS/HDFS-fuse/object-store mount)
+    * so executors can read the spooled input. */
+  private def stagingDir: Option[Path] =
+    sys.props.get("graft.staging.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_STAGING_DIR"))
+      .map(Paths.get(_))
+
   private def spoolStdin(): String = {
-    val f = Files.createTempFile("graft-stdin", ".dat")
+    val f = stagingDir match {
+      case Some(d) =>
+        Files.createDirectories(d)
+        Files.createTempFile(d, "graft-stdin", ".dat")
+      case None => Files.createTempFile("graft-stdin", ".dat")
+    }
     f.toFile.deleteOnExit()
     val out = Files.newOutputStream(f)
     try {

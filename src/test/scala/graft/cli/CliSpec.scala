@@ -3,6 +3,8 @@ package graft.cli
 import java.io.StringWriter
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import graft.functions.GraftFunctions
 
@@ -326,6 +328,17 @@ class CliSpec extends SparkSpec {
       assert(sqawk("-NF", "1", "select k from a",
         "format=tcl", "kv=1", "lines=1", "header=1", "-") == (0, "100\n101\n"))
     }
+  }
+
+  test("graft.staging.dir redirects the stdin spool (shared-FS deployments)") {
+    val dir = Files.createTempDirectory("graft-staging")
+    System.setProperty("graft.staging.dir", dir.toString)
+    try withStdin("p q\n") {
+      assert(sqawk("select a2 from a", "-") == (0, "q\n"))
+      val spools = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("graft-stdin")).toVector
+      assert(spools.nonEmpty, s"spool file should land in $dir")
+    } finally System.clearProperty("graft.staging.dir")
   }
 
   test("-dbfile persists tables across invocations (tests.tcl:1398-1474)") {
