@@ -53,6 +53,35 @@ class CurationOpsSpec extends SparkSpec {
       "top_count", "n_bigrams", "n_distinct_bigrams", "keep"))
   }
 
+  test("p20 run-length top_count equals naive per-token max on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "e")
+    val docsGen = (1 to 200).map { i =>
+      val n = rnd.nextInt(30) // includes empty docs
+      (i.toLong, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val expected = docsGen.map { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      id -> (if (toks.isEmpty) 0L
+             else toks.groupBy(identity).values.map(_.length).max.toLong)
+    }.toMap
+    val got = docsGen.toDF("doc_id", "text")
+      .withColumn("toks", expr("""filter(split(lower(text), '\\s+'), x -> x <> '')"""))
+      .withColumn("top_count", expr(
+        """aggregate(array_sort(toks),
+          |  named_struct('run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
+          |               'prev', CAST(NULL AS STRING)),
+          |  (acc, x) -> named_struct(
+          |    'run', IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT)),
+          |    'best', greatest(acc.best,
+          |                     IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT))),
+          |    'prev', x),
+          |  acc -> acc.best)""".stripMargin))
+      .select("doc_id", "top_count").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
   test("p21 redacts every injected span and counts match") {
     import spark.implicits._
     val out = SparkEntry.queries("p21_pii_scrub")(spark, sf)
