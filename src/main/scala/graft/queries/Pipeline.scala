@@ -50,9 +50,26 @@ object Pipeline {
 
   // ---- shared text fragments -------------------------------------------
 
-  /** Non-empty lowercase whitespace tokens, as a Spark expression. */
-  private val toksExpr =
+  /** Non-empty lowercase whitespace tokens, as a Spark expression.
+    * `private[queries]` so CurationOpsSpec tests the production
+    * expression, not a pasted copy. */
+  private[queries] val toksExpr =
     """filter(split(lower(text), '\\s+'), x -> x <> '')"""
+
+  /** p20's most-common-token count: a run-length scan over the sorted
+    * token array (O(n log n) per doc, vs the naive O(n·distinct)
+    * count-per-token sweep). Shared with CurationOpsSpec for the same
+    * reason as [[toksExpr]]. */
+  private[queries] val topCountExpr =
+    """aggregate(array_sort(toks),
+      |  named_struct('run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
+      |               'prev', CAST(NULL AS STRING)),
+      |  (acc, x) -> named_struct(
+      |    'run', IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT)),
+      |    'best', greatest(acc.best,
+      |                     IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT))),
+      |    'prev', x),
+      |  acc -> acc.best)""".stripMargin
 
   /** Same tokens in the DuckDB dialect. */
   private val toksDuck =
@@ -730,16 +747,24 @@ object Pipeline {
     // p19: CURATION FUNNEL — the composition the individual operators
     // exist for: one pass produces the training-set keep decision per
     // document as the conjunction of (a) exact-dedup survivorship
-    // (doc_id = min over its content hash — a groupBy + semi-join,
-    // the only shuffle), (b) the p04 quality gate, (c) the p05
-    // language gate. Per-stage booleans are emitted so the oracle
-    // pins each gate, not just the conjunction. At 100 TB the gates
-    // are codegen projections fused into the scan; only the dedup
-    // stage shuffles, hash-partitioned by content hash.
+    // (doc_id = min(doc_id) over the content-hash window — the ONE
+    // shuffle, hash-partitioned by sha256(text), dup-group-sized
+    // partitions), (b) the p04 quality gate, (c) the p05 language
+    // gate. The corpus has no byte-identical texts, so like p01 we
+    // union a doc_id+1000000 shifted copy: every copy must come out
+    // pass_dedup=false, so the oracle exercises BOTH branches of the
+    // dedup gate (r4 review finding: without this the gate was
+    // constant-true and unfalsifiable). Per-stage booleans are
+    // emitted so the oracle pins each gate, not just the conjunction.
+    // At 100 TB the gates are codegen projections fused into the
+    // scan; only the dedup window shuffles.
     QDef(
       "p19_curation_funnel",
       (s, d) => {
-        val base = docs(s, d)
+        val un = docs(s, d).select(col("doc_id"), col("text"))
+          .unionByName(docs(s, d)
+            .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        un
           .withColumn("toks", expr(toksExpr))
           .withColumn("n_tokens", size(col("toks")).cast("long"))
           .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
@@ -751,19 +776,19 @@ object Pipeline {
           .withColumn("s_es", expr(langScore("array", Pipeline.esStops)))
           .withColumn("s_fr", expr(langScore("array", Pipeline.frStops)))
           .withColumn("pass_lang", expr(langCase) === "en")
-        val survivors = base
-          .groupBy(sha2(col("text"), 256).as("h"))
-          .agg(min("doc_id").as("doc_id"))
-          .select("doc_id")
-        base
-          .join(survivors.withColumn("pass_dedup", lit(true)), Seq("doc_id"), "left")
-          .na.fill(false, Seq("pass_dedup"))
+          .withColumn("pass_dedup",
+            col("doc_id") === min("doc_id").over(
+              Window.partitionBy(sha2(col("text"), 256))))
           .select(col("doc_id"), col("n_tokens"),
             col("pass_dedup"), col("pass_quality"), col("pass_lang"),
             (col("pass_dedup") && col("pass_quality") && col("pass_lang")).as("keep"))
       },
-      Some(s"""WITH t AS (
-              |  SELECT doc_id, text, $toksDuck AS toks FROM documents
+      Some(s"""WITH un AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000, text FROM documents
+              |), t AS (
+              |  SELECT doc_id, text, $toksDuck AS toks FROM un
               |), g AS (
               |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
               |    len(toks) BETWEEN 8 AND 2000
@@ -800,16 +825,7 @@ object Pipeline {
             |THEN transform(sequence(0, size(toks) - 2),
             |               k -> concat(toks[k], ' ', toks[k + 1]))
             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-        .withColumn("top_count", expr(
-          """aggregate(array_sort(toks),
-            |  named_struct('run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
-            |               'prev', CAST(NULL AS STRING)),
-            |  (acc, x) -> named_struct(
-            |    'run', IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT)),
-            |    'best', greatest(acc.best,
-            |                     IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT))),
-            |    'prev', x),
-            |  acc -> acc.best)""".stripMargin))
+        .withColumn("top_count", expr(topCountExpr))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
         .withColumn("n_bigrams", size(col("bi")).cast("long"))

@@ -335,8 +335,11 @@ class CliSpec extends SparkSpec {
     System.setProperty("graft.staging.dir", dir.toString)
     try withStdin("p q\n") {
       assert(sqawk("select a2 from a", "-") == (0, "q\n"))
-      val spools = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("graft-stdin")).toVector
+      val stream = Files.list(dir)
+      val spools =
+        try stream.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft-stdin")).toVector
+        finally stream.close()
       assert(spools.nonEmpty, s"spool file should land in $dir")
     } finally System.clearProperty("graft.staging.dir")
   }

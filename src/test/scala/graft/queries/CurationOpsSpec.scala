@@ -34,19 +34,10 @@ class CurationOpsSpec extends SparkSpec {
     import spark.implicits._
     val row = Seq((1L, "b b b a a c")).toDF("doc_id", "text")
     val got = SparkEntry.queries("p20_repetition_filter")(spark, sf)
-    // the QDef reads the sf dir, so recompute with the same exprs:
-    val toks = expr("""filter(split(lower(text), '\\s+'), x -> x <> '')""")
-    val out = row.withColumn("toks", toks)
-      .withColumn("top_count", expr(
-        """aggregate(array_sort(toks),
-          |  named_struct('run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
-          |               'prev', CAST(NULL AS STRING)),
-          |  (acc, x) -> named_struct(
-          |    'run', IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT)),
-          |    'best', greatest(acc.best,
-          |                     IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT))),
-          |    'prev', x),
-          |  acc -> acc.best)""".stripMargin))
+    // the QDef reads the sf dir, so recompute over a one-row frame with
+    // the PRODUCTION expressions (shared constants, not pasted copies):
+    val out = row.withColumn("toks", expr(Pipeline.toksExpr))
+      .withColumn("top_count", expr(Pipeline.topCountExpr))
       .select("top_count").as[Long].head()
     assert(out === 3L)
     assert(got.columns.toSeq === Seq("doc_id", "n_tokens", "n_distinct",
@@ -67,17 +58,8 @@ class CurationOpsSpec extends SparkSpec {
              else toks.groupBy(identity).values.map(_.length).max.toLong)
     }.toMap
     val got = docsGen.toDF("doc_id", "text")
-      .withColumn("toks", expr("""filter(split(lower(text), '\\s+'), x -> x <> '')"""))
-      .withColumn("top_count", expr(
-        """aggregate(array_sort(toks),
-          |  named_struct('run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT),
-          |               'prev', CAST(NULL AS STRING)),
-          |  (acc, x) -> named_struct(
-          |    'run', IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT)),
-          |    'best', greatest(acc.best,
-          |                     IF(acc.prev <=> x, acc.run + 1, CAST(1 AS BIGINT))),
-          |    'prev', x),
-          |  acc -> acc.best)""".stripMargin))
+      .withColumn("toks", expr(Pipeline.toksExpr))
+      .withColumn("top_count", expr(Pipeline.topCountExpr))
       .select("doc_id", "top_count").as[(Long, Long)].collect().toMap
     assert(got === expected)
   }
