@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.multimodal.{AudioCodec, ImageCodec}
+import graft.multimodal.{AudioCodec, ImageCodec, VideoCodec}
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
   * the beyond-the-reference surface (builder brief; BASELINE.json north
@@ -744,6 +744,82 @@ object Pipeline {
              |      FROM documents)""".stripMargin)),
 
     // ------------------------------------------------------------------
+    // p23: MULTIMODAL VIDEO DECODE — completes the image/audio/video
+    // modality triple with a real container walk (p16's "frames" are
+    // byte blocks of an image body; this is an actual video stream
+    // format). Each document synthesizes a structurally valid
+    // YUV4MPEG2 stream — ASCII parameter header (two legal token
+    // orders, so the decoder must match tokens by tag, not offset)
+    // plus FRAME-marker-framed 4:2:0 planes whose fill bytes come
+    // from the doc body — and the typed mapPartitions decoder
+    // recovers dims / frame rate / frame count / sampled-frame bytes
+    // FROM THE BYTES (multimodal/VideoCodec.scala; the frame walk
+    // derives its stride from the parsed header, so a wrong parse
+    // fails exact consumption). The oracle recomputes everything
+    // including total byte size (it rebuilds the header string) from
+    // the synthesis parameters. Same 100 TB shape as p10/p18: narrow
+    // per-partition decode, no shuffle.
+    QDef(
+      "p23_multimodal_video",
+      (s, d) => {
+        import s.implicits._
+        val raw = docs(s, d)
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            encode(col("text"), "UTF-8").as("body"))
+          .as[SynthSpec]
+        raw.mapPartitions(_.map { r =>
+          val w = (2L * (4L + r.n_chars % 13L)).toInt
+          val h = (2L * (3L + (r.n_chars * 5L) % 11L)).toInt
+          val (num, den) = if (r.doc_id % 3 == 0) (30000, 1001) else (25, 1)
+          val nf = (1L + r.n_chars % 7L).toInt
+          val fills = Array.tabulate(nf)(i => r.body((i * 17) % r.body.length))
+          val payload = VideoCodec.synthesizeY4m(
+            w, h, num, den, fills, altOrder = r.doc_id % 2 == 1)
+          val info = VideoCodec.decodeY4m(payload)
+          var sampleSum = 0L
+          var i = 0
+          while (i < info.frameFirstBytes.length) {
+            if (i % 2 == 0) sampleSum += info.frameFirstBytes(i)
+            i += 1
+          }
+          val nFrames = info.frameFirstBytes.length.toLong
+          DecodedVideo(r.doc_id, info.width.toLong, info.height.toLong,
+            info.fpsNum.toLong, info.fpsDen.toLong, nFrames,
+            nFrames * 1000000L * info.fpsDen / info.fpsNum,
+            sampleSum, payload.length.toLong)
+        }).toDF()
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+             |    2 * (4 + n_chars % 13) AS w,
+             |    2 * (3 + (n_chars * 5) % 11) AS h,
+             |    CASE WHEN doc_id % 3 = 0 THEN 30000 ELSE 25 END AS num,
+             |    CASE WHEN doc_id % 3 = 0 THEN 1001 ELSE 1 END AS den,
+             |    1 + n_chars % 7 AS nf
+             |  FROM documents
+             |), fr AS (
+             |  SELECT doc_id, unnest(range(0, nf)) AS i FROM base
+             |), samp AS (
+             |  SELECT f.doc_id,
+             |    CAST(sum(ascii(substr(b.text,
+             |      CAST((f.i * 17) % b.blen AS INT) + 1, 1))) AS BIGINT)
+             |      AS sample_sum
+             |  FROM fr f JOIN base b USING (doc_id)
+             |  WHERE f.i % 2 = 0 GROUP BY f.doc_id
+             |)
+             |SELECT b.doc_id,
+             |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             |  CAST(num AS BIGINT) AS fps_num, CAST(den AS BIGINT) AS fps_den,
+             |  CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(nf AS BIGINT) * 1000000 * den // num AS duration_us,
+             |  s.sample_sum,
+             |  CAST(length('YUV4MPEG2 W' || w || ' H' || h || ' F' || num
+             |         || ':' || den || ' Ip A1:1 C420jpeg') + 1
+             |    + nf * (6 + w * h * 3 // 2) AS BIGINT) AS n_bytes
+             |FROM base b JOIN samp s USING (doc_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
     // p19: CURATION FUNNEL — the composition the individual operators
     // exist for: one pass produces the training-set keep decision per
     // document as the conjunction of (a) exact-dedup survivorship
@@ -1429,6 +1505,11 @@ final case class DecodedImage(
 final case class DecodedAudio(
     doc_id: Long, sample_rate: Long, channels: Long, n_samples: Long,
     duration_us: Long, n_bytes: Long)
+
+/** Typed row for the video decode (p23). */
+final case class DecodedVideo(
+    doc_id: Long, width: Long, height: Long, fps_num: Long, fps_den: Long,
+    n_frames: Long, duration_us: Long, sample_sum: Long, n_bytes: Long)
 
 /** Typed row for the multimodal feature extraction (p16). */
 final case class MediaFeatures(
