@@ -41,4 +41,19 @@ class CodecPropertySpec extends AnyFunSuite {
         wav.length == 78 + body.length + body.length % 2
     })
   }
+
+  test("y4m synth/decode round-trips parameters for any input") {
+    val evenDim = Gen.chooseNum(1, 64).map(_ * 2)
+    val fpsGen = Gen.chooseNum(1, 60000)
+    val fillsGen = Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)
+    check("y4m")(Prop.forAll(evenDim, evenDim, fpsGen, fpsGen, fillsGen,
+      Gen.oneOf(true, false)) { (w, h, num, den, fills, alt) =>
+      val y4m = VideoCodec.synthesizeY4m(w, h, num, den, fills, alt)
+      val info = VideoCodec.decodeY4m(y4m)
+      info.width == w && info.height == h &&
+        info.fpsNum == num && info.fpsDen == den &&
+        info.frameFirstBytes.toSeq == fills.toSeq.map(_ & 0xff)
+    })
+  }
 }
