@@ -57,6 +57,38 @@ object Streaming {
              |  CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
              |FROM e a JOIN e b ON a.user_id = b.user_id
              |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
-             |  AND a.event_id < b.event_id""".stripMargin))
+             |  AND a.event_id < b.event_id""".stripMargin)),
+
+    // Session windows: per-user sessions closing after 10 idle
+    // minutes (dynamic merged windows — the shape fixed windows can't
+    // express). The oracle recomputes sessions as a batch gaps-and-
+    // islands pass: a session BREAK is ts >= prev_ts + gap (Spark
+    // merges while event intervals [ts, ts+gap) overlap, i.e. the
+    // end bound is exclusive), session end = last ts + gap, and only
+    // watermark-closed sessions (end <= max(ts) − 1 hour) emit, same
+    // rule as s02. Hash compare therefore pins the merge semantics,
+    // the end arithmetic AND the append emission rule.
+    QDef(
+      "s05_stream_session",
+      (s, d) => graft.streaming.StreamOps.sessionWindowStats(s, d),
+      Some("""WITH e AS (
+             |  SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             |         user_id, value
+             |  FROM events
+             |), m AS (
+             |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), s AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m
+             |)
+             |SELECT min(ts) AS sess_start,
+             |  max(ts) + INTERVAL 10 MINUTE AS sess_end,
+             |  user_id, count(*) AS n_events, round(sum(value), 2) AS sv
+             |FROM s GROUP BY user_id, sid
+             |HAVING sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM e)""".stripMargin))
   )
 }

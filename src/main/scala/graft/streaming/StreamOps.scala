@@ -174,6 +174,44 @@ object StreamOps {
     spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
   }
 
+  /** SESSION WINDOWS — the sessionization primitive itself (s04 is
+    * the pairwise-attribution variant): per-user sessions close after
+    * a 10-minute event-time silence, via `session_window` — dynamic-
+    * length windows that MERGE as events arrive, the one windowed
+    * shape tumbling/sliding windows cannot express. State is merged
+    * sessions in flight, evicted once the watermark passes a
+    * session's end (last event + gap), so state tracks concurrently
+    * open sessions, not stream length. Append mode emits each closed
+    * session exactly once; on bounded input that is every session
+    * with end <= max(ts) − delay, which the oracle recomputes as a
+    * batch gaps-and-islands pass. */
+  def sessionWindowStats(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sv"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sv"))
+    val out = tempDir("graft-sess-out")
+    val ckpt = tempDir("graft-sess-ckpt")
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(agg.schema)).parquet(out.toString)
+  }
+
   /** Temp dir for a sink/checkpoint, removed on JVM exit — the
     * returned DataFrames read the sink dir lazily for the rest of the
     * process, so cleanup must not run earlier. */
