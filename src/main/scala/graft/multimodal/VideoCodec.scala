@@ -91,8 +91,7 @@ object VideoCodec {
       val marker = new String(b, pos, fnl - pos, "US-ASCII")
       require(marker == "FRAME" || marker.startsWith("FRAME "),
         s"expected FRAME marker, got '$marker'")
-      require(fnl + frameSize < b.length + 1 && fnl + 1 + frameSize <= b.length,
-        "truncated frame payload")
+      require(fnl + 1 + frameSize <= b.length, "truncated frame payload")
       firsts += (b(fnl + 1) & 0xff)
       pos = fnl + 1 + frameSize
     }
