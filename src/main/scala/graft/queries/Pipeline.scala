@@ -1081,7 +1081,100 @@ object Pipeline {
               |SELECT doc_id, lang, CAST(label AS BIGINT) AS label, n_chars,
               |       round(nrm, 4) AS emb_norm
               |FROM documents JOIN embeddings ON doc_id = embeddings.vec_id
-              |JOIN nrm ON doc_id = nrm.vec_id""".stripMargin))
+              |JOIN nrm ON doc_id = nrm.vec_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p24: BENCHMARK DECONTAMINATION — the eval-overlap removal stage
+    // every training-set build runs (the GPT-3-style n-gram rule): a
+    // training doc is contaminated iff it shares a word 8-gram with
+    // any doc of the held-out eval set (here: doc_id % 13 = 0 stands
+    // in for an external benchmark). Scale shape: the eval gram
+    // dictionary is tiny relative to the corpus by construction, so
+    // it BROADCASTS and the flagging is one map-side hash-join pass
+    // over the train grams plus one groupBy(doc_id) — the corpus is
+    // never shuffled by gram. Output is the full ledger (per doc:
+    // flag, distinct hit grams, smallest offending eval id), so the
+    // oracle pins both branches and the hit arithmetic.
+    QDef(
+      "p24_decontaminate",
+      (s, d) => {
+        val grams = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 8
+              |THEN transform(sequence(0, size(toks) - 8),
+              |               k -> array_join(slice(toks, k + 1, 8), ' '))
+              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+          .distinct()
+        val evalGrams = grams.filter(col("doc_id") % 13 === 0)
+          .groupBy("gram").agg(min("doc_id").as("eval_id"))
+        val hits = grams.join(broadcast(evalGrams), "gram")
+          .groupBy("doc_id")
+          .agg(countDistinct("gram").as("hits"), min("eval_id").as("ev"))
+        docs(s, d).select("doc_id").join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("hits").isNotNull.as("contaminated"),
+            coalesce(col("hits"), lit(0L)).as("n_hit_grams"),
+            col("ev").as("first_eval"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksDuck AS toks FROM documents
+              |), g0 AS (
+              |  SELECT doc_id, toks,
+              |    unnest(range(0, greatest(len(toks) - 7, 0))) AS k
+              |  FROM t
+              |), g AS (
+              |  SELECT DISTINCT doc_id,
+              |    array_to_string(toks[k + 1:k + 8], ' ') AS gram
+              |  FROM g0
+              |), eg AS (
+              |  SELECT gram, min(doc_id) AS eval_id FROM g
+              |  WHERE doc_id % 13 = 0 GROUP BY gram
+              |), hits AS (
+              |  SELECT g.doc_id, count(DISTINCT g.gram) AS hits,
+              |         min(eg.eval_id) AS ev
+              |  FROM g JOIN eg USING (gram) GROUP BY g.doc_id
+              |)
+              |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated,
+              |  coalesce(h.hits, 0) AS n_hit_grams, h.ev AS first_eval
+              |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p25: STRATIFIED SAMPLING — the data-mixing primitive: keep each
+    // doc with a per-language rate (en 1/2, zh 1/4, others 1/8) using
+    // a DETERMINISTIC uniform u = first 52 md5 bits of 'smp:'+doc_id,
+    // so the sample is reproducible, join-free and consistent across
+    // engines/reruns — the property that lets a 100 TB pipeline
+    // resample a stratum without re-reading the rest. Rates are exact
+    // binary fractions compared in INTEGER space (u < 2^52 · rate),
+    // so no float threshold can flip a row between engines. Emits the
+    // inverse-rate loss weight alongside the keep flag. Zero-shuffle
+    // codegen projection.
+    QDef(
+      "p25_stratified_sample",
+      (s, d) => docs(s, d)
+        .withColumn("u", expr(
+          "CAST(conv(substr(md5(concat('smp:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"))
+        .withColumn("thr", expr(
+          s"""CASE lang WHEN 'en' THEN ${1L << 51}L
+             |          WHEN 'zh' THEN ${1L << 50}L
+             |          ELSE ${1L << 49}L END""".stripMargin))
+        .select(col("doc_id"), col("lang"),
+          (col("u") < col("thr")).as("kept"),
+          when(col("u") < col("thr"),
+            (lit(1L << 52).cast("double") / col("thr").cast("double")))
+            .as("weight")),
+      Some(s"""SELECT doc_id, lang, u < thr AS kept,
+              |  CASE WHEN u < thr
+              |    THEN CAST(${1L << 52} AS DOUBLE) / CAST(thr AS DOUBLE) END AS weight
+              |FROM (
+              |  SELECT doc_id, lang,
+              |    CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 13))
+              |      AS BIGINT) AS u,
+              |    CASE lang WHEN 'en' THEN ${1L << 51}
+              |              WHEN 'zh' THEN ${1L << 50}
+              |              ELSE ${1L << 49} END AS thr
+              |  FROM documents
+              |)""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------

@@ -18,7 +18,8 @@ class CurationOpsSpec extends SparkSpec {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (n <- Seq("p20_repetition_filter", "p21_pii_scrub", "p22_embed_quantize")) {
+      for (n <- Seq("p20_repetition_filter", "p21_pii_scrub", "p22_embed_quantize",
+                    "p25_stratified_sample")) {
         val df = SparkEntry.queries(n)(spark, sf)
         val shuffles = df.queryExecution.executedPlan.collect {
           case e: ShuffleExchangeExec => e
