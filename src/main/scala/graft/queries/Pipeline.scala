@@ -132,6 +132,18 @@ object Pipeline {
   private val IvfCells = 8
   private val IvfProbes = 4
 
+  // p26: per-source document quota (domain capping).
+  private val QuotaK = 10
+
+  // p27: Robertson/Okapi BM25 defaults; query terms are mid-frequency
+  // corpus vocabulary so tf/df are well-populated at every SF. Scores
+  // are summed in FIXED literal term order on both engines (each
+  // per-term score is a single double), so the only cross-engine
+  // float surface is ln/division on identical inputs.
+  private val Bm25K1 = "1.2"
+  private val Bm25B = "0.75"
+  private val Bm25Terms = Seq("spark", "join", "vector", "customer")
+
   // p20 thresholds (Gopher/MassiveText-style intra-document repetition
   // gates, re-tuned on this corpus so both classes are populated):
   // most-common-token fraction ≤ 1/RepTopMult, duplicate-bigram
@@ -1174,7 +1186,110 @@ object Pipeline {
               |              WHEN 'zh' THEN ${1L << 50}
               |              ELSE ${1L << 49} END AS thr
               |  FROM documents
-              |)""".stripMargin))
+              |)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p26: SOURCE QUOTA (domain capping) — keep at most QuotaK docs
+    // per source, chosen by a deterministic md5 shuffle so the cap is
+    // reproducible and unbiased. This is the rank <= K window shape
+    // Spark optimizes with WindowGroupLimit: each input partition
+    // pre-filters to its local top-K per source BEFORE the exchange
+    // (pinned by CurationOpsSpec), so the shuffle carries at most
+    // partitions × sources × K rows — the 100 TB-safe per-key top-K,
+    // not a full sort of every hot domain.
+    QDef(
+      "p26_source_quota",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(
+            md5(concat(lit("q:"), col("doc_id").cast("string"))), col("doc_id"))))
+        .filter(col("rk") <= QuotaK)
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk")),
+      Some(s"""SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+              |  SELECT doc_id, source, row_number() OVER (
+              |    PARTITION BY source
+              |    ORDER BY md5('q:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              |  FROM documents
+              |) WHERE rk <= $QuotaK""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p27: BM25 RELEVANCE SCORING — the corpus-search primitive a
+    // curation loop runs to pull topical slices (Okapi BM25,
+    // k1=1.2 b=0.75, fixed 4-term query). Scale shape: tf is one
+    // hash-partitioned groupBy over exploded query-term hits (the
+    // explode filters to query terms first, so the exploded stream is
+    // hits only, not every token); df and the (N, avgdl) corpus
+    // stats are tiny aggregates that BROADCAST back; the final score
+    // is a per-row projection. Per-term scores land in fixed columns
+    // and sum in literal order, so no float-summation-order
+    // nondeterminism enters the hash compare.
+    QDef(
+      "p27_bm25",
+      (s, d) => {
+        val terms = Bm25Terms
+        val toks = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), col("toks"),
+            size(col("toks")).cast("long").as("dl"))
+        val stats = toks.agg(count(lit(1)).as("n_docs"),
+          avg(col("dl")).as("avgdl"))
+        val hits = toks.select(col("doc_id"), col("dl"),
+            explode(expr(s"filter(toks, x -> x IN (${terms.map("'" + _ + "'").mkString(",")}))")).as("tok"))
+          .groupBy(col("doc_id"), col("dl"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+        val scored = hits.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+          .withColumn("part", expr(
+            s"""ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+               |  * tf * ($Bm25K1 + 1.0)
+               |  / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))""".stripMargin))
+          .groupBy("doc_id")
+          .agg(sum(when(col("tok") === terms.head, col("part"))).as(s"s_${terms.head}"),
+            terms.tail.map(t =>
+              sum(when(col("tok") === t, col("part"))).as(s"s_$t")): _*)
+        val score = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+          .reduceLeft(_ + _)
+        docs(s, d).select("doc_id").join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            round(coalesce(score, lit(0.0)), 4).as("score"))
+      },
+      Some({
+        val termList = Bm25Terms.map("'" + _ + "'").mkString(", ")
+        val fixedSum = Bm25Terms.map(t =>
+          s"coalesce(s_$t, 0)").mkString(" + ")
+        val pivots = Bm25Terms.map(t =>
+          s"sum(part) FILTER (WHERE tok = '$t') AS s_$t").mkString(",\n  ")
+        s"""WITH t AS (
+           |  SELECT doc_id, $toksDuck AS toks FROM documents
+           |), dls AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
+           |), stats AS (
+           |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dls
+           |), hits AS (
+           |  SELECT doc_id, dl, unnest(list_filter(toks,
+           |    x -> x IN ($termList))) AS tok
+           |  FROM dls
+           |), tf AS (
+           |  SELECT doc_id, dl, tok, count(*) AS tf
+           |  FROM hits GROUP BY doc_id, dl, tok
+           |), dfreq AS (
+           |  SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok
+           |), parts AS (
+           |  SELECT doc_id,
+           |    ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+           |      * tf * ($Bm25K1 + 1.0)
+           |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)) AS part,
+           |    tok
+           |  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+           |), pivoted AS (
+           |  SELECT doc_id,
+           |  $pivots
+           |  FROM parts GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, round(coalesce($fixedSum, 0), 4) AS score
+           |FROM documents d LEFT JOIN pivoted p ON d.doc_id = p.doc_id""".stripMargin
+      }))
   )
 
   // ---- shared helpers ---------------------------------------------------

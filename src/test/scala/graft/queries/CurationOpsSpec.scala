@@ -29,6 +29,17 @@ class CurationOpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("p26 rank filter pre-limits per partition before the exchange") {
+    // the scale claim: WindowGroupLimit(Partial) must sit below the
+    // shuffle so hot sources never ship more than partitions × K rows
+    val df = SparkEntry.queries("p26_source_quota")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a partial (pre-shuffle) group limit in:\n$plan")
+  }
+
   test("p20 run-length top_count matches a hand count") {
     // 'b b b a a c' → top_count 3; bigrams [b b, b b, b a, a a, a c]
     // → 5 total, 4 distinct
