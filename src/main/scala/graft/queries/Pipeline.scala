@@ -1232,18 +1232,24 @@ object Pipeline {
           .withColumn("toks", expr(toksExpr))
           .select(col("doc_id"), col("toks"),
             size(col("toks")).cast("long").as("dl"))
-        val stats = toks.agg(count(lit(1)).as("n_docs"),
-          avg(col("dl")).as("avgdl"))
+        // 1-row corpus stats, collected to the driver and inlined as
+        // literals (the standard two-phase spelling: a cross-broadcast
+        // of the stats row survives as a BroadcastNestedLoopJoin
+        // because any constant join key folds away)
+        val statsRow = toks.agg(count(lit(1)).as("n_docs"),
+          avg(col("dl")).as("avgdl")).head()
+        val nDocs = statsRow.getLong(0)
+        val avgdl = statsRow.getDouble(1)
         val hits = toks.select(col("doc_id"), col("dl"),
             explode(expr(s"filter(toks, x -> x IN (${terms.map("'" + _ + "'").mkString(",")}))")).as("tok"))
           .groupBy(col("doc_id"), col("dl"), col("tok"))
           .agg(count(lit(1)).as("tf"))
         val dfreq = hits.groupBy("tok").agg(count(lit(1)).as("dfreq"))
-        val scored = hits.join(broadcast(dfreq), "tok").crossJoin(broadcast(stats))
+        val scored = hits.join(broadcast(dfreq), "tok")
           .withColumn("part", expr(
-            s"""ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+            s"""ln((CAST($nDocs AS BIGINT) - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
                |  * tf * ($Bm25K1 + 1.0)
-               |  / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))""".stripMargin))
+               |  / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / CAST($avgdl AS DOUBLE)))""".stripMargin))
           .groupBy("doc_id")
           .agg(sum(when(col("tok") === terms.head, col("part"))).as(s"s_${terms.head}"),
             terms.tail.map(t =>
