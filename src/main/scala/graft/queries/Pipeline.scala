@@ -144,6 +144,11 @@ object Pipeline {
   private val Bm25B = "0.75"
   private val Bm25Terms = Seq("spark", "join", "vector", "customer")
 
+  // p29: training-chunk size in tokens. 16 gives several chunks per
+  // doc at this corpus's ~20-120 token lengths; a production 512/2048
+  // only changes the constant.
+  private val ChunkTokens = 16
+
   // p20 thresholds (Gopher/MassiveText-style intra-document repetition
   // gates, re-tuned on this corpus so both classes are populated):
   // most-common-token fraction ≤ 1/RepTopMult, duplicate-bigram
@@ -1295,7 +1300,93 @@ object Pipeline {
            |)
            |SELECT d.doc_id, round(coalesce($fixedSum, 0), 4) AS score
            |FROM documents d LEFT JOIN pivoted p ON d.doc_id = p.doc_id""".stripMargin
-      }))
+      })),
+
+    // ------------------------------------------------------------------
+    // p28: EMBEDDING-CENTROID OUTLIER SCORING — the vector-space
+    // quality gate: each vector's cosine to its OWN label's centroid;
+    // vectors pointing away from their class mean (cos < 0, ~10% of
+    // this corpus) are flagged as label noise / outliers. Scale
+    // shape: the centroid aggregation is a posexplode → map-side
+    // partial avg (labels × dim rows leave each partition, vectors ×
+    // dim never shuffle), centroids re-assemble via a deterministic
+    // sort and BROADCAST back (labels are few by definition), and the
+    // scoring pass is a per-row codegen graft_dot. The outlier
+    // compare runs on round(cos, 6) like p09's verify so no raw-ulp
+    // boundary enters the hash gate.
+    QDef(
+      "p28_embed_centroid",
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = emb(s, d).select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("label", "i").agg(avg("x").as("cx"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("c"))
+        e.join(broadcast(cent), "label")
+          .withColumn("cos", expr(
+            "graft_dot(v, c) / (sqrt(graft_dot(v, v)) * sqrt(graft_dot(c, c)))"))
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            round(col("cos"), 4).as("cos_c"),
+            (round(col("cos"), 6) < 0.0).as("outlier"))
+      },
+      Some("""WITH el AS (
+             |  SELECT vec_id, label,
+             |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+             |    unnest(range(1, len(embedding) + 1)) AS i
+             |  FROM embeddings
+             |), c AS (
+             |  SELECT label, i, avg(x) AS cx FROM el GROUP BY label, i
+             |), dots AS (
+             |  SELECT e.vec_id, e.label, sum(e.x * c.cx) AS dot,
+             |    sqrt(sum(e.x * e.x)) AS ne, sqrt(sum(c.cx * c.cx)) AS nc
+             |  FROM el e JOIN c ON e.label = c.label AND e.i = c.i
+             |  GROUP BY e.vec_id, e.label
+             |)
+             |SELECT vec_id, CAST(label AS BIGINT) AS label,
+             |  round(dot / (ne * nc), 4) AS cos_c,
+             |  round(dot / (ne * nc), 6) < 0.0 AS outlier
+             |FROM dots""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p29: FIXED-SIZE CHUNKING — the context-packing precursor: split
+    // each doc into ChunkTokens-token chunks with doc-relative chunk
+    // ids and per-chunk bounds. Pure per-row array arithmetic
+    // (sequence → slice), zero shuffle; at 100 TB this is the narrow
+    // pass that feeds the tokenizer, and chunk boundaries being
+    // deterministic functions of the token array is what makes
+    // re-chunking idempotent across pipeline runs.
+    QDef(
+      "p29_chunk_tokens",
+      (s, d) => docs(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(expr(
+            s"""CASE WHEN n > 0
+               |THEN sequence(CAST(0 AS BIGINT), CAST(ceil(n / ${ChunkTokens}.0) AS BIGINT) - 1)
+               |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          expr(s"CAST(size(slice(toks, CAST(chunk_id * $ChunkTokens + 1 AS INT), $ChunkTokens)) AS BIGINT)")
+            .as("n_tok"),
+          expr(s"toks[CAST(chunk_id * $ChunkTokens AS INT)]").as("first_tok"),
+          expr(s"toks[CAST(least(n, (chunk_id + 1) * $ChunkTokens) - 1 AS INT)]").as("last_tok")),
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksDuck AS toks FROM documents
+              |), n AS (
+              |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+              |), ch AS (
+              |  SELECT doc_id, toks, n,
+              |    unnest(range(0, CAST(ceil(n / ${ChunkTokens}.0) AS BIGINT))) AS chunk_id
+              |  FROM n WHERE n > 0
+              |)
+              |SELECT doc_id, chunk_id,
+              |  CAST(len(toks[chunk_id * $ChunkTokens + 1:
+              |               least(n, (chunk_id + 1) * $ChunkTokens)]) AS BIGINT) AS n_tok,
+              |  toks[CAST(chunk_id * $ChunkTokens + 1 AS INT)] AS first_tok,
+              |  toks[CAST(least(n, (chunk_id + 1) * $ChunkTokens) AS INT)] AS last_tok
+              |FROM ch""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
