@@ -163,6 +163,13 @@ object Pipeline {
   private val PhoneRe = """\+1-[0-9]{3}-[0-9]{4}"""
   private val IpRe = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
 
+  // p31: training-sequence length in tokens (production 2048/4096 only
+  // changes the constant) and the width of the two-phase prefix scan's
+  // range partitioning (local[32]-sized here; 100 TB uses thousands —
+  // the driver-side state stays parts × langs rows either way).
+  private[queries] val PackSeqLen = 64L
+  private val PackParts = 8
+
   val all: Vector[QDef] = Vector(
     // ------------------------------------------------------------------
     // p01: EXACT DEDUP — content-hash groupBy. The 500-doc corpus has no
@@ -196,62 +203,7 @@ object Pipeline {
     // counts (integer — no float compare). jac >= 0.8 ⇔ 5*inter >= 4*uni.
     QDef(
       "p02_dedup_minhash_lsh",
-      (s, d) => {
-        // Signatures from RAW shingles: min() is duplicate-insensitive,
-        // so the full-corpus distinct (a shuffle of every shingle) is
-        // never needed — map-side partial mins make the signature
-        // shuffle one tiny row per doc. Distinct shingle SETS are only
-        // materialized for candidate docs (a few, post-banding).
-        val shRaw = shingles(s, d) // (doc_id, sh), with duplicates
-        // One md5 per shingle, 32 permutations by double hashing
-        // (perm_i = h1 + i*h2 over 52-bit halves — overflow-free in
-        // int64): a 16× hash-compute reduction vs. md5-per-permutation,
-        // identical arithmetic in the DuckDB oracle.
-        // md5 once per shingle (the separate projection keeps
-        // CollapseProject from inlining the non-cheap md5 into both
-        // conv branches), then split the hex into the two 52-bit
-        // halves.
-        val hashed = shRaw.select(col("doc_id"), md5(col("sh")).as("m"))
-          .select(col("doc_id"),
-            expr("CAST(conv(substr(m, 1, 13), 16, 10) AS BIGINT)").as("h1"),
-            expr("CAST(conv(substr(m, 14, 13), 16, 10) AS BIGINT)").as("h2"))
-        val minhAggs = (0 until NumPerm).map(i =>
-          min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
-        val sig = hashed.groupBy("doc_id").agg(minhAggs.head, minhAggs.tail: _*)
-        val bandCols = (0 until Bands).map { b =>
-          val ms = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
-          struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bkey"))
-        }
-        val buckets = sig
-          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-        // The candidate set is tiny by construction (band buckets) and
-        // consumed three times below — materialize it once so the
-        // signature pipeline runs exactly once, not per consumer.
-        val cand = buckets.as("x").join(buckets.as("y"),
-            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-          .distinct()
-          .localCheckpoint()
-        // verify candidates with exact Jaccard (integer arithmetic),
-        // over distinct shingles of candidate docs only
-        val candIds = cand.select(col("ida").as("doc_id"))
-          .unionByName(cand.select(col("idb").as("doc_id"))).distinct()
-        val sh = shRaw.join(broadcast(candIds), "doc_id").distinct()
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
-          .join(sh.as("sb"),
-            col("idb") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-          .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.as("za"), col("ida") === col("za.doc_id"))
-          .join(sizes.as("zb"), col("idb") === col("zb.doc_id"))
-          .select(col("ida"), col("idb"), col("inter"),
-            (col("za.n") + col("zb.n") - col("inter")).as("uni"))
-          .filter(col("inter") * 5 >= col("uni") * 4)
-      },
+      (s, d) => minhashPairs(s, d),
       Some(minhashOracle)),
 
     // ------------------------------------------------------------------
@@ -1386,10 +1338,176 @@ object Pipeline {
               |               least(n, (chunk_id + 1) * $ChunkTokens)]) AS BIGINT) AS n_tok,
               |  toks[CAST(chunk_id * $ChunkTokens + 1 AS INT)] AS first_tok,
               |  toks[CAST(least(n, (chunk_id + 1) * $ChunkTokens) AS INT)] AS last_tok
-              |FROM ch""".stripMargin))
+              |FROM ch""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p30: NEAR-DUP CLUSTERING — transitive closure over the dedup
+    // graph: edges are p02's verified near-dup pairs plus each doc's
+    // manufactured exact copy (doc_id+1000000, as in p01), so
+    // components chain base docs AND their copies — a node can be
+    // several hops from its component min, so this exercises genuine
+    // transitivity, not just pair grouping. Runs the alternating
+    // large-star/small-star contraction
+    // (operators/ConnectedComponents.scala): O(log n) rounds of
+    // groupBy+join — the published MapReduce answer to dedup
+    // clustering at corpus scale, where a "survivor = min of my
+    // pairs" rule (p14) under-merges chains A~B~C. Oracle: recursive
+    // min-label closure CTE over the same edge set.
+    QDef(
+      "p30_dedup_connected",
+      (s, d) => {
+        val pairs = minhashPairs(s, d).select(col("ida"), col("idb"))
+        val copies = docs(s, d).select(col("doc_id").as("ida"),
+          (col("doc_id") + lit(1000000L)).as("idb"))
+        val edges = pairs.unionByName(copies)
+          .select(col("ida").as("src"), col("idb").as("dst"))
+        val lab = graft.operators.ConnectedComponents.run(edges)
+        val sizes = lab.groupBy("comp_id").agg(count(lit(1)).as("comp_size"))
+        lab.join(sizes, "comp_id")
+          .select(col("id").as("doc_id"), col("comp_id"), col("comp_size"))
+      },
+      Some(ccOracle)),
+
+    // ------------------------------------------------------------------
+    // p31: SEQUENCE PACKING — GPT-style concatenate-and-slice: within
+    // each language stream (ordered by doc_id) documents are laid
+    // end-to-end and cut into PackSeqLen-token training sequences;
+    // each doc reports its global token offset and the first/last
+    // sequence it lands in. The prefix sum runs as the 100 TB-safe
+    // TWO-PHASE SCAN, not a per-language window (a window would put
+    // each language's ENTIRE corpus into one task): range-partition
+    // by (lang, doc_id), materialize the partitioning once
+    // (localCheckpoint pins partition identity across the two jobs —
+    // range boundaries are sampled per-execution otherwise),
+    // per-(partition, lang) token totals collect to the driver
+    // (≤ parts × langs tiny rows), exclusive offsets broadcast back,
+    // then each partition streams its local running sum. Oracle: the
+    // same arithmetic as a per-language window (fine at oracle SF).
+    QDef(
+      "p31_pack_sequences",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .withColumn("n_tokens", expr(s"CAST(size($toksExpr) AS BIGINT)"))
+          .filter(col("n_tokens") > 0)
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        // The range-partition id is FROZEN INTO THE ROWS at checkpoint
+        // time (spark_partition_id evaluated while materializing) —
+        // reading TaskContext.getPartitionId() later would silently
+        // break whenever a consumer collapses the narrow chain into
+        // fewer tasks (e.g. the verify harness's coalesce(1)).
+        val parted = base
+          .repartitionByRange(PackParts, col("lang"), col("doc_id"))
+          .sortWithinPartitions("lang", "doc_id")
+          .withColumn("pid", spark_partition_id())
+          .as[PackPartRow]
+          .localCheckpoint()
+        val partTotals = parted.groupBy("pid", "lang")
+          .agg(sum("n_tokens").as("tot"))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        val offsets: Map[(Int, String), Long] = partTotals
+          .groupBy(_._2)
+          .flatMap { case (lang, rows) =>
+            var run = 0L
+            rows.sortBy(_._1).map { case (pid, _, tot) =>
+              val off = run; run += tot; (pid, lang) -> off
+            }
+          }
+        val bc = s.sparkContext.broadcast(offsets)
+        parted.mapPartitions { it =>
+          val running = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+          it.map { r =>
+            val key = (r.pid, r.lang)
+            val off = running.getOrElse(key, bc.value.getOrElse(key, 0L))
+            running.update(key, off + r.n_tokens)
+            PackedDoc(r.doc_id, r.lang, r.n_tokens, off,
+              off / PackSeqLen, (off + r.n_tokens - 1) / PackSeqLen)
+          }
+        }.toDF()
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang,
+              |    CAST(len($toksDuck) AS BIGINT) AS n_tokens
+              |  FROM documents
+              |), o AS (
+              |  SELECT doc_id, lang, n_tokens,
+              |    CAST(COALESCE(SUM(n_tokens) OVER (
+              |      PARTITION BY lang ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS tok_offset
+              |  FROM t WHERE n_tokens > 0
+              |)
+              |SELECT doc_id, lang, n_tokens, tok_offset,
+              |  tok_offset // $PackSeqLen AS seq_first,
+              |  (tok_offset + n_tokens - 1) // $PackSeqLen AS seq_last
+              |FROM o""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
+
+  /** The p02/p30 shared core: MinHash-LSH candidate pairs with exact
+    * integer-Jaccard verification — returns (ida, idb, inter, uni)
+    * with ida < idb and jac >= 0.8 (5*inter >= 4*uni).
+    *
+    * Signatures are built from RAW shingles: min() is
+    * duplicate-insensitive, so the full-corpus distinct is never
+    * needed (details inline below).
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+        // so the full-corpus distinct (a shuffle of every shingle) is
+        // never needed — map-side partial mins make the signature
+        // shuffle one tiny row per doc. Distinct shingle SETS are only
+        // materialized for candidate docs (a few, post-banding).
+        val shRaw = shingles(s, d) // (doc_id, sh), with duplicates
+        // One md5 per shingle, 32 permutations by double hashing
+        // (perm_i = h1 + i*h2 over 52-bit halves — overflow-free in
+        // int64): a 16× hash-compute reduction vs. md5-per-permutation,
+        // identical arithmetic in the DuckDB oracle.
+        // md5 once per shingle (the separate projection keeps
+        // CollapseProject from inlining the non-cheap md5 into both
+        // conv branches), then split the hex into the two 52-bit
+        // halves.
+        val hashed = shRaw.select(col("doc_id"), md5(col("sh")).as("m"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substr(m, 1, 13), 16, 10) AS BIGINT)").as("h1"),
+            expr("CAST(conv(substr(m, 14, 13), 16, 10) AS BIGINT)").as("h2"))
+        val minhAggs = (0 until NumPerm).map(i =>
+          min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+        val sig = hashed.groupBy("doc_id").agg(minhAggs.head, minhAggs.tail: _*)
+        val bandCols = (0 until Bands).map { b =>
+          val ms = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"m$i"))
+          struct(lit(b).as("band"), md5(concat_ws(",", ms: _*)).as("bkey"))
+        }
+        val buckets = sig
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        // The candidate set is tiny by construction (band buckets) and
+        // consumed three times below — materialize it once so the
+        // signature pipeline runs exactly once, not per consumer.
+        val cand = buckets.as("x").join(buckets.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+          .distinct()
+          .localCheckpoint()
+        // verify candidates with exact Jaccard (integer arithmetic),
+        // over distinct shingles of candidate docs only
+        val candIds = cand.select(col("ida").as("doc_id"))
+          .unionByName(cand.select(col("idb").as("doc_id"))).distinct()
+        val sh = shRaw.join(broadcast(candIds), "doc_id").distinct()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.as("sa"), col("ida") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("idb") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+          .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.as("za"), col("ida") === col("za.doc_id"))
+          .join(sizes.as("zb"), col("idb") === col("zb.doc_id"))
+          .select(col("ida"), col("idb"), col("inter"),
+            (col("za.n") + col("zb.n") - col("inter")).as("uni"))
+          .filter(col("inter") * 5 >= col("uni") * 4)
+  }
 
   /** Word 3-gram shingles per document (with duplicates — callers
     * that need set semantics dedupe the slice they touch). */
@@ -1704,15 +1822,16 @@ object Pipeline {
       |     WHEN s_fr > 0 THEN 'fr'
       |     ELSE 'und' END""".stripMargin
 
-  /** DuckDB mirror of p02: same shingles, hashes, bands, verification. */
-  private def minhashOracle: String = {
+  /** DuckDB mirror of p02's pair pipeline as a CTE chain (no leading
+    * WITH, ends with a `pairs` CTE) so p02 and p30 share it. */
+  private def minhashCtes: String = {
     val minCols = (0 until NumPerm)
       .map(i => s"min(h1 + $i * h2) AS m$i").mkString(",\n    ")
     val bandSelects = (0 until Bands).map { b =>
       val ms = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"m$i").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, $toksDuck AS tk FROM documents
        |), kpos AS (
        |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS k FROM toks
@@ -1743,11 +1862,40 @@ object Pipeline {
        |  JOIN sh sa ON ida = sa.doc_id
        |  JOIN sh sb ON idb = sb.doc_id AND sa.sh = sb.sh
        |  GROUP BY ida, idb
-       |)
-       |SELECT ida, idb, inter, za.n + zb.n - inter AS uni
-       |FROM inter JOIN sizes za ON ida = za.doc_id JOIN sizes zb ON idb = zb.doc_id
-       |WHERE inter * 5 >= (za.n + zb.n - inter) * 4""".stripMargin
+       |), pairs AS (
+       |  SELECT ida, idb, inter, za.n + zb.n - inter AS uni
+       |  FROM inter JOIN sizes za ON ida = za.doc_id JOIN sizes zb ON idb = zb.doc_id
+       |  WHERE inter * 5 >= (za.n + zb.n - inter) * 4
+       |)""".stripMargin
   }
+
+  /** DuckDB mirror of p02: same shingles, hashes, bands, verification. */
+  private def minhashOracle: String =
+    s"WITH $minhashCtes\nSELECT ida, idb, inter, uni FROM pairs"
+
+  /** DuckDB mirror of p30: the p02 pair CTEs, the manufactured copy
+    * edges, then min-label transitive closure as a recursive CTE. */
+  private def ccOracle: String =
+    s"""WITH RECURSIVE $minhashCtes, copye AS (
+       |  SELECT doc_id AS ida, doc_id + 1000000 AS idb FROM documents
+       |), alle AS (
+       |  SELECT ida, idb FROM pairs UNION ALL SELECT ida, idb FROM copye
+       |), edges AS (
+       |  SELECT ida AS src, idb AS dst FROM alle
+       |  UNION
+       |  SELECT idb AS src, ida AS dst FROM alle
+       |), reach AS (
+       |  SELECT DISTINCT src AS id, src AS comp FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON r.id = e.src
+       |), lab AS (
+       |  SELECT id, min(comp) AS comp_id FROM reach GROUP BY id
+       |), csizes AS (
+       |  SELECT comp_id, CAST(count(*) AS BIGINT) AS comp_size
+       |  FROM lab GROUP BY comp_id
+       |)
+       |SELECT l.id AS doc_id, l.comp_id, c.comp_size
+       |FROM lab l JOIN csizes c USING (comp_id)""".stripMargin
 
   /** DuckDB mirror of p09: same projections, buckets, probes,
     * verification. */
@@ -1815,6 +1963,13 @@ final case class DecodedAudio(
 final case class DecodedVideo(
     doc_id: Long, width: Long, height: Long, fps_num: Long, fps_den: Long,
     n_frames: Long, duration_us: Long, sample_sum: Long, n_bytes: Long)
+
+/** Typed rows for the two-phase sequence-packing scan (p31). */
+final case class PackPartRow(
+    doc_id: Long, lang: String, n_tokens: Long, pid: Int)
+final case class PackedDoc(
+    doc_id: Long, lang: String, n_tokens: Long, tok_offset: Long,
+    seq_first: Long, seq_last: Long)
 
 /** Typed row for the multimodal feature extraction (p16). */
 final case class MediaFeatures(
