@@ -1440,7 +1440,81 @@ object Pipeline {
               |SELECT doc_id, lang, n_tokens, tok_offset,
               |  tok_offset // $PackSeqLen AS seq_first,
               |  (tok_offset + n_tokens - 1) // $PackSeqLen AS seq_last
-              |FROM o""".stripMargin))
+              |FROM o""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p32: LENGTH QUANTILES — exact per-language deciles of document
+    // token counts (the corpus-statistics primitive behind length
+    // filtering thresholds). At 100 TB the sketch answer is
+    // approx_percentile (t-digest), but a sketch is not
+    // hash-verifiable across engines; the EXACT answer is distributed
+    // rank selection, and its scale shape is the same range-partition
+    // + two-phase rank offsets as p31: range-sort by
+    // (lang, n_tokens, doc_id) — a parallel sort, NOT one task per
+    // language — count per (partition, lang) to the driver, broadcast
+    // exclusive rank offsets + per-language target ranks
+    // (ceil(n·q/10), duplicate targets kept), then each partition
+    // streams its rows once and emits only rank hits. Decile 10 is
+    // the maximum.
+    QDef(
+      "p32_length_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .withColumn("n_tokens", expr(s"CAST(size($toksExpr) AS BIGINT)"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        val parted = base
+          .repartitionByRange(PackParts, col("lang"), col("n_tokens"), col("doc_id"))
+          .sortWithinPartitions("lang", "n_tokens", "doc_id")
+          .withColumn("pid", spark_partition_id())
+          .as[PackPartRow]
+          .localCheckpoint()
+        val counts = parted.groupBy("pid", "lang").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        val rankOffsets: Map[(Int, String), Long] = counts
+          .groupBy(_._2)
+          .flatMap { case (lang, rows) =>
+            var run = 0L
+            rows.sortBy(_._1).map { case (pid, _, cnt) =>
+              val off = run; run += cnt; (pid, lang) -> off
+            }
+          }
+        val totals: Map[String, Long] =
+          counts.groupBy(_._2).map { case (l, rs) => l -> rs.map(_._3).sum }
+        val targets: Map[String, Map[Long, Seq[Long]]] = totals.map {
+          case (l, n) =>
+            l -> (1L to 10L).groupBy(q => (n * q + 9L) / 10L)
+              .map { case (rk, qs) => rk -> qs.toSeq }
+        }
+        val bc = s.sparkContext.broadcast((rankOffsets, targets, totals))
+        parted.mapPartitions { it =>
+          val (offs, tgts, tots) = bc.value
+          val counters = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+          it.flatMap { r =>
+            val key = (r.pid, r.lang)
+            val rk = counters.getOrElse(key, offs.getOrElse(key, 0L)) + 1L
+            counters.update(key, rk)
+            tgts(r.lang).getOrElse(rk, Seq.empty).map(q =>
+              LangDecile(r.lang, q, r.n_tokens, tots(r.lang)))
+          }
+        }.toDF()
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, lang,
+              |    CAST(len($toksDuck) AS BIGINT) AS n_tokens
+              |  FROM documents
+              |), c AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY lang
+              |), r AS (
+              |  SELECT lang, n_tokens,
+              |    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rk
+              |  FROM t
+              |), tg AS (
+              |  SELECT lang, CAST(q AS BIGINT) AS decile, (n * q + 9) // 10 AS target, n
+              |  FROM c, range(1, 11) t2(q)
+              |)
+              |SELECT tg.lang, tg.decile, r.n_tokens AS q_value, tg.n AS n_docs
+              |FROM tg JOIN r ON r.lang = tg.lang AND r.rk = tg.target""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
@@ -1970,6 +2044,10 @@ final case class PackPartRow(
 final case class PackedDoc(
     doc_id: Long, lang: String, n_tokens: Long, tok_offset: Long,
     seq_first: Long, seq_last: Long)
+
+/** Typed row for the distributed rank-selection quantiles (p32). */
+final case class LangDecile(
+    lang: String, decile: Long, q_value: Long, n_docs: Long)
 
 /** Typed row for the multimodal feature extraction (p16). */
 final case class MediaFeatures(

@@ -46,6 +46,38 @@ class PackSpec extends SparkSpec {
     assert(coalesced === direct)
   }
 
+  test("p32 rank-selection deciles equal a window-based computation") {
+    val got = SparkEntry.queries("p32_length_quantiles")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val base = Tables.documents(spark, sf)
+      .withColumn("n_tokens",
+        expr(s"CAST(size(${Pipeline.toksExpr}) AS BIGINT)"))
+    val w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    val byRank = base.withColumn("rk", row_number().over(w))
+      .select("lang", "rk", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong) -> r.getLong(2)).toMap
+    val counts = base.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val expected = (for {
+      (lang, n) <- counts.toSeq
+      q <- 1L to 10L
+    } yield (lang, q) -> (byRank((lang, (n * q + 9L) / 10L)), n)).toMap
+
+    assert(got === expected)
+  }
+
+  test("p32 deciles survive a downstream coalesce(1)") {
+    val direct = SparkEntry.queries("p32_length_quantiles")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val coalesced = SparkEntry.queries("p32_length_quantiles")(spark, sf)
+      .coalesce(1).collect().map(_.toSeq).toSet
+    assert(coalesced === direct)
+  }
+
   test("sequence bounds partition the token stream without gaps") {
     val rows = SparkEntry.queries("p31_pack_sequences")(spark, sf)
       .orderBy("lang", "doc_id").collect()
