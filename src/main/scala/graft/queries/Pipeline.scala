@@ -170,6 +170,19 @@ object Pipeline {
   private[queries] val PackSeqLen = 64L
   private val PackParts = 8
 
+  // p33: vocabulary size — 20 < the corpus's 31 distinct tokens, so
+  // the top-K boundary actually cuts at every SF (production 32k-256k
+  // only changes the constant); p34: a bigram enters the reference
+  // "LM" iff it occurs in >= LmDfPct% of documents — RELATIVE, because
+  // bigram document frequency scales with corpus size (a fixed cut
+  // that separates fluent from disfluent docs at 500 docs is
+  // vacuous at 5,000: swept 20/30/50..300 offline — 6% keeps the
+  // permille spread two-sided at every SF); p35: top terms kept per
+  // document.
+  private val VocabK = 20
+  private val LmDfPct = 6
+  private val TfidfK = 3
+
   val all: Vector[QDef] = Vector(
     // ------------------------------------------------------------------
     // p01: EXACT DEDUP — content-hash groupBy. The 500-doc corpus has no
@@ -1514,7 +1527,146 @@ object Pipeline {
               |  FROM c, range(1, 11) t2(q)
               |)
               |SELECT tg.lang, tg.decile, r.n_tokens AS q_value, tg.n AS n_docs
-              |FROM tg JOIN r ON r.lang = tg.lang AND r.rk = tg.target""".stripMargin))
+              |FROM tg JOIN r ON r.lang = tg.lang AND r.rk = tg.target""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p33: VOCABULARY BUILD — the tokenizer-training primitive: top-K
+    // corpus tokens by total term frequency, with document frequency.
+    // Two-level aggregation — groupBy(tok, doc_id) then groupBy(tok) —
+    // so both levels get map-side partial counts (a single
+    // count_distinct(doc_id) would instead plan an Expand over every
+    // token occurrence). The global top-K is orderBy+limit, which
+    // Spark plans as TakeOrderedAndProject: each partition keeps a
+    // local K-row heap and only K rows per partition reach the
+    // driver-side merge — no global sort at 100 TB. The rank window
+    // then runs over exactly K rows.
+    QDef(
+      "p33_vocab_topk",
+      (s, d) => {
+        val perDoc = docs(s, d)
+          .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+          .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+        val vocab = perDoc.groupBy("tok")
+          .agg(sum("tf").as("tf"), count(lit(1)).as("df"))
+        vocab.orderBy(col("tf").desc, col("tok")).limit(VocabK)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("tf").desc, col("tok"))).cast("long"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest($toksDuck) AS tok FROM documents
+              |), pd AS (
+              |  SELECT tok, doc_id, count(*) AS tf FROM tok GROUP BY tok, doc_id
+              |), v AS (
+              |  SELECT tok, CAST(sum(tf) AS BIGINT) AS tf,
+              |         CAST(count(*) AS BIGINT) AS df
+              |  FROM pd GROUP BY tok
+              |)
+              |SELECT tok, tf, df,
+              |  CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank
+              |FROM v ORDER BY rank LIMIT $VocabK""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p34: N-GRAM LM HIT RATE — the CCNet/KenLM-style fluency signal
+    // reduced to verifiable integers: the "language model" is the set
+    // of bigrams occurring in >= LmDf distinct documents, and each
+    // document scores the fraction of its bigram OCCURRENCES found in
+    // that model (fluent text reuses corpus-common word transitions;
+    // gibberish doesn't). All counts are integers and the permille
+    // score is integer division — hash-exact across engines, unlike a
+    // log-probability perplexity. At 100 TB the model is itself too
+    // large to broadcast, so the scoring join stays hash-partitioned
+    // on the bigram (both sides arrive partitioned by sh from the df
+    // groupBy), followed by one groupBy(doc_id) with map-side partial
+    // counts and a co-partitioned left join back to documents.
+    QDef(
+      "p34_lm_hit_rate",
+      (s, d) => {
+        // the relative df cut needs the corpus size — a parquet
+        // metadata-only count at any scale, same driver-side stats
+        // pattern as p31/p32
+        val lmDf = math.max(2L, docs(s, d).count() * LmDfPct / 100L)
+        val bg = bigrams(s, d) // occurrences, with duplicates
+        val model = bg.distinct().groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= lmDf).select("sh")
+        val hits = bg.join(model, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("lm_hits"))
+        docs(s, d)
+          .withColumn("n_bigrams",
+            expr(s"CAST(greatest(size($toksExpr) - 1, 0) AS BIGINT)"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_bigrams"),
+            coalesce(col("lm_hits"), lit(0L)).as("lm_hits"),
+            expr("""CASE WHEN n_bigrams > 0
+                   |THEN coalesce(lm_hits, CAST(0 AS BIGINT)) * 1000 DIV n_bigrams
+                   |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("hit_permille"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksDuck AS tk FROM documents
+              |), kpos AS (
+              |  SELECT doc_id, tk, unnest(range(1, len(tk))) AS k FROM t
+              |), bg AS (
+              |  SELECT doc_id,
+              |    tk[CAST(k AS INT)] || ' ' || tk[CAST(k AS INT) + 1] AS sh
+              |  FROM kpos
+              |), model AS (
+              |  SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM bg)
+              |  GROUP BY sh HAVING count(*) >=
+              |    greatest(2, (SELECT count(*) FROM documents) * $LmDfPct // 100)
+              |), hits AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS lm_hits
+              |  FROM bg JOIN model USING (sh) GROUP BY doc_id
+              |)
+              |SELECT t.doc_id,
+              |  CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+              |  CAST(coalesce(h.lm_hits, 0) AS BIGINT) AS lm_hits,
+              |  CAST(CASE WHEN len(tk) >= 2
+              |       THEN coalesce(h.lm_hits, 0) * 1000 // (len(tk) - 1)
+              |       ELSE 0 END AS BIGINT) AS hit_permille
+              |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p35: TF-IDF TOP TERMS — per-document keyword extraction: the
+    // TfidfK highest-scoring terms per doc, scored by the linear-idf
+    // variant tf·(N/df). N is constant within a per-doc ranking, and
+    // the remaining tf/df is ONE IEEE double division — bit-identical
+    // across engines — rather than a libm ln() whose last ulp is
+    // implementation-defined; the emitted score is pure integer (ppm).
+    // The rank<=K window hits Spark's WindowGroupLimit: each partition
+    // pre-filters to its local top-K per doc BEFORE the exchange (same
+    // plan shape as p26). tf and df come from the same two-level
+    // aggregation as p33; the tf↔df join is a hash join on the token,
+    // both sides already partitioned by tok from their groupBys.
+    QDef(
+      "p35_tfidf_topterms",
+      (s, d) => {
+        val tf = docs(s, d)
+          .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfm = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(dfm, "tok")
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(expr("CAST(tf AS DOUBLE) / df").desc, col("tok")))
+            .cast("long"))
+          .filter(col("rank") <= TfidfK)
+          .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+            expr("tf * 1000000 DIV df").as("score_ppm"), col("rank"))
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id, unnest($toksDuck) AS tok FROM documents
+              |), tf AS (
+              |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM tok GROUP BY doc_id, tok
+              |), dfm AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+              |), r AS (
+              |  SELECT doc_id, tok, tf, df,
+              |    CAST(row_number() OVER (PARTITION BY doc_id
+              |      ORDER BY CAST(tf AS DOUBLE) / df DESC, tok) AS BIGINT) AS rank
+              |  FROM tf JOIN dfm USING (tok)
+              |)
+              |SELECT doc_id, tok, tf, df, tf * 1000000 // df AS score_ppm, rank
+              |FROM r WHERE rank <= $TfidfK""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
