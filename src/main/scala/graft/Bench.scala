@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   *    and the per-round bench is run exactly once. Best-of-2 reports
   *    the steady-state cost of the PLAN, which is what this bench is
   *    for. Applied uniformly, so rows remain comparable within a run.
+  *  - (round 4) orphaned localCheckpoint blocks are unpersisted after
+  *    every invocation (outside the timed window): several operators
+  *    checkpoint intermediates, and each of their ~3 invocations here
+  *    leaks those cached RDDs — by mid-run the block manager held
+  *    hundreds of orphaned blocks and later queries paid GC/eviction
+  *    thrash, inflating unrelated rows up to 16× (measured: p20 went
+  *    16.2 s in-bench vs 0.9 s isolated before this fix).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,8 +47,13 @@ object Bench {
     // Warm-up: run everything once (JIT, codegen cache, parquet footers).
     // Per-query catch so one broken query still yields timings for the
     // rest (ADVICE r2); failures recorded as -1 and a nonzero exit.
+    def dropOrphanedCheckpoints(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).foreach(_ => ()) catch { case _: Throwable => }
+      finally dropOrphanedCheckpoints()
     }
 
     var failed = false
@@ -49,7 +61,9 @@ object Bench {
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).foreach(_ => ())
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropOrphanedCheckpoints()
+        dt
       }
       try name -> math.min(once(), once())
       catch {

@@ -28,14 +28,28 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** Map every vertex of the undirected graph `edges` (columns
-    * `src`, `dst`, any integral type; self-loops and duplicates are
-    * fine) to its component's minimum vertex id. Returns
-    * `(id, comp_id)`, one row per distinct vertex. */
-  def run(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    * `src`, `dst`, any integral type — labels come back as int64) to
+    * its component's minimum vertex id. Returns `(id, comp_id)`, one
+    * row per distinct vertex.
+    *
+    * When the canonicalized edge set is at most `localThreshold`
+    * rows, the closure finishes with a driver-side union-find over
+    * the collected edges instead of the distributed loop — the
+    * standard last-mile shortcut for iterative graph algorithms
+    * (per-round scheduling overhead dominates once the edge set is
+    * driver-sized; Kiveris et al. §6 finish small graphs locally for
+    * the same reason). The default threshold (4M edges ≈ 64 MB of
+    * pairs) is far below driver heap; at 100 TB the near-dup graph
+    * exceeds it and takes the star-contraction loop, whose per-round
+    * cost is what actually scales. Both paths produce identical
+    * labels (pinned by ConnectedComponentsSpec, which runs every case
+    * through each path). */
+  def run(edges: DataFrame, maxRounds: Int = 30,
+      localThreshold: Long = 1L << 22): DataFrame = {
     // Orient src > dst, drop self-loops and duplicates.
     val canon = edges
-      .select(greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
+      .select(greatest(col("src"), col("dst")).cast("long").as("src"),
+        least(col("src"), col("dst")).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
 
@@ -75,6 +89,8 @@ object ConnectedComponents {
 
     var cur = canon.localCheckpoint()
     var curSig = signature(cur)
+    if (curSig._1 <= localThreshold && curSig._1 > 0L)
+      return localFinish(cur)
     var converged = curSig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
@@ -93,5 +109,37 @@ object ConnectedComponents {
     cur.select(col("src").as("id"), col("dst").as("comp_id"))
       .unionByName(cur.select(col("dst").as("id"), col("dst").as("comp_id")))
       .distinct()
+  }
+
+  /** Driver-side closure over a collected edge set: union-find with
+    * union-by-min, so every root is its component's minimum id —
+    * the same labeling the star contraction converges to. */
+  private def localFinish(canonEdges: DataFrame): DataFrame = {
+    val s = canonEdges.sparkSession
+    import s.implicits._
+    val pairs = canonEdges.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]
+    def find(a: Long): Long = {
+      var r = a
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = a // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val verts = new java.util.TreeSet[java.lang.Long]
+    pairs.foreach { case (a, b) => verts.add(a); verts.add(b) }
+    val labels = new Array[(Long, Long)](verts.size)
+    var i = 0
+    verts.forEach { v => labels(i) = (v.longValue, find(v.longValue)); i += 1 }
+    s.createDataset(labels.toIndexedSeq).toDF("id", "comp_id")
   }
 }

@@ -183,6 +183,52 @@ object Pipeline {
   private val LmDfPct = 6
   private val TfidfK = 3
 
+  // p36: C4-style duplicated-span removal — the dedup UNIT is a
+  // SpanLen-token segment (C4 uses lines/3-sentence spans; this
+  // corpus has no line structure, so fixed-length token segments
+  // stand in — the operator shape is identical). A segment is
+  // boilerplate iff it occurs >= SpanDf times corpus-wide. SpanLen=3
+  // keeps both classes populated on this corpus (measured at sf0.01:
+  // 231 of 7,460 distinct segments cross the cut, scrubbing ~9% of
+  // segments and emptying 2 docs — the empty-doc path is exercised).
+  private[queries] val SpanLen = 3
+  private val SpanDf = 3
+
+  /** p36's span splitter over a `toks` column: consecutive SpanLen-
+    * token segments (last one ragged). `private[queries]` so
+    * MixQualitySpec drives the production expression, not a copy. */
+  private[queries] val spanSegsExpr: String =
+    s"""CASE WHEN size(toks) >= 1
+       |THEN transform(sequence(0, CAST(ceil(size(toks) / ${SpanLen}.0) AS INT) - 1),
+       |               i -> array_join(slice(toks, i * $SpanLen + 1, $SpanLen), ' '))
+       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+
+  // p37: SemDeDup-style cluster-local semantic dedup: vectors are
+  // partitioned into their home IVF cell (same md5-derived coarse
+  // quantizer as p15) and near-dups are searched WITHIN cells only.
+  // Tau swept offline on the real vectors (sf0.01: 15,768 within-cell
+  // pairs; 248 at cos>=0.30, 68 at >=0.35) — 0.30 keeps the drop set
+  // populated on this isotropic worst-case corpus.
+  private val SemTau = 0.30
+
+  // p38: model-based quality filtering — a fixed-weight linear
+  // classifier (the fasttext-style stage of a curation pipeline)
+  // over three exact-arithmetic features. Every feature is one IEEE
+  // division and the score sums products of double-cast literals in
+  // written order, so both engines compute bit-identical doubles.
+  // Bias -1.9 splits ~30-55% kept at every SF (swept offline).
+  private val QualityBias = "-1.9"
+  private val QualityW = ("0.02", "4.0", "0.25") // n_toks, uniq_ratio, -mean_len
+
+  // p39: temperature-weighted mixture resampling (alpha = 0.5): the
+  // per-language target share is proportional to sqrt(count) — the
+  // standard low-resource upweighting — with the total budget half
+  // the corpus. Weights use floor(sqrt(n)) as INTEGERS so the
+  // cross-group sum is order-independent (no float-summation-order
+  // nondeterminism), and each doc's keep decision is one exact
+  // division compared against its md5-derived uniform.
+  private val MixDenom = 2L // sampling budget = total DIV MixDenom
+
   val all: Vector[QDef] = Vector(
     // ------------------------------------------------------------------
     // p01: EXACT DEDUP — content-hash groupBy. The 500-doc corpus has no
@@ -1666,7 +1712,216 @@ object Pipeline {
               |  FROM tf JOIN dfm USING (tok)
               |)
               |SELECT doc_id, tok, tf, df, tf * 1000000 // df AS score_ppm, rank
-              |FROM r WHERE rank <= $TfidfK""".stripMargin))
+              |FROM r WHERE rank <= $TfidfK""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p36: DUPLICATED-SPAN REMOVAL — the C4-style cleanup pass that
+    // scrubs boilerplate SPANS (not whole docs) corpus-wide and
+    // reassembles each document from its surviving spans in order.
+    // Scale shape: explode spans (codegen, no shuffle) → one
+    // hash-partitioned groupBy for span df → anti-join against the
+    // BOILERPLATE set only (df >= cut survivors — orders of magnitude
+    // smaller than the full df table, broadcastable in practice) →
+    // one groupBy(doc_id) whose per-doc sort is bounded by doc
+    // length. Never a corpus-wide sort; at 100 TB every stage is a
+    // hash-partitioned groupBy or an equi-join.
+    QDef(
+      "p36_span_dedup",
+      (s, d) => {
+        val segs = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), posexplode(expr(spanSegsExpr)).as(Seq("pos", "seg")))
+        val boiler = segs.groupBy("seg").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= SpanDf).select("seg")
+        val kept = segs.join(boiler, Seq("seg"), "left_anti")
+        val rebuilt = kept.groupBy("doc_id").agg(
+          count(lit(1)).as("segs_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(pos, seg)))," +
+            " x -> x.seg), ' ')").as("clean_text"))
+        docs(s, d).select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("segs_kept"), lit(0L)).as("segs_kept"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $toksDuck AS tk FROM documents
+              |), seg AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              |    array_to_string(tk[CAST(i * $SpanLen + 1 AS INT) :
+              |                       CAST(i * $SpanLen + $SpanLen AS INT)], ' ') AS seg
+              |  FROM (SELECT doc_id, tk,
+              |          unnest(range(CAST(ceil(len(tk) / ${SpanLen}.0) AS BIGINT))) AS i
+              |        FROM toks)
+              |), boiler AS (
+              |  SELECT seg FROM seg GROUP BY seg HAVING count(*) >= $SpanDf
+              |), kept AS (
+              |  SELECT s.doc_id, s.pos, s.seg FROM seg s ANTI JOIN boiler b USING (seg)
+              |), rebuilt AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS segs_kept,
+              |         string_agg(seg, ' ' ORDER BY pos) AS clean_text
+              |  FROM kept GROUP BY doc_id
+              |)
+              |SELECT d.doc_id, coalesce(r.segs_kept, 0) AS segs_kept,
+              |       coalesce(r.clean_text, '') AS clean_text
+              |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p37: SEMANTIC DEDUP (SemDeDup-style) — cluster-local embedding
+    // dedup: every vector lives in its home IVF cell (p15's coarse
+    // quantizer) and near-dup pairs are searched WITHIN cells only,
+    // so the quadratic pair cost is bounded per cell instead of
+    // corpus-wide; survivors by the greedy min-id rule (p14's
+    // ledger). At 100 TB the cell count scales ~sqrt(n) (sampled
+    // k-means centroids), keeping per-cell join cost flat — the
+    // SemDeDup paper's exact recipe; the only shuffles are the cell
+    // assignment groupBy-free kernel pass, one per-cell self-join and
+    // one groupBy(ib). Tau = 0.30 keeps the drop set populated on
+    // this isotropic corpus (see the parameter note).
+    QDef(
+      "p37_semantic_dedup",
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val home = ivfCells(s, d).filter(col("rn") === 1)
+          .select(col("vec_id"), col("cell"))
+        val vecs = withNorm(s, emb(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+        val pairs = home.as("x").join(home.as("y"),
+            col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+          .join(vecs.as("va"), col("ia") === col("va.vec_id"))
+          .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
+          .withColumn("cos",
+            expr("graft_dot(va.v, vb.v)") / (col("va.nrm") * col("vb.nrm")))
+          .filter(col("cos") >= SemTau)
+        val drops = pairs.groupBy(col("ib")).agg(min("ia").as("min_nbr"))
+          .withColumnRenamed("ib", "vec_id")
+        home.join(drops, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell").cast("long").as("cell"),
+            col("min_nbr").isNull.as("kept"), col("min_nbr"))
+      },
+      Some(s"""WITH $ivfAssignCtes, home AS (
+              |  SELECT vec_id, c AS cell FROM ranked WHERE rn = 1
+              |), nrm AS (
+              |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
+              |), cpairs AS (
+              |  SELECT x.vec_id AS ia, y.vec_id AS ib
+              |  FROM home x JOIN home y
+              |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+              |), dots AS (
+              |  SELECT ia, ib, sum(a.x * b.x) AS dot
+              |  FROM cpairs JOIN el a ON ia = a.vec_id
+              |              JOIN el b ON ib = b.vec_id AND a.i = b.i
+              |  GROUP BY ia, ib
+              |), cosv AS (
+              |  SELECT ia, ib, dot / (na.nrm * nb.nrm) AS cos
+              |  FROM dots JOIN nrm na ON ia = na.vec_id
+              |            JOIN nrm nb ON ib = nb.vec_id
+              |), drops AS (
+              |  SELECT ib AS vec_id, min(ia) AS min_nbr
+              |  FROM cosv WHERE cos >= $SemTau GROUP BY ib
+              |)
+              |SELECT h.vec_id, CAST(h.cell AS BIGINT) AS cell,
+              |       dr.vec_id IS NULL AS kept, dr.min_nbr
+              |FROM home h LEFT JOIN drops dr USING (vec_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p38: MODEL-BASED QUALITY FILTER — fixed-weight linear classifier
+    // inference (the fasttext-style curation stage): three
+    // exact-arithmetic features per doc, one dot product with
+    // double-cast literal weights summed in written order, keep iff
+    // score > 0. Pure codegen projection, zero shuffle — the shape of
+    // any per-row model scoring at 100 TB (a real model only widens
+    // the feature vector; the bit-exactness argument is at the weight
+    // declaration).
+    QDef(
+      "p38_quality_model",
+      (s, d) => {
+        val (w1, w2, w3) = QualityW
+        docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"),
+            expr("CAST(size(toks) AS BIGINT)").as("n_toks"),
+            expr("CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks)")
+              .as("uniq_ratio"),
+            expr("CAST(length(array_join(toks, '')) AS DOUBLE) / size(toks)")
+              .as("mean_len"))
+          .withColumn("score", expr(
+            s"""CAST($QualityBias AS DOUBLE) + CAST($w1 AS DOUBLE) * n_toks
+               | + CAST($w2 AS DOUBLE) * uniq_ratio
+               | - CAST($w3 AS DOUBLE) * mean_len""".stripMargin))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("uniq_ratio"), 6).as("uniq_ratio"),
+            round(col("mean_len"), 6).as("mean_len"),
+            round(col("score"), 6).as("score"),
+            (col("score") > 0.0).as("kept"))
+      },
+      Some {
+        val (w1, w2, w3) = QualityW
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(len(tk) AS BIGINT) AS n_toks,
+           |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS uniq_ratio,
+           |    CAST(len(array_to_string(tk, '')) AS DOUBLE) / len(tk) AS mean_len
+           |  FROM (SELECT doc_id, $toksDuck AS tk FROM documents)
+           |), sc AS (
+           |  SELECT doc_id, n_toks, uniq_ratio, mean_len,
+           |    CAST($QualityBias AS DOUBLE) + CAST($w1 AS DOUBLE) * n_toks
+           |     + CAST($w2 AS DOUBLE) * uniq_ratio
+           |     - CAST($w3 AS DOUBLE) * mean_len AS score
+           |  FROM f
+           |)
+           |SELECT doc_id, n_toks, round(uniq_ratio, 6) AS uniq_ratio,
+           |       round(mean_len, 6) AS mean_len, round(score, 6) AS score,
+           |       score > 0.0 AS kept
+           |FROM sc""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // p39: TEMPERATURE MIXTURE RESAMPLING — rebalance the language
+    // mix with alpha = 0.5 sampling (target share ∝ sqrt(count): the
+    // standard low-resource upweighting) at a budget of total DIV
+    // $MixDenom docs. Per-language counts and integer sqrt weights
+    // are a tiny aggregate BROADCAST back over the corpus; each doc's
+    // keep decision and sampling probability are one exact IEEE
+    // division against its md5-derived uniform — a pure projection,
+    // so the corpus is never reshuffled. sample_prob > 1 on
+    // sufficiently rare languages means upsampling (repeat draws) in
+    // a real pipeline; the filter keeps every such doc.
+    QDef(
+      "p39_mixture_sample",
+      (s, d) => {
+        val cnt = docs(s, d).groupBy("lang").agg(
+          count(lit(1)).as("n"),
+          expr("CAST(floor(sqrt(CAST(count(1) AS DOUBLE))) AS BIGINT)").as("w"))
+        val tot = cnt.agg(sum("n").as("total"), sum("w").as("sumw"))
+        docs(s, d).select("doc_id", "lang")
+          .join(broadcast(cnt), "lang")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("lang"),
+            round(expr(
+              s"CAST((total DIV $MixDenom) * w AS DOUBLE) / CAST(sumw * n AS DOUBLE)"),
+              6).as("sample_prob"),
+            expr(
+              s"""CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)
+                 |  / CAST(4503599627370496 AS DOUBLE)
+                 |  < CAST((total DIV $MixDenom) * w AS DOUBLE) / CAST(sumw * n AS DOUBLE)"""
+                .stripMargin).as("kept"))
+      },
+      Some(s"""WITH cnt AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+              |  FROM documents GROUP BY lang
+              |), tot AS (
+              |  SELECT CAST(sum(n) AS BIGINT) AS total,
+              |         CAST(sum(w) AS BIGINT) AS sumw FROM cnt
+              |)
+              |SELECT doc_id, lang,
+              |  round(CAST((total // $MixDenom) * w AS DOUBLE)
+              |        / CAST(sumw * n AS DOUBLE), 6) AS sample_prob,
+              |  CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+              |    / CAST(4503599627370496 AS DOUBLE)
+              |    < CAST((total // $MixDenom) * w AS DOUBLE)
+              |      / CAST(sumw * n AS DOUBLE) AS kept
+              |FROM documents d JOIN cnt USING (lang) CROSS JOIN tot""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
@@ -1856,9 +2111,12 @@ object Pipeline {
     * against fixed centroids), probe-cell candidate join, exact
     * cosine top-5 per query. Mirrors the p08 output shape so the two
     * are directly comparable. */
-  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+  /** The p15/p37 shared coarse quantizer: every vector's IvfProbes
+    * nearest cells (by cosine against the fixed md5-derived centroid
+    * matrix) as (vec_id, cell, rn) with rn = 1 the home cell. One
+    * typed-kernel pass, IvfProbes rows per vector out, zero shuffle. */
+  private def ivfCells(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.functions.DotProduct.register(s)
     // Centroid matrix on the driver: component i of centroid c is
     // md5('ivf<c>:<i>')'s first 52 bits mapped to [-1, 1) — the same
     // arithmetic as the oracle's weights CTE. Norms precomputed so
@@ -1878,7 +2136,7 @@ object Pipeline {
     val nCells = IvfCells
     val nProbes = IvfProbes
     val nDim = AnnDim
-    val cells = emb(s, d)
+    emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
@@ -1915,6 +2173,11 @@ object Pipeline {
         }
       }
       .toDF("vec_id", "cell", "rn")
+  }
+
+  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val cells = ivfCells(s, d)
     // Query side probes its nProbes nearest cells; the data side is
     // each vector's single home cell (rn = 1). Per-cell equi-join —
     // never all-pairs; at scale both sides are hash-partitioned on
@@ -1936,10 +2199,12 @@ object Pipeline {
       .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
 
-  /** DuckDB mirror of p15: same centroids, assignment, probing,
-    * verification. */
-  private def ivfOracle: String =
-    s"""WITH cent AS (
+  /** Shared DuckDB CTE prefix for p15/p37: the md5-derived centroid
+    * matrix, unpacked embedding elements, and the per-vector cell
+    * ranking (rn = 1 is the home cell) — the oracle mirror of
+    * [[ivfCells]]. */
+  private def ivfAssignCtes: String =
+    s"""cent AS (
        |  SELECT CAST(c AS INT) AS c, CAST(i AS INT) AS i,
        |    CAST(('0x' || substr(md5('ivf' || c || ':' || i), 1, 13)) AS BIGINT)
        |      / 4503599627370496.0 * 2 - 1 AS w
@@ -1958,7 +2223,12 @@ object Pipeline {
        |    FROM el JOIN cent USING (i) GROUP BY vec_id, c
        |  ) JOIN cnorm USING (c)
        |  QUALIFY rn <= $IvfProbes
-       |), cand AS (
+       |)""".stripMargin
+
+  /** DuckDB mirror of p15: same centroids, assignment, probing,
+    * verification. */
+  private def ivfOracle: String =
+    s"""WITH $ivfAssignCtes, cand AS (
        |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
        |  FROM ranked x JOIN ranked y
        |    ON x.c = y.c AND y.rn = 1 AND x.vec_id < 20 AND x.vec_id <> y.vec_id

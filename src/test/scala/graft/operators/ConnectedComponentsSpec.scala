@@ -8,11 +8,19 @@ import graft.SparkSpec
   * union-find. */
 class ConnectedComponentsSpec extends SparkSpec {
 
+  /** Runs BOTH execution paths — the driver-side union-find finisher
+    * (default threshold) and the distributed star-contraction loop
+    * (threshold 0) — asserts they agree, and returns the labels. */
   private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark
     import s.implicits._
-    ConnectedComponents.run(edges.toDF("src", "dst"))
+    val local = ConnectedComponents.run(edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents
+      .run(edges.toDF("src", "dst"), localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist, "local union-find and star contraction disagree")
+    local
   }
 
   test("a chain collapses to its minimum id") {
