@@ -89,6 +89,40 @@ object Streaming {
              |  max(ts) + INTERVAL 10 MINUTE AS sess_end,
              |  user_id, count(*) AS n_events, round(sum(value), 2) AS sv
              |FROM s GROUP BY user_id, sid
-             |HAVING sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM e)""".stripMargin))
+             |HAVING sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM e)""".stripMargin)),
+
+    // Sliding windows: 1-hour windows every 30 minutes — each event
+    // belongs to exactly two windows (the bucket it falls in and the
+    // one starting 30 minutes earlier), which the oracle derives from
+    // epoch arithmetic (integer 1800-second buckets — origin-free, so
+    // no time_bucket origin-convention risk); emission rule as s02
+    // (window end <= max(ts) − 1 hour delay).
+    QDef(
+      "s06_stream_sliding",
+      (s, d) => graft.streaming.StreamOps.slidingWindowCounts(s, d),
+      Some("""WITH e AS (
+             |  SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             |         event_type, value
+             |  FROM events
+             |), w AS (
+             |  SELECT unnest([
+             |      make_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 * 1000000),
+             |      make_timestamp(((CAST(floor(epoch(ts)) AS BIGINT) // 1800) - 1) * 1800 * 1000000)
+             |    ]) AS wstart, event_type, value
+             |  FROM e
+             |)
+             |SELECT wstart, event_type, count(*) AS c, round(sum(value), 2) AS sv
+             |FROM w GROUP BY 1, 2
+             |HAVING wstart + INTERVAL 2 HOUR <= (SELECT max(ts) FROM e)""".stripMargin)),
+
+    // Stream-static enrichment: the event stream joins the customer
+    // dimension (broadcast inside every micro-batch; stateless). On
+    // bounded input the result is exactly the batch join.
+    QDef(
+      "s07_stream_enrich",
+      (s, d) => graft.streaming.StreamOps.enrichedEvents(s, d),
+      Some("""SELECT event_id, user_id, event_type,
+             |  c_mktsegment, c_nationkey, value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin))
   )
 }

@@ -212,6 +212,72 @@ object StreamOps {
     spark.read.schema(org.apache.spark.sql.types.StructType(agg.schema)).parquet(out.toString)
   }
 
+  /** SLIDING WINDOWS — the overlapping-window variant of s02: 1-hour
+    * windows advancing every 30 minutes, so every event lands in
+    * exactly two windows (window/slide = 2 — Spark expands the event
+    * into its member windows BEFORE the stateful agg; state is
+    * windows-in-flight × types, twice s02's). Append mode under the
+    * same watermark emission rule; the oracle derives each event's
+    * two member windows from epoch arithmetic and applies the same
+    * rule, so the hash compare pins the window expansion AND the
+    * emission semantics. */
+  def slidingWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("sv"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("c"), col("sv"))
+    val out = tempDir("graft-slide-out")
+    val ckpt = tempDir("graft-slide-ckpt")
+    withStatePartitions(spark) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(agg.schema)).parquet(out.toString)
+  }
+
+  /** STREAM-STATIC ENRICHMENT — the dimension-join shape every
+    * production stream runs: the event stream joins a STATIC
+    * dimension table (customer) that Spark plans as a broadcast hash
+    * join inside every micro-batch — stateless, no watermark, no
+    * state store; the stream side never shuffles. On bounded input
+    * the result is exactly the batch join. */
+  def enrichedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val dim = broadcast(spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+    val joined = stream.join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("c_nationkey"), col("value"))
+    val out = tempDir("graft-enrich-out")
+    val ckpt = tempDir("graft-enrich-ckpt")
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
+  }
+
   /** Temp dir for a sink/checkpoint, removed on JVM exit — the
     * returned DataFrames read the sink dir lazily for the rest of the
     * process, so cleanup must not run earlier. */

@@ -41,4 +41,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("sliding windows put every event in exactly window/slide windows") {
+    // 1-hour window / 30-minute slide → each event contributes to 2
+    // windows, so the total event count across windows is exactly 2×
+    // the corpus (independently of the append emission cut, summing
+    // the UNCUT batch expansion).
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d)
+    val expanded = ev
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val total = expanded.agg(sum("c")).head().getLong(0)
+    assert(total === 2L * ev.count())
+  }
+
+  test("stream-static enrichment joins by broadcast, stateless") {
+    val d = "/root/testdata/sf0.001"
+    val out = StreamOps.enrichedEvents(spark, d)
+    // every event matches exactly one customer row
+    assert(out.count() === graft.Tables.events(spark, d).count())
+    // the same join built in batch planning broadcasts the dim side
+    import org.apache.spark.sql.functions._
+    val dim = broadcast(spark.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val plan = graft.Tables.events(spark, d)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ in:\n$plan")
+  }
 }
