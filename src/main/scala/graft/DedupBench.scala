@@ -88,6 +88,28 @@ object DedupBench {
         .agg(sum(expr("sz * (sz - 1) / 2")).as("cand_pairs"))
     }
 
+    timed("span_dedup") {
+      // p36's shape at scale: segment explode → one hash-partitioned
+      // df groupBy → anti-join against the boilerplate set → per-doc
+      // rebuild. Every doc gets one injected constant "header" span
+      // (df = n, scrubbed) on top of its 8 content spans (df ≤ 2 from
+      // the pair-duplicate rate, kept), so the expected answer is
+      // exact: docs = n, segs_kept = 8n — a wrong anti-join or df cut
+      // fails the bench instead of inflating it.
+      val segs = corpus
+        .withColumn("toks", expr("split(text, ' ')"))
+        .select(col("doc_id"), posexplode(expr(
+          """concat(array('graft common header'),
+            |  transform(sequence(0, CAST(size(toks) / 3 AS INT) - 1),
+            |    i -> array_join(slice(toks, i * 3 + 1, 3), ' ')))"""
+            .stripMargin)).as(Seq("pos", "seg")))
+      val boiler = segs.groupBy("seg").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select("seg")
+      val kept = segs.join(boiler, Seq("seg"), "left_anti")
+      kept.groupBy("doc_id").agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("docs"), sum("k").as("segs_kept"))
+    }
+
     timed("simhash") {
       // conv bit-packing per token, exactly like p03
       val tok = corpus

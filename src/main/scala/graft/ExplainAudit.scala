@@ -10,7 +10,8 @@ object ExplainAudit {
     for (n <- Seq("p02_dedup_minhash_lsh", "p09_ann_lsh", "p08_knn_brute",
         "p11_modality_join", "p13_dedup_ngram_jaccard", "p14_dedup_embed_cosine",
         "p15_ann_ivf", "p19_curation_funnel", "p24_decontaminate",
-        "p27_bm25", "p30_dedup_connected")) {
+        "p27_bm25", "p30_dedup_connected", "p36_span_dedup",
+        "p37_semantic_dedup", "p39_mixture_sample")) {
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

@@ -1892,10 +1892,15 @@ object Pipeline {
         val cnt = docs(s, d).groupBy("lang").agg(
           count(lit(1)).as("n"),
           expr("CAST(floor(sqrt(CAST(count(1) AS DOUBLE))) AS BIGINT)").as("w"))
-        val tot = cnt.agg(sum("n").as("total"), sum("w").as("sumw"))
+        // corpus totals attach to the per-lang rows with an
+        // unpartitioned window over the TINY aggregate (|langs| rows —
+        // single-partition by construction), keeping the audited plan
+        // free of even a 1-row nested-loop stage
+        val cntTot = cnt.select(col("lang"), col("n"), col("w"),
+          sum("n").over(Window.partitionBy()).as("total"),
+          sum("w").over(Window.partitionBy()).as("sumw"))
         docs(s, d).select("doc_id", "lang")
-          .join(broadcast(cnt), "lang")
-          .crossJoin(broadcast(tot))
+          .join(broadcast(cntTot), "lang")
           .select(col("doc_id"), col("lang"),
             round(expr(
               s"CAST((total DIV $MixDenom) * w AS DOUBLE) / CAST(sumw * n AS DOUBLE)"),
