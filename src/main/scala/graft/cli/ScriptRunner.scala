@@ -122,11 +122,14 @@ object ScriptRunner {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try graft.functions.GraftFunctions.withSqliteAggregates(spark) {
       for (stmt <- splitStatements(script)) {
+        // SQLite operator spellings (A GLOB B / A REGEXP B) become the
+        // registered function calls before Spark parses the statement.
+        val sql = SqliteOperators.rewrite(stmt)
         // Side-effecting dialect statements (CREATE TABLE/INSERT/DROP)
         // bind temp views and emit no rows; UPDATE/DELETE etc. get a
         // one-line rejection (ScriptDdl).
-        if (!ScriptDdl.execute(spark, stmt)) {
-          val df: DataFrame = spark.sql(stmt)
+        if (!ScriptDdl.execute(spark, sql)) {
+          val df: DataFrame = spark.sql(sql)
           if (df.schema.nonEmpty) pump(df, serializer)
         }
       }

@@ -558,6 +558,15 @@ class CliSpec extends SparkSpec {
     assert(sqawk("select a1, a2 from a where a1 < a2 order by a1", g) == (0, "2 x\n9 10\n"))
   }
 
+  test("operator-form GLOB / NOT GLOB / REGEXP (sqlite3-verified)") {
+    // sqlite3: a1 GLOB 'f*' over foo/fbar/xfoo → foo,fbar; NOT GLOB →
+    // xfoo. REGEXP uses the registered Tcl-order regexp(RE, string).
+    val f = tempFile("foo\nfbar\nxfoo\n")
+    assert(sqawk("select a1 from a where a1 GLOB 'f*'", f) == (0, "foo\nfbar\n"))
+    assert(sqawk("select a1 from a where a1 NOT GLOB 'f*'", f) == (0, "xfoo\n"))
+    assert(sqawk("select a1 from a where a1 REGEXP 'o$'", f) == (0, "foo\nxfoo\n"))
+  }
+
   test("join across two files (examples/hp, README.md:454)") {
     val md5 = tempFile("d41d8cd98f00b204e9800998ecf8427e  foo\nc157a79031e1c40f85931829bc5fc552  bar\n")
     val du = tempFile("0\tfoo\n4096\tbar\n")

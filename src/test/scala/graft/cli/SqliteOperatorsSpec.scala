@@ -1,0 +1,53 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the GLOB/REGEXP operator → function-call rewrite, including
+  * the argument swap (SQLite defines `A GLOB B` = glob(B, A)) and the
+  * token-awareness guarantees (strings/comments untouched, function
+  * spellings left alone). */
+class SqliteOperatorsSpec extends AnyFunSuite {
+
+  private def rw(s: String) = SqliteOperators.rewrite(s)
+
+  test("simple operator forms swap arguments") {
+    assert(rw("SELECT * FROM a WHERE a1 GLOB 'x*'") ===
+      "SELECT * FROM a WHERE (glob('x*', a1) = 1)")
+    assert(rw("SELECT * FROM a WHERE a1 REGEXP '^x'") ===
+      "SELECT * FROM a WHERE (regexp('^x', a1) = 1)")
+  }
+
+  test("NOT forms negate the call") {
+    assert(rw("SELECT * FROM a WHERE a1 NOT GLOB 'x*'") ===
+      "SELECT * FROM a WHERE NOT (glob('x*', a1) = 1)")
+  }
+
+  test("dotted and function-call operands survive") {
+    assert(rw("SELECT * FROM a WHERE t.a1 GLOB 'x*'") ===
+      "SELECT * FROM a WHERE (glob('x*', t.a1) = 1)")
+    assert(rw("SELECT upper(a1) GLOB 'X*' FROM a") ===
+      "SELECT (glob('X*', upper(a1)) = 1) FROM a")
+    assert(rw("SELECT (a1 || a2) GLOB p1 FROM a") ===
+      "SELECT (glob(p1, (a1 || a2)) = 1) FROM a")
+  }
+
+  test("multiple occurrences all rewrite") {
+    assert(rw("SELECT 1 WHERE a GLOB 'x' AND b NOT GLOB 'y'") ===
+      "SELECT 1 WHERE (glob('x', a) = 1) AND NOT (glob('y', b) = 1)")
+  }
+
+  test("strings, comments and function spellings are untouched") {
+    assert(rw("SELECT 'a GLOB b'") === "SELECT 'a GLOB b'")
+    assert(rw("SELECT 1 -- a GLOB b\n") === "SELECT 1 -- a GLOB b\n")
+    assert(rw("SELECT glob('x*', a1) FROM a") === "SELECT glob('x*', a1) FROM a")
+    assert(rw("SELECT * FROM a WHERE glob('x', a1) = 1") ===
+      "SELECT * FROM a WHERE glob('x', a1) = 1")
+  }
+
+  test("rhs may be a function call or parenthesized expression") {
+    assert(rw("SELECT * FROM a WHERE a1 GLOB lower(p)") ===
+      "SELECT * FROM a WHERE (glob(lower(p), a1) = 1)")
+    assert(rw("SELECT * FROM a WHERE a1 GLOB ('x' || '*')") ===
+      "SELECT * FROM a WHERE (glob(('x' || '*'), a1) = 1)")
+  }
+}
