@@ -92,6 +92,29 @@ object SqliteOperators {
       val t = toks(j)
       if (t.kind == 'w') {
         val w = text(t).toLowerCase
+        if (w == "collate") {
+          // SQLite collation names → Spark 4 collations: NOCASE maps
+          // to UTF8_LCASE (identical on ASCII, SQLite's NOCASE scope;
+          // full-Unicode case folding beyond it), BINARY to
+          // UTF8_BINARY. RTRIM has no Spark equivalent — reject with
+          // a one-line error rather than silently changing semantics.
+          val nj = nextIdx(j)
+          if (nj < toks.length && toks(nj).kind == 'w') {
+            val name = text(toks(nj)).toLowerCase
+            val mapped = name match {
+              case "nocase" => Some("UTF8_LCASE")
+              case "binary" => Some("UTF8_BINARY")
+              case "rtrim" =>
+                throw new IllegalArgumentException(
+                  "error: collation RTRIM is not supported")
+              case _ => None
+            }
+            mapped.foreach { m =>
+              return rewrite(sql.substring(0, toks(nj).start) + m +
+                sql.substring(toks(nj).end))
+            }
+          }
+        }
         if (w == "glob" || w == "regexp") {
           var pj = prevIdx(j)
           val negated = pj >= 0 && toks(pj).kind == 'w' && text(toks(pj)).toLowerCase == "not"

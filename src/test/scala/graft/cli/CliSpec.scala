@@ -567,6 +567,16 @@ class CliSpec extends SparkSpec {
     assert(sqawk("select a1 from a where a1 REGEXP 'o$'", f) == (0, "foo\nxfoo\n"))
   }
 
+  test("COLLATE NOCASE ordering and equality (sqlite3-verified)") {
+    // sqlite3: ORDER BY c COLLATE NOCASE, c over b/A/a/B → A,a,B,b;
+    // 'FOO' = 'foo' COLLATE NOCASE → 1
+    val f = tempFile("b\nA\na\nB\n")
+    assert(sqawk("select a1 from a order by a1 COLLATE NOCASE, a1", f) ==
+      (0, "A\na\nB\nb\n"))
+    assert(sqawk("select a1 from a where a1 = ('a' COLLATE NOCASE) order by a1", f) ==
+      (0, "A\na\n"))
+  }
+
   test("join across two files (examples/hp, README.md:454)") {
     val md5 = tempFile("d41d8cd98f00b204e9800998ecf8427e  foo\nc157a79031e1c40f85931829bc5fc552  bar\n")
     val du = tempFile("0\tfoo\n4096\tbar\n")

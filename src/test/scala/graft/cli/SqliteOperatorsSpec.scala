@@ -50,4 +50,16 @@ class SqliteOperatorsSpec extends AnyFunSuite {
     assert(rw("SELECT * FROM a WHERE a1 GLOB ('x' || '*')") ===
       "SELECT * FROM a WHERE (glob(('x' || '*'), a1) = 1)")
   }
+
+  test("COLLATE NOCASE/BINARY map to Spark collations; RTRIM rejects") {
+    assert(rw("SELECT a1 FROM a ORDER BY a1 COLLATE NOCASE") ===
+      "SELECT a1 FROM a ORDER BY a1 COLLATE UTF8_LCASE")
+    assert(rw("SELECT a1 FROM a ORDER BY a1 collate binary, a2 COLLATE NOCASE") ===
+      "SELECT a1 FROM a ORDER BY a1 collate UTF8_BINARY, a2 COLLATE UTF8_LCASE")
+    assert(rw("SELECT 'COLLATE NOCASE'") === "SELECT 'COLLATE NOCASE'")
+    val e = intercept[IllegalArgumentException] {
+      rw("SELECT a1 FROM a ORDER BY a1 COLLATE RTRIM")
+    }
+    assert(e.getMessage.contains("RTRIM"))
+  }
 }
