@@ -115,6 +115,50 @@ object SqliteOperators {
             }
           }
         }
+        if (w == "cast") {
+          // SQLite CAST semantics (prefix coercion, saturation —
+          // functions/SqliteCastExprs.scala): CAST(e AS T) becomes
+          // sqlite_cast_<affinity>((e)), with T classified by SQLite's
+          // column-affinity name rules (lang_datatype.html §3.1):
+          // *INT* → INTEGER; *CHAR*/*CLOB*/*TEXT*/*BLOB* → TEXT;
+          // *REAL*/*FLOA*/*DOUB* → REAL; anything else → NUMERIC.
+          val oj = nextIdx(j)
+          if (oj < toks.length && toks(oj).kind == 'p' && text(toks(oj)) == "(") {
+            // balanced scan; record the depth-1 AS and the close paren
+            var depth = 0
+            var k = oj
+            var asIdx = -1
+            var close = -1
+            while (k < toks.length && close < 0) {
+              val tx = toks(k)
+              if (tx.kind == 'p' && text(tx) == "(") depth += 1
+              else if (tx.kind == 'p' && text(tx) == ")") {
+                depth -= 1
+                if (depth == 0) close = k
+              } else if (depth == 1 && tx.kind == 'w' &&
+                  text(tx).toLowerCase == "as") asIdx = k
+              k += 1
+            }
+            if (close > 0 && asIdx > 0) {
+              val typeName = toks.slice(asIdx + 1, close)
+                .filter(_.kind == 'w').map(text).mkString(" ").toUpperCase
+              if (typeName.nonEmpty) {
+                val aff =
+                  if (typeName.contains("INT")) "integer"
+                  else if (typeName.contains("CHAR") || typeName.contains("CLOB") ||
+                    typeName.contains("TEXT") || typeName.contains("BLOB")) "text"
+                  else if (typeName.contains("REAL") || typeName.contains("FLOA") ||
+                    typeName.contains("DOUB")) "real"
+                  else "numeric"
+                val operand =
+                  sql.substring(toks(oj).end, toks(asIdx).start).trim
+                val rewritten = sql.substring(0, t.start) +
+                  s"sqlite_cast_$aff(($operand))" + sql.substring(toks(close).end)
+                return rewrite(rewritten)
+              }
+            }
+          }
+        }
         if (w == "glob" || w == "regexp") {
           var pj = prevIdx(j)
           val negated = pj >= 0 && toks(pj).kind == 'w' && text(toks(pj)).toLowerCase == "not"

@@ -123,11 +123,30 @@ object GraftFunctions {
     registerStaticVariadic(spark, "dict_exists", IntegerType, 2 to 4)
     registerStaticVariadic(spark, "regsub", StringType, 3 to 4)
 
+    // SQLite CAST semantics (prefix coercion, saturation, SQLite real
+    // rendering) — targets of the CAST(expr AS type) rewrite in
+    // cli/SqliteOperators; custom unary expressions that dispatch on
+    // the child type at codegen time (SqliteCastExprs.scala).
+    registerUnary(spark, "sqlite_cast_integer", SqliteCastInteger)
+    registerUnary(spark, "sqlite_cast_real", SqliteCastReal)
+    registerUnary(spark, "sqlite_cast_text", SqliteCastText)
+    registerUnary(spark, "sqlite_cast_numeric", SqliteCastNumeric)
+
     // Beyond-reference codegen kernels, exposed to scripts too:
     // graft_dot(array<double>, array<double>) and
     // graft_rollhash_min(string).
     DotProduct.register(spark)
     RollingHashMin.register(spark)
+  }
+
+  private def registerUnary(
+      spark: SparkSession, name: String, f: Expression => Expression): Unit = {
+    val builder: Seq[Expression] => Expression = { children =>
+      if (children.length != 1)
+        throw new IllegalArgumentException(s"$name expects 1 argument")
+      f(children.head)
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
   }
 
   /** Run `body` with the SQLite script dialect's built-in shadows —

@@ -567,6 +567,32 @@ class CliSpec extends SparkSpec {
     assert(sqawk("select a1 from a where a1 REGEXP 'o$'", f) == (0, "foo\nxfoo\n"))
   }
 
+  test("CAST prefix coercion and saturation (sqlite3-verified)") {
+    // Pinned against sqlite3 over the reference's schema (columns are
+    // INTEGER affinity, table.tcl:54, so '1e2' is STORED as 100 and
+    // the leading-separator line's a1 is ''):
+    //   CREATE TABLE a(a1 INTEGER);
+    //   INSERT INTO a VALUES('12abc'),('abc'),('12.9'),('1e2'),('');
+    //   SELECT CAST(a1 AS INTEGER) FROM a → 12|0|12|100|0
+    // (text→INTEGER is the INTEGER-prefix of the stored value)
+    val f = tempFile("12abc\nabc\n12.9\n1e2\n  42\n")
+    assert(sqawk("select CAST(a1 AS INTEGER) from a", f) ==
+      (0, "12\n0\n12\n100\n0\n"))
+    // text→REAL is the numeric prefix: 12.0|0.0|12.9|100.0|0.0
+    assert(sqawk("select CAST(a1 AS REAL) from a", f) ==
+      (0, "12.0\n0.0\n12.9\n100.0\n0.0\n"))
+    // real→INTEGER truncates toward zero and saturates:
+    // sqlite3> SELECT CAST(12.9 AS INTEGER), CAST(-12.9 AS INTEGER),
+    //   CAST(9.3e18 AS INTEGER) → 12|-12|9223372036854775807
+    assert(sqawk("select CAST(12.9 AS INTEGER), CAST(-12.9 AS INTEGER)," +
+      " CAST(9.3e18 AS INTEGER)", f) ==
+      (0, "12 -12 9223372036854775807\n"))
+    // → TEXT renders SQLite-style; '9223372036854775807123' saturates
+    assert(sqawk("select CAST(12.5 AS TEXT), CAST(1e20 AS TEXT)," +
+      " CAST('9223372036854775807123' AS INTEGER)", f) ==
+      (0, "12.5 1.0e+20 9223372036854775807\n"))
+  }
+
   test("COLLATE NOCASE ordering and equality (sqlite3-verified)") {
     // sqlite3: ORDER BY c COLLATE NOCASE, c over b/A/a/B → A,a,B,b;
     // 'FOO' = 'foo' COLLATE NOCASE → 1

@@ -51,6 +51,23 @@ class SqliteOperatorsSpec extends AnyFunSuite {
       "SELECT * FROM a WHERE (glob(('x' || '*'), a1) = 1)")
   }
 
+  test("CAST rewrites to the SQLite-semantic cast functions") {
+    assert(rw("SELECT CAST(a1 AS INTEGER) FROM a") ===
+      "SELECT sqlite_cast_integer((a1)) FROM a")
+    assert(rw("SELECT CAST(a1 AS TEXT), CAST(a2 AS REAL) FROM a") ===
+      "SELECT sqlite_cast_text((a1)), sqlite_cast_real((a2)) FROM a")
+    assert(rw("SELECT CAST(a1 AS UNSIGNED BIG INT) FROM a") ===
+      "SELECT sqlite_cast_integer((a1)) FROM a")
+    assert(rw("SELECT CAST(a1 AS NUMERIC) FROM a") ===
+      "SELECT sqlite_cast_numeric((a1)) FROM a")
+    // nested: inner cast rewrites too; operand expressions survive
+    assert(rw("SELECT CAST(CAST(a1 AS REAL) AS INTEGER) FROM a") ===
+      "SELECT sqlite_cast_integer((sqlite_cast_real((a1)))) FROM a")
+    assert(rw("SELECT CAST(substr(a1, 1, 2) AS INTEGER) FROM a") ===
+      "SELECT sqlite_cast_integer((substr(a1, 1, 2))) FROM a")
+    assert(rw("SELECT 'CAST(a AS INTEGER)'") === "SELECT 'CAST(a AS INTEGER)'")
+  }
+
   test("COLLATE NOCASE/BINARY map to Spark collations; RTRIM rejects") {
     assert(rw("SELECT a1 FROM a ORDER BY a1 COLLATE NOCASE") ===
       "SELECT a1 FROM a ORDER BY a1 COLLATE UTF8_LCASE")
