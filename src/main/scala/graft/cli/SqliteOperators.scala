@@ -159,6 +159,37 @@ object SqliteOperators {
             }
           }
         }
+        if (w == "is") {
+          // SQLite `A IS B` / `A IS NOT B` are null-safe comparisons
+          // between arbitrary expressions (lang_expr.html §4) — Spark
+          // spells them `<=>` and `IS DISTINCT FROM`. The NULL /
+          // TRUE / FALSE / DISTINCT right-hand forms are shared
+          // syntax both parsers accept and keep their meaning, so
+          // they are left untouched.
+          val shared = Set("null", "not", "true", "false", "distinct")
+          val nj = nextIdx(j)
+          if (nj < toks.length) {
+            val nw = if (toks(nj).kind == 'w') text(toks(nj)).toLowerCase else ""
+            if (toks(nj).kind == 'w' && nw == "not") {
+              val nnj = nextIdx(nj)
+              val nnw =
+                if (nnj < toks.length && toks(nnj).kind == 'w')
+                  text(toks(nnj)).toLowerCase
+                else ""
+              if (nnj < toks.length && !shared.contains(nnw) &&
+                  (isOperand(toks(nnj)) ||
+                    (toks(nnj).kind == 'p' && text(toks(nnj)) == "("))) {
+                return rewrite(sql.substring(0, t.start) + "IS DISTINCT FROM" +
+                  sql.substring(toks(nj).end))
+              }
+            } else if (!shared.contains(nw) &&
+                (isOperand(toks(nj)) ||
+                  (toks(nj).kind == 'p' && text(toks(nj)) == "("))) {
+              return rewrite(sql.substring(0, t.start) + "<=>" +
+                sql.substring(t.end))
+            }
+          }
+        }
         if (w == "glob" || w == "regexp") {
           var pj = prevIdx(j)
           val negated = pj >= 0 && toks(pj).kind == 'w' && text(toks(pj)).toLowerCase == "not"

@@ -593,6 +593,14 @@ class CliSpec extends SparkSpec {
       (0, "12.5 1.0e+20 9223372036854775807\n"))
   }
 
+  test("IS / IS NOT null-safe comparison (sqlite3-verified)") {
+    // sqlite3> SELECT 1 IS 1, NULL IS NULL, 'a' IS 'b', 1 IS NOT 2,
+    //   NULL IS NOT 1  →  1|1|0|1|1
+    val f = tempFile("x\n")
+    assert(sqawk("select 1 IS 1, NULL IS NULL, 'a' IS 'b', 1 IS NOT 2," +
+      " NULL IS NOT 1 from a", f) == (0, "1 1 0 1 1\n"))
+  }
+
   test("COLLATE NOCASE ordering and equality (sqlite3-verified)") {
     // sqlite3: ORDER BY c COLLATE NOCASE, c over b/A/a/B → A,a,B,b;
     // 'FOO' = 'foo' COLLATE NOCASE → 1

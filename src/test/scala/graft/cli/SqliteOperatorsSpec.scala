@@ -68,6 +68,21 @@ class SqliteOperatorsSpec extends AnyFunSuite {
     assert(rw("SELECT 'CAST(a AS INTEGER)'") === "SELECT 'CAST(a AS INTEGER)'")
   }
 
+  test("IS / IS NOT between expressions become null-safe comparisons") {
+    assert(rw("SELECT a1 IS a2 FROM a") === "SELECT a1 <=> a2 FROM a")
+    assert(rw("SELECT a1 IS NOT a2 FROM a") ===
+      "SELECT a1 IS DISTINCT FROM a2 FROM a")
+    assert(rw("SELECT 1 IS NOT 2, NULL IS 'x' FROM a") ===
+      "SELECT 1 IS DISTINCT FROM 2, NULL <=> 'x' FROM a")
+    // shared syntax keeps its meaning
+    assert(rw("SELECT a1 IS NULL, a1 IS NOT NULL FROM a") ===
+      "SELECT a1 IS NULL, a1 IS NOT NULL FROM a")
+    assert(rw("SELECT a1 IS DISTINCT FROM a2 FROM a") ===
+      "SELECT a1 IS DISTINCT FROM a2 FROM a")
+    assert(rw("SELECT a1 IS NOT TRUE FROM a") ===
+      "SELECT a1 IS NOT TRUE FROM a")
+  }
+
   test("COLLATE NOCASE/BINARY map to Spark collations; RTRIM rejects") {
     assert(rw("SELECT a1 FROM a ORDER BY a1 COLLATE NOCASE") ===
       "SELECT a1 FROM a ORDER BY a1 COLLATE UTF8_LCASE")
