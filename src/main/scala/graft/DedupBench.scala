@@ -88,6 +88,40 @@ object DedupBench {
         .agg(sum(expr("sz * (sz - 1) / 2")).as("cand_pairs"))
     }
 
+    timed("minhash_lsh_xxhash64") {
+      // The PRODUCTION hash path: the oracle-verified operators use
+      // md5 because it is the only hash both engines compute
+      // bit-identically, but a deployment free of the cross-engine
+      // constraint uses xxhash64 — codegen-native, no hex round-trip.
+      // Same pipeline shape (h1/h2 double hashing, 32 permutations,
+      // 8 band buckets); only the per-shingle hash changes. The gap
+      // vs `minhash_lsh` is the measured cost of oracle-exactness,
+      // not of the pipeline.
+      val sh = corpus
+        .withColumn("toks", expr("split(text, ' ')"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 3),
+            |  k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2]))"""
+            .stripMargin)).as("sh"))
+      // mask to 52 bits like the md5 halves: h1 + 31*h2 must not
+      // overflow int64 (ANSI mode errors on wraparound)
+      val hashed = sh.select(col("doc_id"),
+        expr("xxhash64(sh) & 4503599627370495").as("h1"),
+        expr("xxhash64(sh, 1) & 4503599627370495").as("h2"))
+      val aggs = (0 until 32).map(i =>
+        min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+      val sig = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandCols = (0 until 8).map { b =>
+        val ms = (b * 4 until (b + 1) * 4).map(i => col(s"m$i"))
+        struct(lit(b).as("band"), xxhash64(ms: _*).as("bkey"))
+      }
+      val buckets = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      buckets.groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+        .agg(sum(expr("sz * (sz - 1) / 2")).as("cand_pairs"))
+    }
+
     timed("span_dedup") {
       // p36's shape at scale: segment explode → one hash-partitioned
       // df groupBy → anti-join against the boilerplate set → per-doc
