@@ -83,6 +83,35 @@ class SqliteOperatorsSpec extends AnyFunSuite {
       "SELECT a1 IS NOT TRUE FROM a")
   }
 
+  test("statements without the dialect keywords pass through unchanged") {
+    // pseudo-random token soup (LCG; reproducible) over quotes,
+    // parens, operators and identifiers — no GLOB/REGEXP/CAST/
+    // COLLATE/IS means byte-identical output
+    val vocab = Vector("select", "a1", "'it''s'", "\"q id\"", "(", ")",
+      ",", "+", "count", "*", "from", "t", "where", "and", "1.5e2",
+      "--cmt", "||", ".", "[br id]", "not", "null")
+    var x = 98765L
+    def nxt(): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % vocab.size).toInt
+    }
+    (1 to 200).foreach { _ =>
+      val sql = Vector.fill(12)(vocab(nxt())).mkString(" ")
+      assert(rw(sql) === sql, s"corrupted: $sql")
+    }
+  }
+
+  test("rewrite is idempotent") {
+    val vectors = Seq(
+      "SELECT * FROM a WHERE a1 GLOB 'x*' AND a2 NOT REGEXP '^y'",
+      "SELECT CAST(a1 AS INTEGER), CAST(CAST(a2 AS REAL) AS TEXT) FROM a",
+      "SELECT a1 IS a2, a1 IS NOT a2 FROM a ORDER BY a1 COLLATE NOCASE")
+    vectors.foreach { v =>
+      val once = rw(v)
+      assert(rw(once) === once, s"not idempotent on: $v")
+    }
+  }
+
   test("COLLATE NOCASE/BINARY map to Spark collations; RTRIM rejects") {
     assert(rw("SELECT a1 FROM a ORDER BY a1 COLLATE NOCASE") ===
       "SELECT a1 FROM a ORDER BY a1 COLLATE UTF8_LCASE")
