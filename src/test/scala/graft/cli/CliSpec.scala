@@ -611,6 +611,18 @@ class CliSpec extends SparkSpec {
       (0, "A\na\n"))
   }
 
+  test("three-way join across three files (examples/three-files/tryme.sh)") {
+    // the reference example verbatim: -FS , three CSVish files,
+    // expected output from examples/three-files/results.correct
+    val f1 = tempFile("1,a\n2,b\n3,c\n")
+    val f2 = tempFile("1,d\n2,e\n3,f\n")
+    val f3 = tempFile("1,g\n2,h\n3,i\n")
+    val (c, o) = sqawk("-FS", ",",
+      "select a1, a2, b2, c2 from a inner join b on a1 = b1 inner join c on a1 = c1",
+      f1, f2, f3)
+    assert((c, o) == (0, "1 a d g\n2 b e h\n3 c f i\n"))
+  }
+
   test("join across two files (examples/hp, README.md:454)") {
     val md5 = tempFile("d41d8cd98f00b204e9800998ecf8427e  foo\nc157a79031e1c40f85931829bc5fc552  bar\n")
     val du = tempFile("0\tfoo\n4096\tbar\n")
