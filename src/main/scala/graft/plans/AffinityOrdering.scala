@@ -57,15 +57,22 @@ object AffinityOrdering extends Rule[LogicalPlan] {
   }
 
   /** `(rank, numeric, text)` sort key; NULL input stays NULL so the
-    * SortOrder's null ordering applies (SQLite: NULL first ASC). */
-  private def sortKey(a: Expression): Expression = {
+    * SortOrder's null ordering applies (SQLite: NULL first ASC).
+    * `collation` (from an `a1 COLLATE NOCASE` spelling) applies to the
+    * TEXT component only — SQLite's storage-class ordering is not
+    * affected by the collation, which only refines text-vs-text
+    * comparison (sqlite3-pinned: '10','b','A','2' ORDER BY c COLLATE
+    * NOCASE → 2, 10, A, b). */
+  private def sortKey(a: Expression, collation: Option[Expression] = None): Expression = {
     val trimmed = RegExpReplace(a, Literal("^[\\x00-\\x20]+|[\\x00-\\x20]+$"), Literal(""))
     val isNum = RLike(trimmed, Literal(NumericRe))
     val num = Cast(trimmed, DoubleType, None, EvalMode.TRY)
+    val text = If(isNum, Literal(""), a)
+    val textKey = collation.map(c => Collate(text, c)).getOrElse(text)
     val key = CreateNamedStruct(Seq(
       Literal("r"), If(isNum, Literal(0, IntegerType), Literal(1, IntegerType)),
       Literal("n"), If(isNum, num, Literal(0.0, DoubleType)),
-      Literal("t"), If(isNum, Literal(""), a)))
+      Literal("t"), textKey))
     If(IsNull(a), Literal.create(null, key.dataType), key)
   }
 
@@ -75,6 +82,14 @@ object AffinityOrdering extends Rule[LogicalPlan] {
       // aggregates — sorts by the cross-type key
       case so: SortOrder if isAffinityAttr(so.child) =>
         so.copy(child = sortKey(so.child))
+      // `affinityCol COLLATE x`: storage-class ordering still applies,
+      // the collation refines only the text component
+      case so: SortOrder if (so.child match {
+            case Collate(a, _) => isAffinityAttr(a)
+            case _ => false
+          }) =>
+        val Collate(a, coll) = so.child
+        so.copy(child = sortKey(a, Some(coll)))
       case ae @ AggregateExpression(Min(a), _, _, _, _) if isAffinityAttr(a) =>
         ae.copy(aggregateFunction = MinBy(a, sortKey(a)))
       case ae @ AggregateExpression(Max(a), _, _, _, _) if isAffinityAttr(a) =>

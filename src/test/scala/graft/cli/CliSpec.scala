@@ -609,6 +609,12 @@ class CliSpec extends SparkSpec {
       (0, "A\na\nB\nb\n"))
     assert(sqawk("select a1 from a where a1 = ('a' COLLATE NOCASE) order by a1", f) ==
       (0, "A\na\n"))
+    // mixed types under NOCASE: SQLite's storage-class ordering is
+    // unaffected by the collation (numerics still sort numerically
+    // before text) — sqlite3: '10','b','A','2','a' → 2, 10, A, a, b
+    val m = tempFile("10\nb\nA\n2\na\n")
+    assert(sqawk("select a1 from a order by a1 COLLATE NOCASE, a1", m) ==
+      (0, "2\n10\nA\na\nb\n"))
   }
 
   test("three-way join across three files (examples/three-files/tryme.sh)") {
