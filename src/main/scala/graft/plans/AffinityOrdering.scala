@@ -32,11 +32,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
   * table's plain string column in a join predicate keeps Spark's
   * memcmp string ordering, where SQLite would apply storage-class
   * ordering; `BETWEEN`/`IN`/`greatest`/`least` over affinity columns
-  * are likewise untouched. Those shapes don't occur in the reference
-  * suite; widening the match to arbitrary non-foldable string operands
-  * would rewrite comparisons on unrelated tables wherever one side is
-  * an affinity column, which is unsafe without per-expression
-  * provenance, so the narrower contract is deliberate.
+  * are likewise untouched. Collated INEQUALITIES (`a1 < 'B' COLLATE
+  * NOCASE`) keep Spark's collated string comparison without the
+  * storage-class tier (collated ORDER BY is handled — see sortKey).
+  * Those shapes don't occur in the reference suite; widening the
+  * match to arbitrary non-foldable string operands would rewrite
+  * comparisons on unrelated tables wherever one side is an affinity
+  * column, which is unsafe without per-expression provenance, so the
+  * narrower contract is deliberate.
   *
   * Registered via `spark.experimental.extraOptimizations` (it must run
   * after analysis; it only reshapes expressions, never plan structure,

@@ -593,6 +593,15 @@ class CliSpec extends SparkSpec {
       (0, "12.5 1.0e+20 9223372036854775807\n"))
   }
 
+  test("CTAS composes with SQLite CAST semantics") {
+    // the dialect rewrite applies before DDL handling, so a CTAS body
+    // gets prefix-coercion casts too: 12abc→12, 7x→7; then +1, ordered
+    val f = tempFile("12abc\n7x\n")
+    assert(sqawk(
+      "CREATE TEMP TABLE t AS SELECT CAST(a1 AS INTEGER) AS i FROM a;" +
+        " SELECT i + 1 FROM t ORDER BY i", f) == (0, "8\n13\n"))
+  }
+
   test("IS / IS NOT null-safe comparison (sqlite3-verified)") {
     // sqlite3> SELECT 1 IS 1, NULL IS NULL, 'a' IS 'b', 1 IS NOT 2,
     //   NULL IS NOT 1  →  1|1|0|1|1
