@@ -137,6 +137,8 @@ object GraftFunctions {
     // graft_rollhash_min(string).
     DotProduct.register(spark)
     RollingHashMin.register(spark)
+    registerStatic(spark, "graft_fold_accents", StringType, 1,
+      Class.forName("graft.functions.TextNorm"))
   }
 
   private def registerUnary(

@@ -1926,7 +1926,44 @@ object Pipeline {
               |    / CAST(4503599627370496 AS DOUBLE)
               |    < CAST((total // $MixDenom) * w AS DOUBLE)
               |      / CAST(sumw * n AS DOUBLE) AS kept
-              |FROM documents d JOIN cnt USING (lang) CROSS JOIN tot""".stripMargin))
+              |FROM documents d JOIN cnt USING (lang) CROSS JOIN tot""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p40: UNICODE ACCENT/CASE FOLDING — the normalization stage every
+    // text-curation pipeline runs before dedup/tokenization (NFD
+    // decomposition → combining-mark removal → casefold). The corpus
+    // is ASCII, so deterministic doc_id-derived accented spans are
+    // injected first (the p21 pattern), and the hash compare covers
+    // the FULL folded string: the engine's JVM fold
+    // (functions/TextNorm.scala, a StaticInvoke codegen call) must
+    // agree byte-for-byte with DuckDB's lower(strip_accents(..)).
+    // Scale shape: pure codegen projection, zero shuffle.
+    QDef(
+      "p40_accent_fold",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        docs(s, d)
+          .withColumn("aug", concat(
+            col("text"),
+            when(col("doc_id") % 3 =!= 0, lit(" Café MÜNCHEN")).otherwise(lit("")),
+            when(col("doc_id") % 4 === 0, lit(" àçcénts Ñandú über")).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit(" ÉLÈVE façade")).otherwise(lit(""))))
+          .select(col("doc_id"),
+            expr("graft_fold_accents(aug)").as("folded"),
+            expr("CAST(length(aug) AS BIGINT)").as("n_raw"),
+            expr("CAST(length(graft_fold_accents(aug)) AS BIGINT)").as("n_folded"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text
+             |    || CASE WHEN doc_id % 3 <> 0 THEN ' Café MÜNCHEN' ELSE '' END
+             |    || CASE WHEN doc_id % 4 = 0 THEN ' àçcénts Ñandú über' ELSE '' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ' ÉLÈVE façade' ELSE '' END AS aug
+             |  FROM documents
+             |)
+             |SELECT doc_id, lower(strip_accents(aug)) AS folded,
+             |  CAST(length(aug) AS BIGINT) AS n_raw,
+             |  CAST(length(lower(strip_accents(aug))) AS BIGINT) AS n_folded
+             |FROM aug""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------

@@ -85,6 +85,14 @@ class MixQualitySpec extends SparkSpec {
     assert(math.abs(row - 0.555) < 1e-12)
   }
 
+  test("p40 accent fold on a hand vector") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = Seq("Café MÜNCHEN àçcénts Ñandú über ÉLÈVE façade plain")
+      .toDF("s").selectExpr("graft_fold_accents(s)").as[String].head()
+    assert(got === "cafe munchen accents nandu uber eleve facade plain")
+  }
+
   test("p39 joins the corpus by broadcast only, probs uniform per lang") {
     val df = SparkEntry.queries("p39_mixture_sample")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
