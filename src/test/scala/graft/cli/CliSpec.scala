@@ -602,6 +602,23 @@ class CliSpec extends SparkSpec {
         " SELECT i + 1 FROM t ORDER BY i", f) == (0, "8\n13\n"))
   }
 
+  test("KNOWN DEVIATION: scalar arithmetic is double-typed, not per-value dynamic") {
+    // sqlite3 (INTEGER-affinity operands): a1+a2, a1*2, a1/2, a1+0.5
+    // → 8|10|2|5.5 — INTEGER results for int⊗int, TRUNCATING int
+    // division. Spark's static typing coerces string columns to
+    // DOUBLE, so this engine prints 8.0, 10.0, 2.5, 5.5. Deliberate
+    // scope limit, pinned so a change is noticed: canonicalization
+    // gives stored VALUES SQLite semantics (i13/i20, CAST, sum()),
+    // but arithmetic creates transient values where per-row dynamic
+    // INTEGER/REAL typing cannot be expressed in one Spark column
+    // type without a canonical-string round-trip that would lose
+    // sqlite's full-precision nesting. Unexercised by the reference
+    // suite (no scalar-arithmetic output tests in tests.tcl).
+    val f = tempFile("5 3\n")
+    assert(sqawk("select a1 + a2, a1 * 2, a1 / 2, a1 + 0.5 from a", f) ==
+      (0, "8.0 10.0 2.5 5.5\n"))
+  }
+
   test("IS / IS NOT null-safe comparison (sqlite3-verified)") {
     // sqlite3> SELECT 1 IS 1, NULL IS NULL, 'a' IS 'b', 1 IS NOT 2,
     //   NULL IS NOT 1  →  1|1|0|1|1
