@@ -162,9 +162,19 @@ object GraftFunctions {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val registry = spark.sessionState.functionRegistry
     val names = Seq("sum", "total", "date", "time", "datetime", "julianday",
-      "strftime", "random")
+      "strftime", "random", "min", "max")
     val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
+    // SQLite's min/max are BOTH the aggregate (1 arg) and a scalar
+    // cross-type comparison (>= 2 args: the winning ORIGINAL value by
+    // storage-class ordering, NULL if any argument is NULL —
+    // sqlite3-pinned in CliSpec). Spark's least/greatest would coerce
+    // mixed operands to one type (changing the rendered value) and
+    // skip NULLs, so the scalar form compares by the affinity
+    // sort key over string-cast operands and returns the winner
+    // verbatim.
+    registry.createOrReplaceTempFunction("min", scalarOrAggMinMax(isMin = true), "scala_udf")
+    registry.createOrReplaceTempFunction("max", scalarOrAggMinMax(isMin = false), "scala_udf")
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
     spark.udf.register("total", org.apache.spark.sql.functions.udaf(SqliteTotal))
     // SQLite date/time family: time-value forms (ISO text, julian
@@ -185,6 +195,29 @@ object GraftFunctions {
       case (id, Some(info), Some(builder)) => registry.registerFunction(id, info, builder)
       case (id, _, _) => registry.dropFunction(id)
     }
+  }
+
+  /** SQLite min/max: aggregate at arity 1, scalar cross-type compare
+    * at arity >= 2 (see the registration comment). Children may be
+    * unresolved here, so operands are unconditionally string-cast
+    * (a no-op cast the optimizer removes for string inputs). */
+  private def scalarOrAggMinMax(isMin: Boolean): Seq[Expression] => Expression = {
+    case Seq(single) =>
+      if (isMin) org.apache.spark.sql.catalyst.expressions.aggregate.Min(single)
+      else org.apache.spark.sql.catalyst.expressions.aggregate.Max(single)
+    case args if args.length >= 2 =>
+      import org.apache.spark.sql.catalyst.expressions._
+      val strs: Seq[Expression] = args.map(a => Cast(a, StringType))
+      val anyNull = strs.map(IsNull(_): Expression).reduce(Or(_, _))
+      val winner = strs.reduce[Expression] { (a, b) =>
+        val ka = graft.plans.AffinityOrdering.sortKeyFor(a)
+        val kb = graft.plans.AffinityOrdering.sortKeyFor(b)
+        If(if (isMin) LessThanOrEqual(ka, kb) else GreaterThanOrEqual(ka, kb), a, b)
+      }
+      If(anyNull, Literal.create(null, StringType), winner)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"${if (isMin) "min" else "max"} expects at least 1 argument")
   }
 
   /** The classes holding the static forwarders (the Scala objects

@@ -59,6 +59,10 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The cross-type key for expression builders outside this rule
+    * (scalar min/max in GraftFunctions). */
+  private[graft] def sortKeyFor(a: Expression): Expression = sortKey(a)
+
   /** `(rank, numeric, text)` sort key; NULL input stays NULL so the
     * SortOrder's null ordering applies (SQLite: NULL first ASC).
     * `collation` (from an `a1 COLLATE NOCASE` spelling) applies to the

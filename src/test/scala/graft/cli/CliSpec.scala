@@ -619,6 +619,18 @@ class CliSpec extends SparkSpec {
       (0, "8.0 10.0 2.5 5.5\n"))
   }
 
+  test("scalar min/max at arity >= 2 (sqlite3-verified)") {
+    // sqlite3> SELECT min(2,3), max(2,3), min(2,NULL), max('10',2),
+    //   min('a','2') → 2|3||10|2
+    // and per-row over an INTEGER-affinity column: max(c, 5) over
+    // {'10','3'} → 10, 5. Aggregate min/max (1 arg) is unaffected.
+    val f = tempFile("10\n3\n")
+    assert(sqawk("select min(2, 3), max(2, 3), min(2, NULL), max('10', 2)," +
+      " min('a', '2') from a limit 1", f) == (0, "2 3  10 2\n"))
+    assert(sqawk("select max(a1, 5) from a", f) == (0, "10\n5\n"))
+    assert(sqawk("select min(a1), max(a1) from a", f) == (0, "3 10\n"))
+  }
+
   test("IS / IS NOT null-safe comparison (sqlite3-verified)") {
     // sqlite3> SELECT 1 IS 1, NULL IS NULL, 'a' IS 'b', 1 IS NOT 2,
     //   NULL IS NOT 1  →  1|1|0|1|1
