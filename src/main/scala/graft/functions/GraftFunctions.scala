@@ -162,7 +162,8 @@ object GraftFunctions {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     val registry = spark.sessionState.functionRegistry
     val names = Seq("sum", "total", "date", "time", "datetime", "julianday",
-      "strftime", "random", "min", "max")
+      "strftime", "random", "min", "max", "typeof", "quote", "unicode",
+      "ltrim", "rtrim", "trim", "likely", "unlikely", "likelihood")
     val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     // SQLite's min/max are BOTH the aggregate (1 arg) and a scalar
@@ -175,6 +176,41 @@ object GraftFunctions {
     // verbatim.
     registry.createOrReplaceTempFunction("min", scalarOrAggMinMax(isMin = true), "scala_udf")
     registry.createOrReplaceTempFunction("max", scalarOrAggMinMax(isMin = false), "scala_udf")
+    // typeof/quote report SQLite storage classes (affinity columns
+    // classify by canonical value, typed expressions by Spark type);
+    // unicode() is first-codepoint-or-NULL; the two-argument
+    // ltrim/rtrim/trim shadows fix a SILENT argument swap — Spark's
+    // SQL surface is (trimStr, srcStr) where SQLite's is (srcStr,
+    // trimChars), so an unshadowed sqawk script would trim the wrong
+    // string; likely/unlikely/likelihood are SQLite planner hints,
+    // identity here. All sqlite3-pinned in CliSpec.
+    registry.createOrReplaceTempFunction("typeof",
+      { children => SqliteTypeof(children.head,
+          SqliteScalars.isAffinityChild(children.head)) }, "scala_udf")
+    registry.createOrReplaceTempFunction("quote",
+      { children => SqliteQuote(children.head,
+          SqliteScalars.isAffinityChild(children.head)) }, "scala_udf")
+    registerStatic(spark, "unicode", IntegerType, 1,
+      Class.forName("graft.functions.SqliteScalars"))
+    def trimBuilder(mk: (Expression, Option[Expression]) => Expression)
+        : Seq[Expression] => Expression = {
+      case Seq(s) => mk(s, None)
+      case Seq(s, chars) => mk(s, Some(chars))
+      case other => throw new IllegalArgumentException(
+        s"trim expects 1 or 2 arguments, got ${other.length}")
+    }
+    registry.createOrReplaceTempFunction("ltrim",
+      trimBuilder((s, c) => org.apache.spark.sql.catalyst.expressions.StringTrimLeft(s, c)), "scala_udf")
+    registry.createOrReplaceTempFunction("rtrim",
+      trimBuilder((s, c) => org.apache.spark.sql.catalyst.expressions.StringTrimRight(s, c)), "scala_udf")
+    registry.createOrReplaceTempFunction("trim",
+      trimBuilder((s, c) => org.apache.spark.sql.catalyst.expressions.StringTrim(s, c)), "scala_udf")
+    registry.createOrReplaceTempFunction("likely",
+      { children => children.head }, "scala_udf")
+    registry.createOrReplaceTempFunction("unlikely",
+      { children => children.head }, "scala_udf")
+    registry.createOrReplaceTempFunction("likelihood",
+      { children => children.head }, "scala_udf")
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
     spark.udf.register("total", org.apache.spark.sql.functions.udaf(SqliteTotal))
     // SQLite date/time family: time-value forms (ISO text, julian

@@ -619,6 +619,24 @@ class CliSpec extends SparkSpec {
       (0, "8.0 10.0 2.5 5.5\n"))
   }
 
+  test("typeof/quote/unicode/2-arg trims/likely (sqlite3-verified)") {
+    // sqlite3 pins: typeof('x')=text, typeof(123)=integer,
+    // typeof(1.5)=real, typeof(NULL)=null; over an INTEGER-affinity
+    // column {'10','x''y','1.5'}: typeof → integer,text,real and
+    // quote → 10, 'x''y', 1.5; unicode('abc')=97, unicode('')=NULL;
+    // ltrim('xxyhello','xy')='hello' (SQLite arg order: src, chars);
+    // likely(7)=7.
+    val f = tempFile("10\nx'y\n1.5\n")
+    assert(sqawk("select typeof('x'), typeof(123), typeof(1.5), typeof(NULL)" +
+      " from a limit 1", f) == (0, "text integer real null\n"))
+    assert(sqawk("select typeof(a1), quote(a1) from a", f) ==
+      (0, "integer 10\ntext 'x''y'\nreal 1.5\n"))
+    assert(sqawk("select unicode('abc'), unicode(''), likely(7)," +
+      " ltrim('xxyhello', 'xy'), rtrim('helloyx', 'xy')," +
+      " trim('xhellox', 'x') from a limit 1", f) ==
+      (0, "97  7 hello hello hello\n"))
+  }
+
   test("scalar min/max at arity >= 2 (sqlite3-verified)") {
     // sqlite3> SELECT min(2,3), max(2,3), min(2,NULL), max('10',2),
     //   min('a','2') → 2|3||10|2
