@@ -163,7 +163,7 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     val names = Seq("sum", "total", "date", "time", "datetime", "julianday",
       "strftime", "random", "min", "max", "typeof", "quote", "unicode",
-      "ltrim", "rtrim", "trim", "likely", "unlikely", "likelihood")
+      "ltrim", "rtrim", "trim", "likely", "unlikely", "likelihood", "avg")
     val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     // SQLite's min/max are BOTH the aggregate (1 arg) and a scalar
@@ -213,6 +213,7 @@ object GraftFunctions {
       { children => children.head }, "scala_udf")
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
     spark.udf.register("total", org.apache.spark.sql.functions.udaf(SqliteTotal))
+    spark.udf.register("avg", org.apache.spark.sql.functions.udaf(SqliteAvg))
     // SQLite date/time family: time-value forms (ISO text, julian
     // day, 'now') plus up to three modifiers, NULL on invalid input
     // like SQLite. Arity overloads on SqliteDate resolve per call.

@@ -92,3 +92,23 @@ object SqliteTotal extends Aggregator[String, SumAcc, String] {
   def bufferEncoder: Encoder[SumAcc] = Encoders.product[SumAcc]
   def outputEncoder: Encoder[String] = Encoders.STRING
 }
+
+/** Accumulator for [[SqliteAvg]]: non-NULL input count + coerced sum. */
+final case class AvgAcc(n: Long, d: Double)
+
+/** SQLite `avg()`: sum of the COERCED values (text → longest numeric
+  * prefix, non-numeric → 0) over the count of non-NULL inputs; always
+  * REAL; NULL over zero non-NULL inputs. Differs from Spark's avg,
+  * which drops rows whose cast fails — sqlite3-pinned in CliSpec:
+  * avg of {'10','x',NULL,'3.5'} is 4.5 ((10+0+3.5)/3), not 6.75. */
+object SqliteAvg extends Aggregator[String, AvgAcc, String] {
+  def zero: AvgAcc = AvgAcc(0L, 0.0)
+  def reduce(acc: AvgAcc, v: String): AvgAcc =
+    if (v == null) acc
+    else AvgAcc(acc.n + 1, acc.d + SqliteSum.coerce(v)._1)
+  def merge(a: AvgAcc, b: AvgAcc): AvgAcc = AvgAcc(a.n + b.n, a.d + b.d)
+  def finish(acc: AvgAcc): String =
+    if (acc.n == 0) null else Affinity.formatReal(acc.d / acc.n)
+  def bufferEncoder: Encoder[AvgAcc] = Encoders.product[AvgAcc]
+  def outputEncoder: Encoder[String] = Encoders.STRING
+}

@@ -617,6 +617,21 @@ class CliSpec extends SparkSpec {
     val f = tempFile("5 3\n")
     assert(sqawk("select a1 + a2, a1 * 2, a1 / 2, a1 + 0.5 from a", f) ==
       (0, "8.0 10.0 2.5 5.5\n"))
+    // likewise %: sqlite casts % operands to INTEGER (5.5 % 2 → 1.0);
+    // Spark's modulo stays fractional
+    assert(sqawk("select 5.5 % 2, a1 % 2 from a", f) == (0, "1.5 1.0\n"))
+  }
+
+  test("avg coerces text and counts it (sqlite3-verified)") {
+    // sqlite3 (INTEGER-affinity {'10','x','','3.5'} — the leading
+    // separator makes row 3's a1 the EMPTY STRING, which coerces to 0
+    // and counts): avg = 13.5/4 = 3.375, count = 4. Spark's avg would
+    // drop 'x' and '' and say 6.75. avg over zero non-NULL inputs is
+    // NULL (prints empty).
+    val f = tempFile("10 q\nx q\n q\n3.5 q\n")
+    assert(sqawk("select avg(a1), count(a1), total(a1) from a", f) ==
+      (0, "3.375 4 13.5\n"))
+    assert(sqawk("select avg(a1) from a where a1 IS NULL", f) == (0, "\n"))
   }
 
   test("typeof/quote/unicode/2-arg trims/likely (sqlite3-verified)") {
