@@ -159,6 +159,19 @@ object SqliteOperators {
             }
           }
         }
+        if (w == "limit") {
+          // SQLite: a negative LIMIT means "no limit"
+          // (lang_select.html §10); Spark rejects negative limits, so
+          // the clause is dropped (a following OFFSET survives).
+          val nj = nextIdx(j)
+          if (nj < toks.length && toks(nj).kind == 'p' && text(toks(nj)) == "-") {
+            val nnj = nextIdx(nj)
+            if (nnj < toks.length && toks(nnj).kind == 'n') {
+              return rewrite(sql.substring(0, t.start) +
+                sql.substring(toks(nnj).end))
+            }
+          }
+        }
         if (w == "is") {
           // SQLite `A IS B` / `A IS NOT B` are null-safe comparisons
           // between arbitrary expressions (lang_expr.html §4) — Spark

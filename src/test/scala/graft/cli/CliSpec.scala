@@ -622,6 +622,13 @@ class CliSpec extends SparkSpec {
     assert(sqawk("select 5.5 % 2, a1 % 2 from a", f) == (0, "1.5 1.0\n"))
   }
 
+  test("negative LIMIT means no limit; OFFSET survives (sqlite3 semantics)") {
+    val f = tempFile("1\n2\n3\n")
+    assert(sqawk("select a1 from a order by anr limit -1", f) == (0, "1\n2\n3\n"))
+    assert(sqawk("select a1 from a order by anr limit -1 offset 1", f) ==
+      (0, "2\n3\n"))
+  }
+
   test("avg coerces text and counts it (sqlite3-verified)") {
     // sqlite3 (INTEGER-affinity {'10','x','','3.5'} — the leading
     // separator makes row 3's a1 the EMPTY STRING, which coerces to 0

@@ -112,6 +112,13 @@ class SqliteOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("negative LIMIT drops the clause (SQLite: no limit)") {
+    assert(rw("SELECT a1 FROM a LIMIT -1") === "SELECT a1 FROM a ")
+    assert(rw("SELECT a1 FROM a LIMIT -1 OFFSET 2") ===
+      "SELECT a1 FROM a  OFFSET 2")
+    assert(rw("SELECT a1 FROM a LIMIT 5") === "SELECT a1 FROM a LIMIT 5")
+  }
+
   test("COLLATE NOCASE/BINARY map to Spark collations; RTRIM rejects") {
     assert(rw("SELECT a1 FROM a ORDER BY a1 COLLATE NOCASE") ===
       "SELECT a1 FROM a ORDER BY a1 COLLATE UTF8_LCASE")
