@@ -126,10 +126,52 @@ object GraftSession {
     * ones, so at scale an append costs only its own rows. Later
     * generations may be wider (MNF expand); `unionByName` NULL-fills
     * like the reference's ALTER TABLE ADD COLUMN. Reads the loose
-    * part files too for dirs written by the pre-generation layout. */
-  private def readPersisted(spark: SparkSession, tdir: Path): Option[DataFrame] = {
-    val gens = listDir(tdir)(p =>
+    * part files too for dirs written by the pre-generation layout.
+    *
+    * A `MANIFEST` file (one generation name per line, written by
+    * atomic rename) names the LIVE generations once it exists; dirs
+    * without one read every gen-* subdir (pre-manifest layout). The
+    * manifest is what makes COMPACTION crash-safe: when the live set
+    * exceeds [[CompactThreshold]], the writer merges it into one new
+    * generation and cuts over by publishing a one-line manifest — a
+    * crash at any point leaves either the old manifest (compacted gen
+    * invisible, no duplicates) or the new one (old gens stale,
+    * swept on the next write). Without compaction an N-append table
+    * reads as an N-way union — the small-files/plan-size problem
+    * LSM stores solve the same way. */
+  private val ManifestName = "MANIFEST"
+  private[cli] val CompactThreshold = 16
+
+  private def allGenDirs(tdir: Path): Seq[Path] =
+    listDir(tdir)(p =>
       Files.isDirectory(p) && p.getFileName.toString.startsWith("gen-"))
+
+  /** Live generations: manifest-listed when a manifest exists, else
+    * every gen-* dir. */
+  private def liveGens(tdir: Path): Seq[Path] = {
+    val all = allGenDirs(tdir)
+    val mf = tdir.resolve(ManifestName)
+    if (Files.exists(mf)) {
+      val listed = Files.readString(mf).split("\n")
+        .map(_.trim).filter(_.nonEmpty).toSet
+      all.filter(p => listed.contains(p.getFileName.toString))
+    } else all
+  }
+
+  private def writeManifest(tdir: Path, gens: Seq[String]): Unit = {
+    val tmp = tdir.resolve(".tmp-MANIFEST")
+    Files.writeString(tmp, gens.mkString("\n"))
+    try Files.move(tmp, tdir.resolve(ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: AtomicMoveNotSupportedException =>
+        Files.move(tmp, tdir.resolve(ManifestName),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def readPersisted(spark: SparkSession, tdir: Path): Option[DataFrame] = {
+    val gens = liveGens(tdir)
     val legacy = listDir(tdir)(p =>
       !Files.isDirectory(p) && p.getFileName.toString.endsWith(".parquet"))
     val parts =
@@ -232,6 +274,9 @@ object GraftSession {
         listDir(tdir)(p => p.getFileName.toString.startsWith(".tmp-"))
           .foreach(deleteRecursively)
         val genName = f"gen-$gen%05d"
+        // live set BEFORE this append (manifest-listed, or every
+        // pre-existing gen dir for pre-manifest layouts)
+        val liveBefore = liveGens(tdir).map(_.getFileName.toString)
         val tmp = tdir.resolve(s".tmp-$genName")
         df.write.mode("overwrite").parquet(tmp.toString)
         try Files.move(tmp, tdir.resolve(genName), StandardCopyOption.ATOMIC_MOVE)
@@ -239,7 +284,30 @@ object GraftSession {
           case _: AtomicMoveNotSupportedException =>
             Files.move(tmp, tdir.resolve(genName))
         }
+        val liveNow = liveBefore :+ genName
+        writeManifest(tdir, liveNow)
         Files.writeString(dir.resolve(s"$name.count"), counts(name).toString)
+        // Compaction: merge the live set into ONE new generation once
+        // it exceeds the threshold, cut over via the manifest, then
+        // sweep. See the layout scaladoc for the crash-safety windows.
+        if (liveNow.size > CompactThreshold) {
+          val merged = liveNow.map(g => spark.read.parquet(tdir.resolve(g).toString))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          val compName = f"gen-${gen + 1}%05d"
+          val ctmp = tdir.resolve(s".tmp-$compName")
+          merged.write.mode("overwrite").parquet(ctmp.toString)
+          try Files.move(ctmp, tdir.resolve(compName), StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: AtomicMoveNotSupportedException =>
+              Files.move(ctmp, tdir.resolve(compName))
+          }
+          writeManifest(tdir, Seq(compName))
+        }
+        // Sweep generations the manifest no longer lists (stale after
+        // compaction, or orphaned by a crashed earlier write).
+        val live = liveGens(tdir).map(_.getFileName.toString).toSet
+        allGenDirs(tdir).filterNot(p => live.contains(p.getFileName.toString))
+          .foreach(deleteRecursively)
       }
       // Re-read written tables so views read back from parquet (input
       // temp files like the stdin spool do not outlive the process).

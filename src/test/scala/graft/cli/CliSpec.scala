@@ -360,6 +360,30 @@ class CliSpec extends SparkSpec {
     assert(sqawk("-dbfile", db, "-noinput", "select count(*) from a") == (0, "3\n"))
   }
 
+  test("-dbfile generations compact past the threshold; content survives") {
+    import java.nio.file.{Files => F, Paths}
+    import scala.jdk.CollectionConverters._
+    val db = F.createTempDirectory("graft-dbc").resolve("db").toString
+    val n = GraftSession.CompactThreshold + 3
+    for (i <- 1 to n) {
+      val f = tempFile(s"row $i\n")
+      assert(sqawk("-dbfile", db, "select a2 from a where anr = " + i, f)
+        == (0, s"$i\n"))
+    }
+    // all rows survive the compaction cutover, in order
+    assert(sqawk("-dbfile", db, "-noinput",
+      "select count(*), min(anr), max(anr) from a") == (0, s"$n 1 $n\n"))
+    // the live generation set was merged: far fewer gen dirs than
+    // appends, and the MANIFEST names exactly the dirs on disk
+    val tdir = Paths.get(db + ".d", "a")
+    val gens = F.list(tdir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("gen-")).toSeq
+    assert(gens.size <= GraftSession.CompactThreshold,
+      s"expected compaction, found ${gens.size} generations")
+    val manifest = F.readString(tdir.resolve("MANIFEST")).split("\n").toSet
+    assert(gens.map(_.getFileName.toString).toSet === manifest)
+  }
+
   test("-dbfile appends are incremental and default names restart at 'a'") {
     import java.nio.file.{Files => F, Paths}
     import scala.jdk.CollectionConverters._
@@ -370,6 +394,9 @@ class CliSpec extends SparkSpec {
     def snapshot(): Map[String, Long] =
       F.walk(tdir).iterator().asScala
         .filter(F.isRegularFile(_))
+        // MANIFEST is liveness metadata, rewritten on every append by
+        // design; the immutability claim is about the DATA files
+        .filterNot(_.getFileName.toString == "MANIFEST")
         .map(p => p.toString -> F.getLastModifiedTime(p).toMillis)
         .toMap
     val before = snapshot()
