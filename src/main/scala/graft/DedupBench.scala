@@ -46,22 +46,32 @@ object DedupBench {
           |    ':', k)), 1, 8))"""
           .stripMargin), " ").as("text"))
 
-    def timed(name: String)(df: DataFrame): Unit = {
+    var failed = false
+    def timed(name: String, expect: Seq[Any] = Nil)(df: DataFrame): Unit = {
       val t0 = System.nanoTime()
       val rows = df.collect()
       val secs = (System.nanoTime() - t0) / 1e9
       val summary = rows.map(_.toSeq.mkString(",")).mkString("; ")
-      println(f"[dedup-bench] $name: $summary wall=$secs%.2f s (${n / secs}%.0f docs/s)")
+      // known-rate falsification: the synthesized corpus makes every
+      // stage's answer exactly derivable, so a wrong join/cut FAILS
+      // the bench (nonzero exit) instead of inflating a number
+      val got = rows.headOption.map(_.toSeq).getOrElse(Nil)
+      val ok = expect.isEmpty || got == expect
+      if (!ok) failed = true
+      println(f"[dedup-bench] $name: $summary wall=$secs%.2f s " +
+        f"(${n / secs}%.0f docs/s)" +
+        (if (expect.isEmpty) "" else s" check=${if (ok) "OK" else s"FAIL expected $expect"}"))
     }
 
-    timed("exact") {
+    val dups = n / 11
+    timed("exact", Seq(n - dups, dups)) {
       corpus.groupBy(sha2(col("text"), 256).as("h"))
         .agg(min("doc_id").as("keep"), count(lit(1)).as("copies"))
         .agg(count(lit(1)).as("groups"),
           sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_groups"))
     }
 
-    timed("minhash_lsh") {
+    timed("minhash_lsh", Seq((8 * dups).toDouble)) {
       val sh = corpus
         .withColumn("toks", expr("split(text, ' ')"))
         .select(col("doc_id"), explode(expr(
@@ -88,7 +98,7 @@ object DedupBench {
         .agg(sum(expr("sz * (sz - 1) / 2")).as("cand_pairs"))
     }
 
-    timed("minhash_lsh_xxhash64") {
+    timed("minhash_lsh_xxhash64", Seq((8 * dups).toDouble)) {
       // The PRODUCTION hash path: the oracle-verified operators use
       // md5 because it is the only hash both engines compute
       // bit-identically, but a deployment free of the cross-engine
@@ -122,7 +132,7 @@ object DedupBench {
         .agg(sum(expr("sz * (sz - 1) / 2")).as("cand_pairs"))
     }
 
-    timed("span_dedup") {
+    timed("span_dedup", Seq(n, 8 * n)) {
       // p36's shape at scale: segment explode → one hash-partitioned
       // df groupBy → anti-join against the boilerplate set → per-doc
       // rebuild. Every doc gets one injected constant "header" span
@@ -144,7 +154,7 @@ object DedupBench {
         .agg(count(lit(1)).as("docs"), sum("k").as("segs_kept"))
     }
 
-    timed("simhash") {
+    timed("simhash", Seq(n)) {
       // conv bit-packing per token, exactly like p03
       val tok = corpus
         .select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
@@ -162,5 +172,6 @@ object DedupBench {
     }
 
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }

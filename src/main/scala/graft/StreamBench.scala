@@ -7,19 +7,23 @@ import org.apache.spark.sql.functions._
 /** Stateful-streaming throughput micro-benchmark: drives N synthetic
   * events through the real Structured Streaming path — MemoryStream
   * source → event-time watermark → tumbling-window aggregation →
-  * memory sink — in fixed-size micro-batches, so the number includes
-  * the per-micro-batch state-store commit cost that dominates
-  * small-batch streaming, not just the aggregation arithmetic.
+  * APPEND-mode sink — in fixed-size micro-batches, so the number
+  * includes the per-micro-batch state-store commit cost that
+  * dominates small-batch streaming, not just the aggregation
+  * arithmetic.
   *
-  * The event stream is deterministic (event i: ts = i DIV 20
-  * seconds from epoch, type = i % 7, value = i % 1000), so the final
-  * windowed state is exactly checkable: total count across windows
-  * must equal N and the distinct (window, type) count is derived from
-  * the same formulas — a wrong watermark or dropped batch fails the
-  * bench instead of inflating it. State volume is (hours in flight ×
-  * 7 types), decoupled from N, the same shape argument as the s01-s07
-  * operators; shuffle partitions are sized to state like StreamOps
-  * does.
+  * The event stream is deterministic (event i: ts = i DIV 20 seconds
+  * from epoch — integer division, so hour h holds exactly 72,000
+  * events — type = i % 7, value = i % 1000) and arrives in time
+  * order, so append-mode emission is exactly derivable: a (window,
+  * type) group emits iff its window end <= max(ts) − 1 hour
+  * watermark delay. The final counts are checked against those
+  * formulas — a watermark bug (early, late, or missing emission) or
+  * a dropped batch FAILS the bench (nonzero exit) instead of
+  * printing a wrong number. State is bounded by the watermark: only
+  * windows younger than the delay stay in the store, independent of
+  * how many batches have passed. Shuffle partitions are sized to
+  * state like StreamOps does.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -39,15 +43,20 @@ object StreamBench {
     val input = MemoryStream[Long]
     val events = input.toDS()
       .select(
-        timestamp_seconds(col("value") / 20L).as("ts"),
+        timestamp_seconds(expr("value DIV 20")).as("ts"),
         (col("value") % 7).cast("string").as("event_type"),
         (col("value") % 1000).cast("double").as("v"))
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("c"), sum("v").as("sv"))
-    val q = agg.writeStream.format("memory").queryName("graft_stream_bench")
-      .outputMode("complete").start()
+      .select(col("window.start").as("ws"), col("event_type"), col("c"))
+    val out = java.nio.file.Files.createTempDirectory("graft-sbench-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-ckpt")
+    val q = agg.writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
 
     val per = n / batches
     val t0 = System.nanoTime()
@@ -61,15 +70,23 @@ object StreamBench {
     } finally q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
 
-    val result = spark.table("graft_stream_bench")
-      .agg(sum("c").as("total"), count(lit(1)).as("groups")).head()
+    // Emission rule on bounded input: window [h, h+1) emits iff
+    // (h+1)*3600 <= maxTs - 3600, with maxTs = (n-1) DIV 20. Events
+    // are uniform, so every emitted hour contributes 72,000 events
+    // across its 7 type groups.
+    val maxTs = (n - 1) / 20
+    val emittedHours = math.max(0L, (maxTs - 3600L) / 3600L - 1L + 1L)
+    val expectTotal = emittedHours * 72000L
+    val expectGroups = emittedHours * 7L
+    val result = spark.read.parquet(out.toString)
+      .agg(coalesce(sum("c"), lit(0L)).as("total"), count(lit(1)).as("groups"))
+      .head()
     val total = result.getLong(0)
     val groups = result.getLong(1)
-    // expected groups: hours span = ceil((n/20)/3600) windows × 7 types
-    val hours = ((n / 20L) + 3599L) / 3600L
-    val ok = total == per * batches && groups == hours * 7
+    val ok = total == expectTotal && groups == expectGroups
     println(f"[stream-bench] events=${per * batches} batches=$batches " +
-      f"groups=$groups (expect ${hours * 7}) total=$total wall=$secs%.2f s " +
+      f"emitted_groups=$groups (expect $expectGroups) emitted_total=$total " +
+      f"(expect $expectTotal) wall=$secs%.2f s " +
       f"(${per * batches / secs}%.0f events/s) check=${if (ok) "OK" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)

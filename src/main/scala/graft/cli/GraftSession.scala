@@ -259,8 +259,21 @@ object GraftSession {
     // table; existing generations are immutable and never rewritten
     // (the `added` plans read only the input files, so writing a new
     // subdir cannot invalidate what they read).
+    //
+    // The whole persist section holds an OS file lock on `<db>.d/.lock`:
+    // without it, two concurrent invocations appending to the same
+    // -dbfile race on the manifest — the later writer's manifest would
+    // omit the earlier writer's committed generation and the sweep
+    // would DELETE it (silent data loss; pre-manifest the same race at
+    // worst failed loudly on a rename collision). Same-host mutual
+    // exclusion, like the reference's SQLite database-file lock.
     for (dir <- dbDir) {
       Files.createDirectories(dir)
+      val lockCh = java.nio.channels.FileChannel.open(dir.resolve(".lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val dbLock = lockCh.lock()
+      try {
       for ((name, df) <- added) {
         val tdir = dir.resolve(name)
         Files.createDirectories(tdir)
@@ -315,6 +328,10 @@ object GraftSession {
         if (added.contains(name))
           name -> readPersisted(spark, dir.resolve(name)).getOrElse(df)
         else name -> df
+      }
+      } finally {
+        dbLock.release()
+        lockCh.close()
       }
     }
 

@@ -166,7 +166,16 @@ object SqliteOperators {
           val nj = nextIdx(j)
           if (nj < toks.length && toks(nj).kind == 'p' && text(toks(nj)) == "-") {
             val nnj = nextIdx(nj)
-            if (nnj < toks.length && toks(nnj).kind == 'n') {
+            // only when the negative number IS the whole limit
+            // expression — `LIMIT -1+2` is a valid positive SQLite
+            // limit and must not be half-stripped
+            val endj = if (nnj < toks.length) nextIdx(nnj) else toks.length
+            val terminates = endj >= toks.length ||
+              (toks(endj).kind == 'p' &&
+                (text(toks(endj)) == ";" || text(toks(endj)) == ")")) ||
+              (toks(endj).kind == 'w' &&
+                text(toks(endj)).toLowerCase == "offset")
+            if (nnj < toks.length && toks(nnj).kind == 'n' && terminates) {
               return rewrite(sql.substring(0, t.start) +
                 sql.substring(toks(nnj).end))
             }
@@ -180,6 +189,17 @@ object SqliteOperators {
           // syntax both parsers accept and keep their meaning, so
           // they are left untouched.
           val shared = Set("null", "not", "true", "false", "distinct")
+          // an operand may start with a unary sign: `1 IS -1` is
+          // valid SQLite (→ 0)
+          def startsOperand(k: Int): Boolean = k < toks.length && {
+            val tk = toks(k)
+            isOperand(tk) ||
+              (tk.kind == 'p' && text(tk) == "(") ||
+              (tk.kind == 'p' && (text(tk) == "-" || text(tk) == "+") && {
+                val k2 = nextIdx(k)
+                k2 < toks.length && (toks(k2).kind == 'n' || isOperand(toks(k2)))
+              })
+          }
           val nj = nextIdx(j)
           if (nj < toks.length) {
             val nw = if (toks(nj).kind == 'w') text(toks(nj)).toLowerCase else ""
@@ -189,15 +209,11 @@ object SqliteOperators {
                 if (nnj < toks.length && toks(nnj).kind == 'w')
                   text(toks(nnj)).toLowerCase
                 else ""
-              if (nnj < toks.length && !shared.contains(nnw) &&
-                  (isOperand(toks(nnj)) ||
-                    (toks(nnj).kind == 'p' && text(toks(nnj)) == "("))) {
+              if (!shared.contains(nnw) && startsOperand(nnj)) {
                 return rewrite(sql.substring(0, t.start) + "IS DISTINCT FROM" +
                   sql.substring(toks(nj).end))
               }
-            } else if (!shared.contains(nw) &&
-                (isOperand(toks(nj)) ||
-                  (toks(nj).kind == 'p' && text(toks(nj)) == "("))) {
+            } else if (!shared.contains(nw) && startsOperand(nj)) {
               return rewrite(sql.substring(0, t.start) + "<=>" +
                 sql.substring(t.end))
             }
@@ -209,74 +225,10 @@ object SqliteOperators {
           if (negated) pj = prevIdx(pj) // pj now ends the left operand
           if (pj >= 0 && isOperand(toks(pj))) {
             val lhsEnd = toks(pj).end
-            // left operand: balanced group / dotted chain walking back
-            var lo = pj
-            def extendLeft(): Unit = {
-              if (toks(lo).kind == 'p' && text(toks(lo)) == ")") {
-                var depth = 0
-                var k = lo
-                var stop = false
-                while (k >= 0 && !stop) {
-                  val tx = toks(k)
-                  if (tx.kind == 'p' && text(tx) == ")") depth += 1
-                  else if (tx.kind == 'p' && text(tx) == "(") {
-                    depth -= 1
-                    if (depth == 0) stop = true
-                  }
-                  if (!stop) k -= 1
-                }
-                lo = math.max(k, 0)
-                val fn = prevIdx(lo)
-                if (fn >= 0 && toks(fn).kind == 'w' &&
-                    !Keywords.contains(text(toks(fn)).toLowerCase)) lo = fn
-              }
-              // dotted chain: a.b / tbl."c"
-              var p2 = prevIdx(lo)
-              while (p2 >= 1 && toks(p2).kind == 'p' && text(toks(p2)) == "." && {
-                  val p3 = prevIdx(p2)
-                  p3 >= 0 && (toks(p3).kind == 'w' || toks(p3).kind == 'q')
-                }) {
-                lo = prevIdx(p2)
-                p2 = prevIdx(lo)
-              }
-            }
-            extendLeft()
-            // right operand: literal / identifier [ ( balanced ) ] / ( balanced )
+            val lo = leftOperandStart(toks, sql, pj)
             var rj = nextIdx(j)
             if (rj < toks.length) {
-              var hi = rj
-              if (toks(hi).kind == 'w' || toks(hi).kind == 'q') {
-                val nx = nextIdx(hi)
-                if (nx < toks.length && toks(nx).kind == 'p' && text(toks(nx)) == "(") {
-                  var depth = 0
-                  var k = nx
-                  var stop = false
-                  while (k < toks.length && !stop) {
-                    val tx = toks(k)
-                    if (tx.kind == 'p' && text(tx) == "(") depth += 1
-                    else if (tx.kind == 'p' && text(tx) == ")") {
-                      depth -= 1
-                      if (depth == 0) stop = true
-                    }
-                    k += 1
-                  }
-                  hi = k - 1
-                }
-              } else if (toks(hi).kind == 'p' && text(toks(hi)) == "(") {
-                var depth = 0
-                var k = hi
-                var stop = false
-                while (k < toks.length && !stop) {
-                  val tx = toks(k)
-                  if (tx.kind == 'p' && text(tx) == "(") depth += 1
-                  else if (tx.kind == 'p' && text(tx) == ")") {
-                    depth -= 1
-                    if (depth == 0) stop = true
-                  }
-                  k += 1
-                }
-                hi = k - 1
-              }
+              val hi = rightOperandEnd(toks, sql, rj)
               val lhs = sql.substring(toks(lo).start, lhsEnd).trim
               val rhs = sql.substring(toks(rj).start, toks(hi).end).trim
               // `= 1` turns the 0/1 integer into the boolean Spark's
@@ -294,5 +246,160 @@ object SqliteOperators {
       j += 1
     }
     sql
+  }
+
+  // ---- operand extraction ------------------------------------------------
+
+  /** Matching `(` index for the `)` at `close` (same-token scan back);
+    * 0-floored on unbalanced input. */
+  private def balancedBack(toks: Vector[Tok], sql: String, close: Int): Int = {
+    def text(t: Tok) = sql.substring(t.start, t.end)
+    var depth = 0
+    var k = close
+    while (k >= 0) {
+      val tx = toks(k)
+      if (tx.kind == 'p' && text(tx) == ")") depth += 1
+      else if (tx.kind == 'p' && text(tx) == "(") {
+        depth -= 1
+        if (depth == 0) return k
+      }
+      k -= 1
+    }
+    0
+  }
+
+  /** Matching `)` index for the `(` at `open` (forward); capped at the
+    * last token on unbalanced input. */
+  private def balancedFwd(toks: Vector[Tok], sql: String, open: Int): Int = {
+    def text(t: Tok) = sql.substring(t.start, t.end)
+    var depth = 0
+    var k = open
+    while (k < toks.length) {
+      val tx = toks(k)
+      if (tx.kind == 'p' && text(tx) == "(") depth += 1
+      else if (tx.kind == 'p' && text(tx) == ")") {
+        depth -= 1
+        if (depth == 0) return k
+      }
+      k += 1
+    }
+    toks.length - 1
+  }
+
+  /** SQLite operators binding TIGHTER than GLOB/REGEXP (lang_expr.html
+    * §2): `||` and the arithmetic family. An operand of the pattern
+    * operators extends over chains of these — `a1 || a2 GLOB 'fo*'`
+    * parses as `(a1 || a2) GLOB 'fo*'`. */
+  private def isTightOp(toks: Vector[Tok], sql: String, k: Int): Boolean = {
+    def text(t: Tok) = sql.substring(t.start, t.end)
+    k >= 0 && k < toks.length && toks(k).kind == 'p' &&
+      ("*/%+-".contains(text(toks(k))) ||
+        (text(toks(k)) == "|" && k + 1 < toks.length &&
+          toks(k + 1).kind == 'p' && text(toks(k + 1)) == "|" &&
+          toks(k).end == toks(k + 1).start) ||
+        (text(toks(k)) == "|" && k >= 1 && toks(k - 1).kind == 'p' &&
+          sql.substring(toks(k - 1).start, toks(k - 1).end) == "|" &&
+          toks(k - 1).end == toks(k).start))
+  }
+
+  /** Start index of the left operand whose LAST token is `end`:
+    * a primary (literal / dotted chain / call / parenthesized group),
+    * extended back over tight-binding operator chains and a leading
+    * unary sign. */
+  private def leftOperandStart(toks: Vector[Tok], sql: String, end: Int): Int = {
+    def text(t: Tok) = sql.substring(t.start, t.end)
+    def prevIdx(j: Int): Int = { var k = j - 1; while (k >= 0 && toks(k).kind == ' ') k -= 1; k }
+    def endsOperand(k: Int): Boolean = k >= 0 && (toks(k).kind match {
+      case 'w' => !Keywords.contains(text(toks(k)).toLowerCase)
+      case 's' | 'q' | 'n' => true
+      case 'p' => text(toks(k)) == ")" || text(toks(k)) == "]"
+      case _ => false
+    })
+    def primaryStart(pEnd: Int): Int = {
+      var lo = pEnd
+      if (toks(lo).kind == 'p' && text(toks(lo)) == ")") {
+        lo = balancedBack(toks, sql, lo)
+        val fn = prevIdx(lo)
+        if (fn >= 0 && toks(fn).kind == 'w' &&
+            !Keywords.contains(text(toks(fn)).toLowerCase)) lo = fn
+      }
+      // dotted chain: a.b / tbl."c"
+      var p2 = prevIdx(lo)
+      while (p2 >= 1 && toks(p2).kind == 'p' && text(toks(p2)) == "." && {
+          val p3 = prevIdx(p2)
+          p3 >= 0 && (toks(p3).kind == 'w' || toks(p3).kind == 'q')
+        }) {
+        lo = prevIdx(p2)
+        p2 = prevIdx(lo)
+      }
+      lo
+    }
+    var lo = primaryStart(end)
+    // tight-operator chains: keep absorbing `<primary> <op>` on the left
+    var continue = true
+    while (continue) {
+      continue = false
+      var opIdx = prevIdx(lo)
+      // '||' spans two tokens; land on its first '|'
+      if (opIdx >= 1 && toks(opIdx).kind == 'p' && text(toks(opIdx)) == "|" &&
+          toks(opIdx - 1).kind == 'p' && text(toks(opIdx - 1)) == "|" &&
+          toks(opIdx - 1).end == toks(opIdx).start) opIdx -= 1
+      if (isTightOp(toks, sql, opIdx)) {
+        val before = prevIdx(opIdx)
+        if (endsOperand(before)) { // binary, not unary sign
+          lo = primaryStart(before)
+          continue = true
+        }
+      }
+    }
+    // leading unary sign: `-a1 GLOB 'x'` is (-a1) GLOB 'x'
+    val sign = prevIdx(lo)
+    if (sign >= 0 && toks(sign).kind == 'p' &&
+        (text(toks(sign)) == "-" || text(toks(sign)) == "+") &&
+        !endsOperand(prevIdx(sign))) lo = sign
+    lo
+  }
+
+  /** End index of the right operand whose FIRST token is `start`:
+    * an optionally-signed primary, extended forward over
+    * tight-binding operator chains. */
+  private def rightOperandEnd(toks: Vector[Tok], sql: String, start: Int): Int = {
+    def text(t: Tok) = sql.substring(t.start, t.end)
+    def nextIdx(j: Int): Int = { var k = j + 1; while (k < toks.length && toks(k).kind == ' ') k += 1; k }
+    def primaryEnd(pStart: Int): Int = {
+      var hi = pStart
+      // unary sign
+      if (toks(hi).kind == 'p' &&
+          (text(toks(hi)) == "-" || text(toks(hi)) == "+")) hi = nextIdx(hi)
+      if (hi >= toks.length) return toks.length - 1
+      if (toks(hi).kind == 'w' || toks(hi).kind == 'q') {
+        val nx = nextIdx(hi)
+        if (nx < toks.length && toks(nx).kind == 'p' && text(toks(nx)) == "(")
+          hi = balancedFwd(toks, sql, nx)
+      } else if (toks(hi).kind == 'p' && text(toks(hi)) == "(") {
+        hi = balancedFwd(toks, sql, hi)
+      }
+      hi
+    }
+    var hi = primaryEnd(start)
+    var continue = true
+    while (continue) {
+      continue = false
+      val opIdx = nextIdx(hi)
+      if (isTightOp(toks, sql, opIdx)) {
+        // land past a two-token '||'
+        val opEnd =
+          if (text(toks(opIdx)) == "|" && opIdx + 1 < toks.length &&
+              toks(opIdx + 1).kind == 'p' && text(toks(opIdx + 1)) == "|" &&
+              toks(opIdx).end == toks(opIdx + 1).start) opIdx + 1
+          else opIdx
+        val after = nextIdx(opEnd)
+        if (after < toks.length) {
+          hi = primaryEnd(after)
+          continue = true
+        }
+      }
+    }
+    hi
   }
 }

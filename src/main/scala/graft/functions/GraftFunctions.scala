@@ -235,22 +235,50 @@ object GraftFunctions {
   }
 
   /** SQLite min/max: aggregate at arity 1, scalar cross-type compare
-    * at arity >= 2 (see the registration comment). Children may be
-    * unresolved here, so operands are unconditionally string-cast
-    * (a no-op cast the optimizer removes for string inputs). */
+    * at arity >= 2 (see the registration comment). Each operand's
+    * storage class comes from its PROVENANCE, decided here while the
+    * children are resolved (ResolveFunctions guarantees that): an
+    * affinity column classifies per value via the cross-type sort
+    * key, a numeric-typed expression is the numeric class, and a
+    * plain string expression/literal is TEXT even when it looks
+    * numeric — sqlite3: max('2', 10) is '2', because a TEXT value
+    * sorts above every number. Winners render via SqliteCastText so
+    * doubles print SQLite-style ('1.0e+20', not '1.0E20'). */
   private def scalarOrAggMinMax(isMin: Boolean): Seq[Expression] => Expression = {
     case Seq(single) =>
       if (isMin) org.apache.spark.sql.catalyst.expressions.aggregate.Min(single)
       else org.apache.spark.sql.catalyst.expressions.aggregate.Max(single)
     case args if args.length >= 2 =>
       import org.apache.spark.sql.catalyst.expressions._
-      val strs: Seq[Expression] = args.map(a => Cast(a, StringType))
-      val anyNull = strs.map(IsNull(_): Expression).reduce(Or(_, _))
-      val winner = strs.reduce[Expression] { (a, b) =>
-        val ka = graft.plans.AffinityOrdering.sortKeyFor(a)
-        val kb = graft.plans.AffinityOrdering.sortKeyFor(b)
-        If(if (isMin) LessThanOrEqual(ka, kb) else GreaterThanOrEqual(ka, kb), a, b)
+      import org.apache.spark.sql.types.{DoubleType => DT}
+      def storageKey(a: Expression): Expression = {
+        val isNumericType = a.dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case org.apache.spark.sql.types.BooleanType => true
+          case _ => false
+        }
+        if (SqliteScalars.isAffinityChild(a))
+          graft.plans.AffinityOrdering.sortKeyFor(Cast(a, StringType))
+        else if (isNumericType)
+          CreateNamedStruct(Seq(
+            Literal("r"), Literal(0),
+            Literal("n"), Cast(a, DT),
+            Literal("t"), Literal("")))
+        else // string expressions and literals: TEXT storage class
+          CreateNamedStruct(Seq(
+            Literal("r"), Literal(1),
+            Literal("n"), Literal(0.0),
+            Literal("t"), Cast(a, StringType)))
       }
+      val rendered: Seq[Expression] = args.map(a => SqliteCastText(a))
+      val keys = args.map(storageKey)
+      val anyNull = args.map(IsNull(_): Expression).reduce(Or(_, _))
+      val winner = rendered.zip(keys).reduce[(Expression, Expression)] {
+        case ((va, ka), (vb, kb)) =>
+          val cmp: Expression =
+            if (isMin) LessThanOrEqual(ka, kb) else GreaterThanOrEqual(ka, kb)
+          (If(cmp, va, vb), If(cmp, ka, kb))
+      }._1
       If(anyNull, Literal.create(null, StringType), winner)
     case _ =>
       throw new IllegalArgumentException(

@@ -141,6 +141,7 @@ case class SqliteCastText(child: Expression) extends UnaryExpression {
     case IntegerType   => SqliteCast.longToText(v.asInstanceOf[Int].toLong)
     case ShortType     => SqliteCast.longToText(v.asInstanceOf[Short].toLong)
     case ByteType      => SqliteCast.longToText(v.asInstanceOf[Byte].toLong)
+    case BooleanType   => SqliteCast.longToText(if (v.asInstanceOf[Boolean]) 1L else 0L)
     case _ => UTF8String.fromString(String.valueOf(v))
   }
 
@@ -152,6 +153,8 @@ case class SqliteCastText(child: Expression) extends UnaryExpression {
         defineCodeGen(ctx, ev, c => s"graft.functions.SqliteCast.realToText((double) $c)")
       case LongType | IntegerType | ShortType | ByteType =>
         defineCodeGen(ctx, ev, c => s"graft.functions.SqliteCast.longToText((long) $c)")
+      case BooleanType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.SqliteCast.longToText($c ? 1L : 0L)")
       case _ =>
         defineCodeGen(ctx, ev, c =>
           s"UTF8String.fromString(String.valueOf($c))")
@@ -173,6 +176,7 @@ case class SqliteCastNumeric(child: Expression) extends UnaryExpression {
     case IntegerType   => SqliteCast.longToText(v.asInstanceOf[Int].toLong)
     case ShortType     => SqliteCast.longToText(v.asInstanceOf[Short].toLong)
     case ByteType      => SqliteCast.longToText(v.asInstanceOf[Byte].toLong)
+    case BooleanType   => SqliteCast.longToText(if (v.asInstanceOf[Boolean]) 1L else 0L)
     case _ => SqliteCast.textToNumeric(UTF8String.fromString(String.valueOf(v)))
   }
 
@@ -185,6 +189,8 @@ case class SqliteCastNumeric(child: Expression) extends UnaryExpression {
           s"graft.functions.SqliteCast.textToNumeric(graft.functions.SqliteCast.realToText((double) $c))")
       case LongType | IntegerType | ShortType | ByteType =>
         defineCodeGen(ctx, ev, c => s"graft.functions.SqliteCast.longToText((long) $c)")
+      case BooleanType =>
+        defineCodeGen(ctx, ev, c => s"graft.functions.SqliteCast.longToText($c ? 1L : 0L)")
       case _ =>
         defineCodeGen(ctx, ev, c =>
           s"graft.functions.SqliteCast.textToNumeric(UTF8String.fromString(String.valueOf($c)))")

@@ -38,14 +38,18 @@ object ConnectedComponents {
     * standard last-mile shortcut for iterative graph algorithms
     * (per-round scheduling overhead dominates once the edge set is
     * driver-sized; Kiveris et al. §6 finish small graphs locally for
-    * the same reason). The default threshold (4M edges ≈ 64 MB of
-    * pairs) is far below driver heap; at 100 TB the near-dup graph
-    * exceeds it and takes the star-contraction loop, whose per-round
-    * cost is what actually scales. Both paths produce identical
-    * labels (pinned by ConnectedComponentsSpec, which runs every case
-    * through each path). */
+    * the same reason). The default threshold is 1M edges: with the
+    * boxed HashMap/TreeSet bookkeeping below, driver heap cost is
+    * roughly 100-150 B per edge/vertex (~150-300 MB worst case at the
+    * threshold — measurably safe even on modest drivers; raw pairs
+    * alone would be 16 MB, so the boxing dominates by ~10x and is
+    * what the threshold must be sized to). At 100 TB the near-dup
+    * graph exceeds it and takes the star-contraction loop, whose
+    * per-round cost is what actually scales. Both paths produce
+    * identical labels (pinned by ConnectedComponentsSpec, which runs
+    * every case through each path). */
   def run(edges: DataFrame, maxRounds: Int = 30,
-      localThreshold: Long = 1L << 22): DataFrame = {
+      localThreshold: Long = 1L << 20): DataFrame = {
     // Orient src > dst, drop self-loops and duplicates.
     val canon = edges
       .select(greatest(col("src"), col("dst")).cast("long").as("src"),

@@ -618,6 +618,9 @@ class CliSpec extends SparkSpec {
     assert(sqawk("select CAST(12.5 AS TEXT), CAST(1e20 AS TEXT)," +
       " CAST('9223372036854775807123' AS INTEGER)", f) ==
       (0, "12.5 1.0e+20 9223372036854775807\n"))
+    // booleans render as SQLite integers: CAST(1=1 AS TEXT) → 1
+    assert(sqawk("select CAST(1=1 AS TEXT), CAST(1=2 AS NUMERIC)", f) ==
+      (0, "1 0\n"))
   }
 
   test("CTAS composes with SQLite CAST semantics") {
@@ -689,11 +692,17 @@ class CliSpec extends SparkSpec {
   test("scalar min/max at arity >= 2 (sqlite3-verified)") {
     // sqlite3> SELECT min(2,3), max(2,3), min(2,NULL), max('10',2),
     //   min('a','2') → 2|3||10|2
-    // and per-row over an INTEGER-affinity column: max(c, 5) over
+    // sqlite3> SELECT max('2', 10), min('2', 10) → 2|10 — a TEXT
+    // literal is TEXT storage class even when numeric-looking, and
+    // TEXT sorts above every number (classification is by operand
+    // PROVENANCE, not value).
+    // Per-row over an INTEGER-affinity column: max(c, 5) over
     // {'10','3'} → 10, 5. Aggregate min/max (1 arg) is unaffected.
     val f = tempFile("10\n3\n")
     assert(sqawk("select min(2, 3), max(2, 3), min(2, NULL), max('10', 2)," +
       " min('a', '2') from a limit 1", f) == (0, "2 3  10 2\n"))
+    assert(sqawk("select max('2', 10), min('2', 10) from a limit 1", f) ==
+      (0, "2 10\n"))
     assert(sqawk("select max(a1, 5) from a", f) == (0, "10\n5\n"))
     assert(sqawk("select min(a1), max(a1) from a", f) == (0, "3 10\n"))
   }

@@ -44,6 +44,23 @@ class SqliteOperatorsSpec extends AnyFunSuite {
       "SELECT * FROM a WHERE glob('x', a1) = 1")
   }
 
+  test("operands extend over tighter-binding || and arithmetic chains") {
+    // sqlite3: `a1 || a2 GLOB 'fo*'` is (a1 || a2) GLOB 'fo*' → the
+    // whole concat is the operand (review finding: grabbing only a2
+    // silently concatenated a boolean)
+    assert(rw("SELECT a1 || a2 GLOB 'fo*' FROM a") ===
+      "SELECT (glob('fo*', a1 || a2) = 1) FROM a")
+    assert(rw("SELECT 'x' GLOB 'f' || 'o*' FROM a") ===
+      "SELECT (glob('f' || 'o*', 'x') = 1) FROM a")
+    assert(rw("SELECT a1 + a2 GLOB p FROM a") ===
+      "SELECT (glob(p, a1 + a2) = 1) FROM a")
+    assert(rw("SELECT -a1 GLOB 'x' FROM a") ===
+      "SELECT (glob('x', -a1) = 1) FROM a")
+    // comparison-level neighbors do NOT get absorbed
+    assert(rw("SELECT b = 1 AND a1 GLOB 'x' FROM a") ===
+      "SELECT b = 1 AND (glob('x', a1) = 1) FROM a")
+  }
+
   test("rhs may be a function call or parenthesized expression") {
     assert(rw("SELECT * FROM a WHERE a1 GLOB lower(p)") ===
       "SELECT * FROM a WHERE (glob(lower(p), a1) = 1)")
@@ -117,6 +134,15 @@ class SqliteOperatorsSpec extends AnyFunSuite {
     assert(rw("SELECT a1 FROM a LIMIT -1 OFFSET 2") ===
       "SELECT a1 FROM a  OFFSET 2")
     assert(rw("SELECT a1 FROM a LIMIT 5") === "SELECT a1 FROM a LIMIT 5")
+    // `-1+2` is a positive limit expression, not a negative limit —
+    // must survive whole (review finding: half-stripping it produced
+    // a confusing parser error)
+    assert(rw("SELECT a1 FROM a LIMIT -1+2") === "SELECT a1 FROM a LIMIT -1+2")
+  }
+
+  test("IS with a signed numeric operand rewrites (sqlite3: 1 IS -1 = 0)") {
+    assert(rw("SELECT 1 IS -1") === "SELECT 1 <=> -1")
+    assert(rw("SELECT 5 IS NOT -5") === "SELECT 5 IS DISTINCT FROM -5")
   }
 
   test("COLLATE NOCASE/BINARY map to Spark collations; RTRIM rejects") {
