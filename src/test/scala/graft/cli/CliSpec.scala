@@ -703,6 +703,14 @@ class CliSpec extends SparkSpec {
       " min('a', '2') from a limit 1", f) == (0, "2 3  10 2\n"))
     assert(sqawk("select max('2', 10), min('2', 10) from a limit 1", f) ==
       (0, "2 10\n"))
+    // 3-arg fold with mixed provenance (affinity column, int literal,
+    // text literal) — pins the winner-key propagation through the
+    // pairwise fold. sqlite3 over {'2','10','x'}:
+    //   min(c,5,'z') → 2|5|5 ; max(c,5,'z') → z|z|z... per-row:
+    //   ('2': min 2, max z) ('10': min 5, max z) ('x': min 5, max z)
+    val m3 = tempFile("2\n10\nx\n")
+    assert(sqawk("select min(a1, 5, 'z'), max(a1, 5, 'z') from a", m3) ==
+      (0, "2 z\n5 z\n5 z\n"))
     assert(sqawk("select max(a1, 5) from a", f) == (0, "10\n5\n"))
     assert(sqawk("select min(a1), max(a1) from a", f) == (0, "3 10\n"))
   }
