@@ -163,7 +163,8 @@ object GraftFunctions {
     val registry = spark.sessionState.functionRegistry
     val names = Seq("sum", "total", "date", "time", "datetime", "julianday",
       "strftime", "random", "min", "max", "typeof", "quote", "unicode",
-      "ltrim", "rtrim", "trim", "likely", "unlikely", "likelihood", "avg")
+      "ltrim", "rtrim", "trim", "likely", "unlikely", "likelihood", "avg",
+      "group_concat")
     val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     // SQLite's min/max are BOTH the aggregate (1 arg) and a scalar
@@ -211,6 +212,20 @@ object GraftFunctions {
       { children => children.head }, "scala_udf")
     registry.createOrReplaceTempFunction("likelihood",
       { children => children.head }, "scala_udf")
+    // SQLite group_concat(x[, sep]) → Spark 4's ListAgg aggregate;
+    // values render SQLite-style via the text cast, NULLs are skipped
+    // by both engines, DISTINCT comes from the generic wrap. Ordering
+    // is unspecified in BOTH dialects (SQLite docs say so explicitly).
+    registry.createOrReplaceTempFunction("group_concat", {
+      case Seq(c) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
+          SqliteCastText(c), org.apache.spark.sql.catalyst.expressions.Literal(","))
+      case Seq(c, sep) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
+          SqliteCastText(c), sep)
+      case other => throw new IllegalArgumentException(
+        s"group_concat expects 1 or 2 arguments, got ${other.length}")
+    }, "scala_udf")
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
     spark.udf.register("total", org.apache.spark.sql.functions.udaf(SqliteTotal))
     spark.udf.register("avg", org.apache.spark.sql.functions.udaf(SqliteAvg))

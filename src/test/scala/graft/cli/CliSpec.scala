@@ -659,6 +659,20 @@ class CliSpec extends SparkSpec {
       (0, "2\n3\n"))
   }
 
+  test("group_concat in scripts (sqlite3-verified)") {
+    // sqlite3 over {a,b,c} with a2 groups {1,1,2}: group_concat(a1)
+    // → a,b,c ; per-group with '|' → 1:a|b, 2:c. Ordering is
+    // unspecified in BOTH dialects; on this single-partition input
+    // both engines emit insertion order. DISTINCT is supported (set
+    // semantics; order unpinned).
+    val f = tempFile("a 1\nb 1\nc 2\n")
+    assert(sqawk("select group_concat(a1) from a", f) == (0, "a,b,c\n"))
+    assert(sqawk("select a2, group_concat(a1, '|') from a group by a2 order by a2", f)
+      == (0, "1 a|b\n2 c\n"))
+    val (c, o) = sqawk("select group_concat(DISTINCT a1) from a", f)
+    assert(c == 0 && o.trim.split(",").sorted.toSeq == Seq("a", "b", "c"))
+  }
+
   test("avg coerces text and counts it (sqlite3-verified)") {
     // sqlite3 (INTEGER-affinity {'10','x','','3.5'} — the leading
     // separator makes row 3's a1 the EMPTY STRING, which coerces to 0
