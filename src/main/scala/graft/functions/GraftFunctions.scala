@@ -164,7 +164,8 @@ object GraftFunctions {
     val names = Seq("sum", "total", "date", "time", "datetime", "julianday",
       "strftime", "random", "min", "max", "typeof", "quote", "unicode",
       "ltrim", "rtrim", "trim", "likely", "unlikely", "likelihood", "avg",
-      "group_concat")
+      "group_concat", "iif", "printf", "format", "char", "sign", "floor",
+      "ceil", "ceiling", "mod")
     val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     // SQLite's min/max are BOTH the aggregate (1 arg) and a scalar
@@ -226,6 +227,59 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         s"group_concat expects 1 or 2 arguments, got ${other.length}")
     }, "scala_udf")
+    // Remaining SQLite core-function surface (battery-probed against
+    // sqlite3):
+    //  - iif: SQLite's conditional → If (branch types coerce);
+    //  - printf / its alias format: Spark's FormatString throws when a
+    //    DECIMAL-typed literal meets %f, so decimal args pre-cast to
+    //    double (children are resolved here — same guarantee the
+    //    min/max builder relies on);
+    //  - char(c1, c2, ...): variadic codepoints → concat of chr();
+    //  - sign returns INTEGER in SQLite (Spark: double), and the math
+    //    functions floor/ceil/mod always return REAL in SQLite
+    //    (Spark: integral) — shadowed with the SQLite result types so
+    //    rendering matches sqlite3 output.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      registry.createOrReplaceTempFunction("iif", {
+        case Seq(c, t, f) => If(c, t, f)
+        case other => throw new IllegalArgumentException(
+          s"iif expects 3 arguments, got ${other.length}")
+      }, "scala_udf")
+      val printfBuilder: Seq[Expression] => Expression = { children =>
+        val fixed = children.head +: children.tail.map { a =>
+          a.dataType match {
+            case _: org.apache.spark.sql.types.DecimalType =>
+              Cast(a, DoubleType)
+            case _ => a
+          }
+        }
+        FormatString(fixed: _*)
+      }
+      registry.createOrReplaceTempFunction("printf", printfBuilder, "scala_udf")
+      registry.createOrReplaceTempFunction("format", printfBuilder, "scala_udf")
+      registry.createOrReplaceTempFunction("char", { children =>
+        if (children.isEmpty)
+          throw new IllegalArgumentException("char expects at least 1 argument")
+        children.map(c => Chr(Cast(c, org.apache.spark.sql.types.LongType)): Expression)
+          .reduceLeft((a, b) => Concat(Seq(a, b)))
+      }, "scala_udf")
+      registry.createOrReplaceTempFunction("sign", { children =>
+        Cast(Signum(Cast(children.head, DoubleType)),
+          org.apache.spark.sql.types.LongType)
+      }, "scala_udf")
+      registry.createOrReplaceTempFunction("floor", { children =>
+        Cast(Floor(Cast(children.head, DoubleType)), DoubleType)
+      }, "scala_udf")
+      val ceilB: Seq[Expression] => Expression = { children =>
+        Cast(Ceil(Cast(children.head, DoubleType)), DoubleType)
+      }
+      registry.createOrReplaceTempFunction("ceil", ceilB, "scala_udf")
+      registry.createOrReplaceTempFunction("ceiling", ceilB, "scala_udf")
+      registry.createOrReplaceTempFunction("mod", { children =>
+        Remainder(Cast(children.head, DoubleType), Cast(children(1), DoubleType))
+      }, "scala_udf")
+    }
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))
     spark.udf.register("total", org.apache.spark.sql.functions.udaf(SqliteTotal))
     spark.udf.register("avg", org.apache.spark.sql.functions.udaf(SqliteAvg))

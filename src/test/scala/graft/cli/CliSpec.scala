@@ -659,6 +659,18 @@ class CliSpec extends SparkSpec {
       (0, "2\n3\n"))
   }
 
+  test("core-function battery: iif/printf/format/char/sign/math (sqlite3-verified)") {
+    // every expected value is sqlite3 output for the same expression
+    // (SQLite math functions return REAL; sign returns INTEGER)
+    val f = tempFile("v\n")
+    assert(sqawk("select iif(1 < 2, 'y', 'n'), char(72, 105)", f) == (0, "y Hi\n"))
+    assert(sqawk("select printf('%05.1f|%s', 3.5, 'x'), format('%d-%s', 42, 'a')", f)
+      == (0, "003.5|x 42-a\n"))
+    assert(sqawk("select sign(-5), sign(0), sign(3)", f) == (0, "-1 0 1\n"))
+    assert(sqawk("select floor(1.7), ceil(1.2), mod(7, 3), pow(2, 10)", f)
+      == (0, "1.0 2.0 1.0 1024.0\n"))
+  }
+
   test("group_concat in scripts (sqlite3-verified)") {
     // sqlite3 over {a,b,c} with a2 groups {1,1,2}: group_concat(a1)
     // → a,b,c ; per-group with '|' → 1:a|b, 2:c. Ordering is
