@@ -221,9 +221,9 @@ object GraftFunctions {
       case Seq(c) =>
         org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
           SqliteCastText(c), org.apache.spark.sql.catalyst.expressions.Literal(","))
-      case Seq(c, sep) =>
+      case Seq(c, sep) => // sep coerces to text too (sqlite3: sep 5 → 'a5b')
         org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
-          SqliteCastText(c), sep)
+          SqliteCastText(c), SqliteCastText(sep))
       case other => throw new IllegalArgumentException(
         s"group_concat expects 1 or 2 arguments, got ${other.length}")
     }, "scala_udf")
@@ -241,43 +241,77 @@ object GraftFunctions {
     //    rendering matches sqlite3 output.
     locally {
       import org.apache.spark.sql.catalyst.expressions._
-      registry.createOrReplaceTempFunction("iif", {
-        case Seq(c, t, f) => If(c, t, f)
-        case other => throw new IllegalArgumentException(
-          s"iif expects 3 arguments, got ${other.length}")
-      }, "scala_udf")
-      val printfBuilder: Seq[Expression] => Expression = { children =>
-        val fixed = children.head +: children.tail.map { a =>
-          a.dataType match {
-            case _: org.apache.spark.sql.types.DecimalType =>
-              Cast(a, DoubleType)
-            case _ => a
-          }
+      def arity(name: String, n: Int)(children: Seq[Expression]): Seq[Expression] = {
+        if (children.length != n) throw new IllegalArgumentException(
+          s"wrong number of arguments to function $name()")
+        children
+      }
+      // iif applies SQLite truthiness to non-boolean conditions
+      // (numeric coercion, nonzero = true: iif(1,..), iif('5abc',..)
+      // take the THEN branch; NULL and 'abc' the ELSE branch).
+      registry.createOrReplaceTempFunction("iif", { children0 =>
+        val Seq(c, t, f) = arity("iif", 3)(children0)
+        val pred = c.dataType match {
+          case org.apache.spark.sql.types.BooleanType => c
+          case _ => Not(EqualTo(SqliteCastReal(c), Literal(0.0)))
         }
-        FormatString(fixed: _*)
+        If(pred, t, f)
+      }, "scala_udf")
+      // SQLite printf semantics live in SqlitePrintf (per-directive
+      // coercion, C-style %g, %q/%Q/%w); args pass as canonical text.
+      val printfClass = Class.forName("graft.functions.SqlitePrintf")
+      val printfBuilder: Seq[Expression] => Expression = { children =>
+        if (children.isEmpty || children.length > 9)
+          throw new IllegalArgumentException(
+            "wrong number of arguments to function printf()")
+        val args = Cast(children.head, StringType) +:
+          children.tail.map(a => SqliteCastText(a): Expression)
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          staticObject = printfClass,
+          dataType = StringType,
+          functionName = s"printf${children.length}",
+          arguments = args,
+          inputTypes = Seq.fill(args.length)(StringType),
+          propagateNull = false, // NULL args render as 0 / '' / NULL-literal
+          returnNullable = true)
       }
       registry.createOrReplaceTempFunction("printf", printfBuilder, "scala_udf")
       registry.createOrReplaceTempFunction("format", printfBuilder, "scala_udf")
+      // char(): Unicode codepoints (sqlite3: char(8364) = '€'), zero
+      // arguments give the empty string.
+      val scalarsClass = Class.forName("graft.functions.SqliteScalars")
+      def scalarsInvoke(method: String, a: Expression): Expression =
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          staticObject = scalarsClass,
+          dataType = StringType,
+          functionName = method,
+          arguments = Seq(SqliteCastText(a)),
+          inputTypes = Seq(StringType),
+          propagateNull = true,
+          returnNullable = true)
       registry.createOrReplaceTempFunction("char", { children =>
-        if (children.isEmpty)
-          throw new IllegalArgumentException("char expects at least 1 argument")
-        children.map(c => Chr(Cast(c, org.apache.spark.sql.types.LongType)): Expression)
+        if (children.isEmpty) Literal("")
+        else children.map(c => scalarsInvoke("charCode", c))
           .reduceLeft((a, b) => Concat(Seq(a, b)))
       }, "scala_udf")
-      registry.createOrReplaceTempFunction("sign", { children =>
-        Cast(Signum(Cast(children.head, DoubleType)),
-          org.apache.spark.sql.types.LongType)
+      registry.createOrReplaceTempFunction("sign", { children0 =>
+        val Seq(c) = arity("sign", 1)(children0)
+        Cast(Signum(Cast(c, DoubleType)), org.apache.spark.sql.types.LongType)
       }, "scala_udf")
-      registry.createOrReplaceTempFunction("floor", { children =>
-        Cast(Floor(Cast(children.head, DoubleType)), DoubleType)
+      // floor/ceil keep SQLite's result classes by working over the
+      // canonical text value (INTEGER stays INTEGER, REAL stays REAL,
+      // non-numeric text is NULL, no int64 clamp on huge doubles).
+      registry.createOrReplaceTempFunction("floor", { children0 =>
+        scalarsInvoke("floorText", arity("floor", 1)(children0).head)
       }, "scala_udf")
-      val ceilB: Seq[Expression] => Expression = { children =>
-        Cast(Ceil(Cast(children.head, DoubleType)), DoubleType)
+      val ceilB: Seq[Expression] => Expression = { children0 =>
+        scalarsInvoke("ceilText", arity("ceil", 1)(children0).head)
       }
       registry.createOrReplaceTempFunction("ceil", ceilB, "scala_udf")
       registry.createOrReplaceTempFunction("ceiling", ceilB, "scala_udf")
-      registry.createOrReplaceTempFunction("mod", { children =>
-        Remainder(Cast(children.head, DoubleType), Cast(children(1), DoubleType))
+      registry.createOrReplaceTempFunction("mod", { children0 =>
+        val Seq(a, b) = arity("mod", 2)(children0)
+        Remainder(Cast(a, DoubleType), Cast(b, DoubleType))
       }, "scala_udf")
     }
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))

@@ -48,6 +48,35 @@ object SqliteScalars {
     val str = s.toString
     if (str.isEmpty) null else Integer.valueOf(str.codePointAt(0))
   }
+
+  /** One `char()` argument: SQLite coerces it to INTEGER (prefix
+    * rule) and emits the UNICODE codepoint — not Spark Chr's mod-256
+    * extended ASCII (sqlite3: char(8364) = '€'). Invalid codepoints
+    * yield the empty string. */
+  def charCode(s: UTF8String): UTF8String = {
+    val cp = SqliteCast.textToInteger(s)
+    if (cp >= 0 && cp <= Character.MAX_CODE_POINT &&
+        Character.isValidCodePoint(cp.toInt))
+      UTF8String.fromString(new String(Character.toChars(cp.toInt)))
+    else UTF8String.fromString("")
+  }
+
+  /** SQLite floor/ceil over a canonical text value: INTEGER-class
+    * input stays INTEGER (sqlite3: floor(5) = 5, typeof integer),
+    * REAL-class applies the function and stays REAL ('5.5' → '5.0'),
+    * non-numeric text is NULL (sqlite3: floor('abc') = NULL). Working
+    * in canonical text also sidesteps the int64 clamp a Long
+    * round-trip would impose (floor(1e19) stays '1.0e+19'). */
+  private def mathText(s: UTF8String, f: Double => Double): UTF8String = {
+    val t = s.toString.trim
+    classify(t) match {
+      case "integer" => UTF8String.fromString(t)
+      case "real" => UTF8String.fromString(Affinity.formatReal(f(t.toDouble)))
+      case _ => null
+    }
+  }
+  def floorText(s: UTF8String): UTF8String = mathText(s, math.floor)
+  def ceilText(s: UTF8String): UTF8String = mathText(s, math.ceil)
 }
 
 /** `dynamicClass` is decided by the REGISTRATION BUILDER while the

@@ -661,14 +661,30 @@ class CliSpec extends SparkSpec {
 
   test("core-function battery: iif/printf/format/char/sign/math (sqlite3-verified)") {
     // every expected value is sqlite3 output for the same expression
-    // (SQLite math functions return REAL; sign returns INTEGER)
     val f = tempFile("v\n")
     assert(sqawk("select iif(1 < 2, 'y', 'n'), char(72, 105)", f) == (0, "y Hi\n"))
+    // iif truthiness on non-boolean conditions; char() is Unicode
+    // codepoints (NOT mod-256) and char() with no args is ''
+    assert(sqawk("select iif(1, 'y', 'n'), iif('5abc', 'y', 'n')," +
+      " iif('abc', 'y', 'n'), iif(NULL, 'y', 'n')", f) == (0, "y y n n\n"))
+    assert(sqawk("select char(8364, 72), char()", f) == (0, "€H \n"))
     assert(sqawk("select printf('%05.1f|%s', 3.5, 'x'), format('%d-%s', 42, 'a')", f)
       == (0, "003.5|x 42-a\n"))
+    // per-directive coercion, C-style %g, %x, %c, %q
+    assert(sqawk("select printf('%d', 3.7), printf('%d', '5x')," +
+      " printf('%g', 1024.0), printf('%x', 255), printf('%c', 'hi')", f)
+      == (0, "3 5 1024 ff h\n"))
+    assert(sqawk("select printf('%q', 'it''s'), printf('%.2e', 12345.678)", f)
+      == (0, "it''s 1.23e+04\n"))
     assert(sqawk("select sign(-5), sign(0), sign(3)", f) == (0, "-1 0 1\n"))
+    // floor/ceil keep SQLite result classes: INTEGER stays INTEGER,
+    // REAL stays REAL, non-numeric text is NULL, no int64 clamp
     assert(sqawk("select floor(1.7), ceil(1.2), mod(7, 3), pow(2, 10)", f)
       == (0, "1.0 2.0 1.0 1024.0\n"))
+    assert(sqawk("select floor(5), ceil(5), floor('5.5'), floor(1e19)," +
+      " floor('abc')", f) == (0, "5 5 5.0 1.0e+19 \n"))
+    // arity errors are loud, like sqlite3's
+    assert(sqawk("select floor(1.5, 2)", f)._1 == 1)
   }
 
   test("group_concat in scripts (sqlite3-verified)") {
