@@ -22,8 +22,8 @@ object SqliteOperators {
   private case class Tok(kind: Char, start: Int, end: Int) // kind: 'w'ord,'s'tring,'q'uoted,'n'um,'p'unct,' 'ws
   private val Keywords = Set(
     "select", "from", "where", "and", "or", "not", "on", "join", "when",
-    "then", "else", "case", "end", "by", "having", "like", "in", "is",
-    "as", "all", "distinct", "union", "intersect", "except", "limit",
+    "then", "else", "case", "end", "by", "having", "like", "ilike", "in",
+    "is", "as", "all", "distinct", "union", "intersect", "except", "limit",
     "offset", "order", "group", "set", "values", "between", "escape",
     "insert", "into", "update", "delete", "create", "table", "view")
 
@@ -157,6 +157,25 @@ object SqliteOperators {
                 return rewrite(rewritten)
               }
             }
+          }
+        }
+        if (w == "like") {
+          // SQLite's LIKE is case-INSENSITIVE by default for ASCII
+          // (lang_expr.html §5; PRAGMA case_sensitive_like flips it)
+          // while Spark's LIKE is case-sensitive — rewrite the
+          // OPERATOR spelling to ILIKE (NOT and ESCAPE survive in
+          // place). The function spelling like(P, S) is shadowed in
+          // GraftFunctions instead. Divergence note: ILIKE folds full
+          // Unicode where SQLite folds ASCII only.
+          val pj0 = prevIdx(j)
+          val isOperator = pj0 >= 0 && (isOperand(toks(pj0)) ||
+            (toks(pj0).kind == 'w' && text(toks(pj0)).toLowerCase == "not" && {
+              val before = prevIdx(pj0)
+              before >= 0 && isOperand(toks(before))
+            }))
+          if (isOperator) {
+            return rewrite(sql.substring(0, t.start) + "ilike" +
+              sql.substring(t.end))
           }
         }
         if (w == "limit") {

@@ -165,7 +165,7 @@ object GraftFunctions {
       "strftime", "random", "min", "max", "typeof", "quote", "unicode",
       "ltrim", "rtrim", "trim", "likely", "unlikely", "likelihood", "avg",
       "group_concat", "iif", "printf", "format", "char", "sign", "floor",
-      "ceil", "ceiling", "mod")
+      "ceil", "ceiling", "mod", "like")
     val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     // SQLite's min/max are BOTH the aggregate (1 arg) and a scalar
@@ -312,6 +312,24 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction("mod", { children0 =>
         val Seq(a, b) = arity("mod", 2)(children0)
         Remainder(Cast(a, DoubleType), Cast(b, DoubleType))
+      }, "scala_udf")
+      // SQLite's like(PATTERN, STRING[, ESCAPE]) function — case-
+      // insensitive like the operator (the operator spelling rewrites
+      // to ILIKE in cli/SqliteOperators).
+      registry.createOrReplaceTempFunction("like", { children =>
+        children match {
+          case Seq(p, str) => ILike(str, p, '\\')
+          case Seq(p, str, esc) =>
+            val e = esc match {
+              case Literal(u: org.apache.spark.unsafe.types.UTF8String, _)
+                  if u.numChars() == 1 => u.toString.charAt(0)
+              case _ => throw new IllegalArgumentException(
+                "ESCAPE expression must be a single character")
+            }
+            ILike(str, p, e)
+          case other => throw new IllegalArgumentException(
+            "wrong number of arguments to function like()")
+        }
       }, "scala_udf")
     }
     spark.udf.register("sum", org.apache.spark.sql.functions.udaf(SqliteSum))

@@ -659,6 +659,20 @@ class CliSpec extends SparkSpec {
       (0, "2\n3\n"))
   }
 
+  test("LIKE is case-insensitive like SQLite's default (sqlite3-verified)") {
+    // sqlite3: 'ABC' LIKE 'abc' → 1; 'abc' LIKE 'AB%' → 1;
+    // 'xyz' NOT LIKE 'X%' → 0; like('a%','ABC') → 1. (SQLite folds
+    // ASCII only; this engine's ILIKE folds full Unicode — noted at
+    // the rewrite.)
+    val f = tempFile("ABC\nxyz\n")
+    assert(sqawk("select a1 from a where a1 LIKE 'abc'", f) == (0, "ABC\n"))
+    assert(sqawk("select a1 from a where a1 NOT LIKE 'X%' order by a1", f) ==
+      (0, "ABC\n"))
+    assert(sqawk("select like('a%', a1) from a order by a1", f) == (0, "1\n0\n"))
+    assert(sqawk("select a1 from a where a1 LIKE 'a_c' ESCAPE '!'", f) ==
+      (0, "ABC\n"))
+  }
+
   test("core-function battery: iif/printf/format/char/sign/math (sqlite3-verified)") {
     // every expected value is sqlite3 output for the same expression
     val f = tempFile("v\n")

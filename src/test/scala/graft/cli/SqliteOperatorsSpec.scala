@@ -129,6 +129,15 @@ class SqliteOperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("operator LIKE becomes ILIKE; function spelling untouched") {
+    assert(rw("SELECT a1 FROM a WHERE a1 LIKE 'x%'") ===
+      "SELECT a1 FROM a WHERE a1 ilike 'x%'")
+    assert(rw("SELECT a1 FROM a WHERE a1 NOT LIKE 'x%' ESCAPE '!'") ===
+      "SELECT a1 FROM a WHERE a1 NOT ilike 'x%' ESCAPE '!'")
+    assert(rw("SELECT like('x%', a1) FROM a") === "SELECT like('x%', a1) FROM a")
+    assert(rw("SELECT 'a LIKE b'") === "SELECT 'a LIKE b'")
+  }
+
   test("negative LIMIT drops the clause (SQLite: no limit)") {
     assert(rw("SELECT a1 FROM a LIMIT -1") === "SELECT a1 FROM a ")
     assert(rw("SELECT a1 FROM a LIMIT -1 OFFSET 2") ===
