@@ -1963,7 +1963,38 @@ object Pipeline {
              |SELECT doc_id, lower(strip_accents(aug)) AS folded,
              |  CAST(length(aug) AS BIGINT) AS n_raw,
              |  CAST(length(lower(strip_accents(aug))) AS BIGINT) AS n_folded
-             |FROM aug""".stripMargin))
+             |FROM aug""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p41: LEAKAGE-SAFE SPLIT — train/val/test assignment keyed by the
+    // SOURCE (domain), not the document: every doc from a domain lands
+    // in the same split, so near-duplicate pages within a site can
+    // never straddle the train/eval boundary (the standard guard
+    // against intra-domain eval contamination). The split is a pure
+    // function of md5('split:'+source) compared against exact binary
+    // fractions in 52-bit INTEGER space (test: h < 2^52/8, val:
+    // h < 2^52/4) — reproducible across engines and reruns, and
+    // join-free: at 100 TB the assignment is a zero-shuffle projection
+    // fused into the scan (plan-pinned in CurationOpsSpec), with no
+    // split manifest to build, broadcast, or keep consistent.
+    QDef(
+      "p41_leakage_split",
+      (s, d) => docs(s, d)
+        .withColumn("h", expr(
+          "CAST(conv(substr(md5(concat('split:', source)), 1, 13), 16, 10) AS BIGINT)"))
+        .select(col("doc_id"), col("source"),
+          when(col("h") < lit(1L << 49), "test")
+            .when(col("h") < lit(1L << 50), "val")
+            .otherwise("train").as("split")),
+      Some(s"""SELECT doc_id, source,
+              |  CASE WHEN h < ${1L << 49} THEN 'test'
+              |       WHEN h < ${1L << 50} THEN 'val'
+              |       ELSE 'train' END AS split
+              |FROM (
+              |  SELECT doc_id, source,
+              |    CAST(('0x' || substr(md5('split:' || source), 1, 13)) AS BIGINT) AS h
+              |  FROM documents
+              |)""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------

@@ -19,7 +19,7 @@ class CurationOpsSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (n <- Seq("p20_repetition_filter", "p21_pii_scrub", "p22_embed_quantize",
-                    "p25_stratified_sample")) {
+                    "p25_stratified_sample", "p41_leakage_split")) {
         val df = SparkEntry.queries(n)(spark, sf)
         val shuffles = df.queryExecution.executedPlan.collect {
           case e: ShuffleExchangeExec => e
@@ -27,6 +27,17 @@ class CurationOpsSpec extends SparkSpec {
         assert(shuffles.isEmpty, s"$n must be a zero-shuffle projection, found: $shuffles")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("p41 splits are domain-disjoint and all three are populated") {
+    import spark.implicits._
+    val out = SparkEntry.queries("p41_leakage_split")(spark, sf)
+      .select("source", "split").as[(String, String)].collect()
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      val splits = rows.map(_._2).distinct
+      assert(splits.length === 1, s"source $src straddles splits: ${splits.toSeq}")
+    }
+    assert(out.map(_._2).distinct.sorted.toSeq === Seq("test", "train", "val"))
   }
 
   test("p26 rank filter pre-limits per partition before the exchange") {
