@@ -1994,7 +1994,60 @@ object Pipeline {
               |  SELECT doc_id, source,
               |    CAST(('0x' || substr(md5('split:' || source), 1, 13)) AS BIGINT) AS h
               |  FROM documents
-              |)""".stripMargin))
+              |)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p42: INCREMENTAL DEDUP — dedup a NEW BATCH against the historical
+    // corpus without re-processing history: the shape a continuous
+    // ingestion pipeline needs at 100 TB, where re-running p01 over
+    // corpus+batch per arrival would be O(corpus) every time. The
+    // history side reduces to a hash→canonical-doc index (at scale
+    // that index is PERSISTED and maintained incrementally, like the
+    // -dbfile generation store — building it here from the docs table
+    // is oracle scaffolding); each batch doc then probes the index
+    // with one equi-join, so the steady-state cost is O(batch). The
+    // batch is tiny relative to history, so Spark broadcasts it into
+    // the probe join — history is never reshuffled per batch.
+    // Duplicates are manufactured deterministically (the corpus has
+    // no natural exact dups): every batch doc with an even doc_id/10
+    // takes its historical neighbor's text, so exactly half the batch
+    // must resolve to dup_of = doc_id+1 and half must be novel — a
+    // two-sided expectation the hash compare falsifies.
+    QDef(
+      "p42_incremental_dedup",
+      (s, d) => {
+        val d0 = docs(s, d).select(col("doc_id"), col("text"))
+        val aug = d0
+          .join(d0.selectExpr("doc_id AS nid", "text AS ntext"),
+            expr("nid = doc_id + 1"), "left")
+          .selectExpr("doc_id",
+            """CASE WHEN doc_id % 10 = 0 AND (doc_id DIV 10) % 2 = 0
+              |       AND ntext IS NOT NULL
+              |  THEN ntext ELSE text END AS content""".stripMargin,
+            "doc_id % 10 = 0 AS is_batch")
+        val hist = aug.filter(!col("is_batch"))
+          .groupBy(md5(col("content")).as("h"))
+          .agg(min("doc_id").as("dup_of"))
+        aug.filter(col("is_batch"))
+          .select(col("doc_id"), md5(col("content")).as("h"))
+          .join(hist, Seq("h"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("is_novel"),
+            col("dup_of"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id % 10 = 0 AND (d.doc_id // 10) % 2 = 0
+             |           AND h.text IS NOT NULL
+             |      THEN h.text ELSE d.text END AS content,
+             |    d.doc_id % 10 = 0 AS is_batch
+             |  FROM documents d LEFT JOIN documents h ON h.doc_id = d.doc_id + 1
+             |), hist AS (
+             |  SELECT md5(content) AS h, min(doc_id) AS dup_of
+             |  FROM aug WHERE NOT is_batch GROUP BY 1
+             |)
+             |SELECT b.doc_id, hist.dup_of IS NULL AS is_novel, hist.dup_of
+             |FROM (SELECT doc_id, md5(content) AS h FROM aug WHERE is_batch) b
+             |LEFT JOIN hist USING (h)""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------

@@ -40,6 +40,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_._2).distinct.sorted.toSeq === Seq("test", "train", "val"))
   }
 
+  test("p42 resolves manufactured dups to their historical canonical and broadcasts the probe") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p42_incremental_dedup")(spark, sf)
+    val rows = df.select("doc_id", "is_novel", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(rows.length === 50) // one row per batch doc (doc_id % 10 == 0)
+    rows.foreach { case (id, novel, dupOf) =>
+      if ((id / 10) % 2 == 0) {
+        assert(!novel && dupOf.contains(id + 1),
+          s"doc $id should be a dup of ${id + 1}, got novel=$novel dup_of=$dupOf")
+      } else {
+        assert(novel && dupOf.isEmpty, s"doc $id should be novel, got dup_of=$dupOf")
+      }
+    }
+    // the scale claim: the small batch broadcasts into the index probe;
+    // history is never reshuffled by the probe join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast probe join in:\n$plan")
+  }
+
   test("p26 rank filter pre-limits per partition before the exchange") {
     // the scale claim: WindowGroupLimit(Partial) must sit below the
     // shuffle so hot sources never ship more than partitions × K rows
