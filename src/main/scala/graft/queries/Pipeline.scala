@@ -2001,13 +2001,16 @@ object Pipeline {
     // corpus without re-processing history: the shape a continuous
     // ingestion pipeline needs at 100 TB, where re-running p01 over
     // corpus+batch per arrival would be O(corpus) every time. The
-    // history side reduces to a hash→canonical-doc index (at scale
-    // that index is PERSISTED and maintained incrementally, like the
-    // -dbfile generation store — building it here from the docs table
-    // is oracle scaffolding); each batch doc then probes the index
-    // with one equi-join, so the steady-state cost is O(batch). The
-    // batch is tiny relative to history, so Spark broadcasts it into
-    // the probe join — history is never reshuffled per batch.
+    // batch's hash set is tiny relative to history, so it BROADCASTS
+    // into the history scan as a semi-join filter: history is read
+    // once and never wide-shuffled — only the rows whose hash matches
+    // a batch hash (≤ batch size) reach the canonical-min groupBy, and
+    // that hit set (≤ batch size again) broadcasts back onto the
+    // batch. Steady-state cost is O(batch) + one history scan; at
+    // scale the scan side is the PERSISTED hash→canonical index
+    // (maintained incrementally, like the -dbfile generation store —
+    // deriving it from the docs table here is oracle scaffolding) so
+    // even the scan touches only the index, not the corpus.
     // Duplicates are manufactured deterministically (the corpus has
     // no natural exact dups): every batch doc with an even doc_id/10
     // takes its historical neighbor's text, so exactly half the batch
@@ -2025,12 +2028,13 @@ object Pipeline {
               |       AND ntext IS NOT NULL
               |  THEN ntext ELSE text END AS content""".stripMargin,
             "doc_id % 10 = 0 AS is_batch")
-        val hist = aug.filter(!col("is_batch"))
-          .groupBy(md5(col("content")).as("h"))
-          .agg(min("doc_id").as("dup_of"))
-        aug.filter(col("is_batch"))
+        val batch = aug.filter(col("is_batch"))
           .select(col("doc_id"), md5(col("content")).as("h"))
-          .join(hist, Seq("h"), "left")
+        val hits = aug.filter(!col("is_batch"))
+          .select(md5(col("content")).as("h"), col("doc_id"))
+          .join(broadcast(batch.select("h")), Seq("h"))
+          .groupBy("h").agg(min("doc_id").as("dup_of"))
+        batch.join(broadcast(hits), Seq("h"), "left")
           .select(col("doc_id"), col("dup_of").isNull.as("is_novel"),
             col("dup_of"))
       },

@@ -54,11 +54,15 @@ class CurationOpsSpec extends SparkSpec {
         assert(novel && dupOf.isEmpty, s"doc $id should be novel, got dup_of=$dupOf")
       }
     }
-    // the scale claim: the small batch broadcasts into the index probe;
-    // history is never reshuffled by the probe join
+    // the scale claim: the batch hash set broadcasts into the history
+    // scan (semi-join filter) and the hit set broadcasts back, so
+    // history is never wide-shuffled — every join must be a broadcast
+    // hash join, none may fall back to sort-merge
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+    assert(plan.contains("BroadcastHashJoin"),
       s"expected a broadcast probe join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"history must not be wide-shuffled through a sort-merge join:\n$plan")
   }
 
   test("p26 rank filter pre-limits per partition before the exchange") {
