@@ -2020,8 +2020,10 @@ object Pipeline {
       "p42_incremental_dedup",
       (s, d) => {
         val d0 = docs(s, d).select(col("doc_id"), col("text"))
+        // dup-manufacturing scaffolding only (absent at scale), hinted
+        // so the plan pin doesn't depend on auto-broadcast estimation
         val aug = d0
-          .join(d0.selectExpr("doc_id AS nid", "text AS ntext"),
+          .join(broadcast(d0.selectExpr("doc_id AS nid", "text AS ntext")),
             expr("nid = doc_id + 1"), "left")
           .selectExpr("doc_id",
             """CASE WHEN doc_id % 10 = 0 AND (doc_id DIV 10) % 2 = 0
@@ -2032,7 +2034,7 @@ object Pipeline {
           .select(col("doc_id"), md5(col("content")).as("h"))
         val hits = aug.filter(!col("is_batch"))
           .select(md5(col("content")).as("h"), col("doc_id"))
-          .join(broadcast(batch.select("h")), Seq("h"))
+          .join(broadcast(batch.select("h")), Seq("h"), "left_semi")
           .groupBy("h").agg(min("doc_id").as("dup_of"))
         batch.join(broadcast(hits), Seq("h"), "left")
           .select(col("doc_id"), col("dup_of").isNull.as("is_novel"),

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, SparkEntry}
 
-/** p20/p21/p22 — the round-4 curation additions. Pins (a) the scale
-  * claim: all three are pure per-row projections whose executed plans
-  * contain NO shuffle exchange, and (b) the per-row arithmetic on
-  * hand-checkable vectors (the sf-corpus hash compare is the driver's
-  * job; these rows make failures debuggable locally). */
+/** The round-4 curation additions (p20/p21/p22/p25/p41/p42). Pins
+  * (a) the scale claims: the per-row operators are zero-shuffle
+  * projections, p26's top-K pre-limits below the exchange, p42's
+  * batch/history probes stay all-broadcast; and (b) the per-row
+  * arithmetic on hand-checkable vectors (the sf-corpus hash compare
+  * is the driver's job; these rows make failures debuggable
+  * locally). */
 class CurationOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -42,6 +44,12 @@ class CurationOpsSpec extends SparkSpec {
 
   test("p42 resolves manufactured dups to their historical canonical and broadcasts the probe") {
     import spark.implicits._
+    // AQE off like every other plan pin: with AQE on, executedPlan
+    // renders an Initial Plan section too, and a join the runtime
+    // converts to broadcast could still print as SortMergeJoin there
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     val df = SparkEntry.queries("p42_incremental_dedup")(spark, sf)
     val rows = df.select("doc_id", "is_novel", "dup_of")
       .as[(Long, Boolean, Option[Long])].collect().toSeq
@@ -63,6 +71,7 @@ class CurationOpsSpec extends SparkSpec {
       s"expected a broadcast probe join in:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"history must not be wide-shuffled through a sort-merge join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   test("p26 rank filter pre-limits per partition before the exchange") {
