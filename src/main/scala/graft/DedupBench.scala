@@ -71,6 +71,46 @@ object DedupBench {
           sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_groups"))
     }
 
+    // p42's steady-state shape, measured against `exact` above: dedup
+    // a batch of n/10 NEW docs against the n-doc history WITHOUT
+    // re-processing it. The history side is its persisted hash→min-id
+    // index (materialized once here, OUTSIDE the timer — a deployment
+    // maintains it incrementally, like the -dbfile generation store);
+    // the timed probe is index scan + two broadcast joins, never a
+    // corpus-wide shuffle (the only exchange is the single-row bench
+    // aggregation). Every even batch doc copies a history doc's
+    // exact text (seed (id*37) % n, normalized by the same %11 rule),
+    // odd docs are novel, so the answer is exactly half and half and
+    // a wrong probe fails the bench. The wall-time gap vs `exact`
+    // (which re-shuffles all n docs) is the measured value of
+    // incrementality; rate prints per HISTORY doc for comparability.
+    val batchN = n / 10
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
+    corpus.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .write.mode("overwrite").parquet(idxDir.toString)
+    timed("incremental", Seq((batchN + 1) / 2, batchN / 2)) {
+      val batch = spark.range(0, batchN).select(
+        (col("id") + n).as("doc_id"),
+        sha2(expr(
+          s"""CASE WHEN id % 2 = 0 THEN
+             |  array_join(transform(sequence(1, 24),
+             |    k -> substr(md5(concat(CAST(
+             |      CASE WHEN (id * 37) % $n % 11 = 10
+             |           THEN (id * 37) % $n - 1 ELSE (id * 37) % $n END
+             |      AS STRING), ':', k)), 1, 8)), ' ')
+             |ELSE concat('novel:', CAST(id AS STRING)) END""".stripMargin),
+          256).as("h"))
+      val idx = spark.read.parquet(idxDir.toString)
+      // index is unique per hash, so the probe is a pure inner BHJ —
+      // no groupBy, no join-induced exchange
+      val hits = idx.join(broadcast(batch.select("h")), Seq("h"))
+        .withColumnRenamed("doc_id", "dup_of")
+      batch.join(broadcast(hits), Seq("h"), "left")
+        .agg(sum(when(col("dup_of").isNotNull, 1L).otherwise(0L)).as("dups"),
+          sum(when(col("dup_of").isNull, 1L).otherwise(0L)).as("novel"))
+    }
+
     timed("minhash_lsh", Seq((8 * dups).toDouble)) {
       val sh = corpus
         .withColumn("toks", expr("split(text, ' ')"))
