@@ -476,6 +476,49 @@ object Relational {
       Some("""SELECT event_type, count(*) AS c,
              |  CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sk,
              |  max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS mk
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    QDef(
+      "q39_asof_join",
+      // AS-OF join (operators/AsofJoin.scala): each purchase matched to
+      // the user's most recent view at-or-before it — the time-series
+      // primitive Spark lacks natively, composed as union + per-user
+      // window (ONE shuffle on user_id, no range-join pair explosion;
+      // plan-pinned join-free in AsofJoinSpec). The oracle recomputes
+      // the identical window arithmetic (not DuckDB's native ASOF JOIN,
+      // whose same-timestamp tie choice is unspecified) after the
+      // µs truncation that mirrors Tables.events.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+        graft.operators.AsofJoin.latestPrior(purchases, views,
+            Seq("user_id"), "ts", Seq(col("_r.view_id")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof.view_id").as("view_id"),
+            (unix_micros(col("ts")) - unix_micros(col("asof.ts"))).as("gap_us"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id,
+             |    make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             |    event_type = 'view' AS isr
+             |  FROM events WHERE event_type IN ('view', 'purchase')
+             |), w AS (
+             |  SELECT event_id, user_id, ts, isr,
+             |    last_value(CASE WHEN isr THEN event_id END IGNORE NULLS)
+             |      OVER win AS view_id,
+             |    last_value(CASE WHEN isr THEN ts END IGNORE NULLS)
+             |      OVER win AS view_ts
+             |  FROM ev
+             |  WINDOW win AS (
+             |    PARTITION BY user_id
+             |    ORDER BY ts, isr DESC, CASE WHEN isr THEN event_id END
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_id, user_id, ts, view_id,
+             |  CAST(epoch_us(ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
+             |FROM w WHERE NOT isr""".stripMargin))
   )
 }
