@@ -75,6 +75,11 @@ object Pipeline {
   private val toksDuck =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
+  /** p43: KMV sketch size — k smallest distinct hash values kept per
+    * group; relative error ~1/sqrt(k-2) ≈ 13%. The corpus has ~890
+    * distinct bigrams per language, comfortably above k. */
+  private[queries] val KmvK = 64
+
   // MinHash parameters: 32 permutations in 8 bands of 4 rows.
   // P(candidate | J=0.97) ≈ 1-(1-0.97^4)^8 ≈ .9996; J=0.1 pairs leak at
   // ~8e-4 and are removed by the exact-Jaccard verify stage.
@@ -2053,7 +2058,67 @@ object Pipeline {
              |)
              |SELECT b.doc_id, hist.dup_of IS NULL AS is_novel, hist.dup_of
              |FROM (SELECT doc_id, md5(content) AS h FROM aug WHERE is_batch) b
-             |LEFT JOIN hist USING (h)""".stripMargin))
+             |LEFT JOIN hist USING (h)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p43: KMV CARDINALITY SKETCH — distinct-count estimation per
+    // language over the bigram stream via K-Minimum-Values (Bar-Yossef
+    // et al. 2002): keep the KmvK smallest distinct 52-bit hash
+    // values; est = (k-1) / fraction-of-hash-space below the k-th min.
+    // Unlike HLL the whole sketch is a DETERMINISTIC function of the
+    // md5 hash, so the oracle recomputes the estimate bit-identically
+    // (the constant (k-1)·2^52 is exactly representable and the
+    // estimate is ONE IEEE division) — a verifiable stand-in for the
+    // approx_count_distinct family. Scale shape: the (lang, h)
+    // distinct is one hash shuffle with map-side partial dedup, and
+    // the rank filter hits WindowGroupLimit (spec-pinned) so every
+    // partition pre-trims to its local k before the per-lang exchange
+    // — the sketch's mergeability, expressed as a plan property. The
+    // exact count rides along to expose the estimation error.
+    QDef(
+      "p43_kmv_distinct",
+      (s, d) => {
+        val grams = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("lang"), explode(expr(
+            """CASE WHEN size(toks) >= 2 THEN
+              |  transform(sequence(0, size(toks) - 2),
+              |    k -> concat(toks[k], ' ', toks[k + 1]))
+              |ELSE array() END""".stripMargin)).as("g"))
+          .select(col("lang"), expr(
+            "CAST(conv(substr(md5(concat('kmv:', g)), 1, 13), 16, 10) AS BIGINT)")
+            .as("h"))
+          .distinct()
+        val exact = grams.groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+        val kth = grams
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy("h")))
+          .filter(col("rk") === KmvK)
+          .select(col("lang"), col("h").as("hk"))
+        exact.join(broadcast(kth), Seq("lang"), "left")
+          .select(col("lang"), col("n_distinct"), col("hk"),
+            (lit((KmvK - 1).toDouble * 4503599627370496.0) /
+              col("hk").cast("double")).as("est"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT lang, $toksDuck AS toks FROM documents
+              |), g0 AS (
+              |  SELECT lang, toks, unnest(range(1, len(toks))) AS k FROM t
+              |), h AS (
+              |  SELECT DISTINCT lang,
+              |    CAST(('0x' || substr(md5('kmv:' || (toks[k] || ' ' || toks[k + 1])), 1, 13))
+              |      AS BIGINT) AS h
+              |  FROM g0
+              |), ex AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_distinct FROM h GROUP BY 1
+              |), r AS (
+              |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rk FROM h
+              |), kth AS (
+              |  SELECT lang, h AS hk FROM r WHERE rk = $KmvK
+              |)
+              |SELECT ex.lang, ex.n_distinct, kth.hk,
+              |  ${(KmvK - 1).toDouble * 4503599627370496.0} / CAST(kth.hk AS DOUBLE) AS est
+              |FROM ex LEFT JOIN kth USING (lang)""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------

@@ -2,14 +2,14 @@ package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
 
-/** p33/p34/p35 — vocabulary build, n-gram LM hit rate, tf-idf top
-  * terms. Pins (a) the scale claims: p33's global top-K plans as
-  * TakeOrderedAndProject (local per-partition heaps, no global sort)
-  * and p35's rank<=K window pre-limits per partition below the
-  * exchange (WindowGroupLimit Partial, like p26); (b) the arithmetic
-  * on a hand-checkable recomputation at sf0.001 (the sf-corpus hash
-  * compare is the driver's job; these make failures debuggable
-  * locally). */
+/** p33/p34/p35/p43 — vocabulary build, n-gram LM hit rate, tf-idf top
+  * terms, KMV cardinality sketch. Pins (a) the scale claims: p33's
+  * global top-K plans as TakeOrderedAndProject (local per-partition
+  * heaps, no global sort), p35's and p43's rank filters pre-limit per
+  * partition below the exchange (WindowGroupLimit Partial, like p26);
+  * (b) the arithmetic on a hand-checkable recomputation at sf0.001
+  * (the sf-corpus hash compare is the driver's job; these make
+  * failures debuggable locally). */
 class VocabOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -38,6 +38,26 @@ class VocabOpsSpec extends SparkSpec {
       s"expected WindowGroupLimit in:\n$plan")
     assert(plan.contains("Partial"),
       s"expected a partial (pre-shuffle) group limit in:\n$plan")
+  }
+
+  test("p43 rank filter pre-limits per partition and the estimate is sane") {
+    import spark.implicits._
+    val df = SparkEntry.queries("p43_kmv_distinct")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a partial (pre-shuffle) group limit in:\n$plan")
+    val rows = df.select("lang", "n_distinct", "est")
+      .as[(String, Long, Option[Double])].collect()
+    assert(rows.length === 5)
+    rows.foreach { case (lang, exact, est) =>
+      assert(est.isDefined, s"$lang has >= ${Pipeline.KmvK} distinct bigrams")
+      // k=64 → ~13% relative error; deterministic data, so a loose
+      // two-sided band is stable and still falsifies a broken estimator
+      assert(est.get > exact * 0.6 && est.get < exact * 1.6,
+        s"$lang estimate ${est.get} implausible vs exact $exact")
+    }
   }
 
   test("p33 top-K matches a driver-side recomputation") {
