@@ -519,6 +519,45 @@ object Relational {
              |)
              |SELECT event_id, user_id, ts, view_id,
              |  CAST(epoch_us(ts) - epoch_us(view_ts) AS BIGINT) AS gap_us
-             |FROM w WHERE NOT isr""".stripMargin))
+             |FROM w WHERE NOT isr""".stripMargin)),
+
+    QDef(
+      "q40_range_join",
+      // Batch RANGE join (operators/RangeJoin.scala): every event
+      // matched to each of 20 overlapping 54-hour "campaign windows"
+      // (36-hour stride from 2024-01-01, so events match 1-2 windows).
+      // A raw ts-between-bounds theta join would plan as a nested loop
+      // over the cross product; the operator quantizes into 18-hour
+      // buckets (54 = 3 buckets/window), equi-joins on the bucket and
+      // post-filters containment — here with the tiny window table
+      // broadcast (zero shuffle, plan-pinned BHJ-only in
+      // RangeJoinSpec). The oracle runs the naive non-equi join, so
+      // the hash compare proves the bucketed rewrite is exactly the
+      // declarative semantics.
+      (s, d) => {
+        import s.implicits._
+        val EpochUs = 1704067200000000L // 2024-01-01T00:00:00Z
+        val StrideUs = 129600000000L    // 36 h
+        val SpanUs = 194400000000L      // 54 h
+        val windows = s.range(0, 20).select(
+          col("id").as("w_id"),
+          (lit(EpochUs) + col("id") * StrideUs).as("start_us"),
+          (lit(EpochUs) + col("id") * StrideUs + SpanUs).as("end_us"))
+        val points = Tables.events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        graft.operators.RangeJoin.pointInInterval(
+            points, windows, "us", "start_us", "end_us",
+            bucketWidth = 64800000000L) // 18 h
+          .select(col("event_id"), col("w_id"))
+      },
+      Some("""WITH w AS (
+             |  SELECT w_id,
+             |    1704067200000000 + w_id * 129600000000 AS start_us,
+             |    1704067200000000 + w_id * 129600000000 + 194400000000 AS end_us
+             |  FROM (SELECT unnest(range(0, 20)) AS w_id)
+             |)
+             |SELECT e.event_id, w.w_id
+             |FROM (SELECT event_id, epoch_ns(ts) // 1000 AS us FROM events) e
+             |JOIN w ON e.us >= w.start_us AND e.us < w.end_us""".stripMargin))
   )
 }
