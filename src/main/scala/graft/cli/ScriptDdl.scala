@@ -1,8 +1,10 @@
 package graft.cli
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, expr, lit, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.sources.Affinity
 
 /** DDL/DML statements of the script dialect (SURVEY.md §7.4 #6).
   *
@@ -22,8 +24,22 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    VALUES runs through `spark.sql` directly (Spark supports
   *    top-level VALUES), omitted columns fill with NULL;
   *  - `DROP TABLE [IF EXISTS] t` → drop the temp view;
-  *  - UPDATE/DELETE and the rest of SQLite's statement surface get a
-  *    one-line sqawk-style rejection instead of a raw Spark error.
+  *  - `DELETE FROM t [WHERE c]` → filter-and-rebind. SQLite keeps rows
+  *    whose condition is NULL (sqlite3-pinned in CliSpec), so the kept
+  *    set is `NOT coalesce(c, false)`;
+  *  - `UPDATE t SET a = e, … [WHERE c]` → projection-with-CASE rebind:
+  *    every assignment evaluates against the OLD row (sqlite3-pinned:
+  *    `SET a = a+100, b = a+1` uses the pre-update `a` in both), which
+  *    a single SELECT projection gives for free. When one column is
+  *    assigned twice, the rightmost assignment wins (SQLite rule);
+  *  - `CREATE [TEMP] VIEW v AS select` → a SQL-created temp view.
+  *    Unlike CTAS, views RE-EVALUATE on every reference (Spark stores
+  *    the view text for SQL-created temp views and re-resolves it),
+  *    so an INSERT into a base table after CREATE VIEW shows through
+  *    the view — sqlite3-pinned in CliSpec. `DROP VIEW` shares the
+  *    DROP arm (temp views and "tables" live in one namespace here);
+  *  - the rest of SQLite's statement surface gets a one-line
+  *    sqawk-style rejection instead of a raw Spark error.
   */
 object ScriptDdl {
 
@@ -33,10 +49,28 @@ object ScriptDdl {
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?table\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s*\((.+)\)\s*""".r
   private val Insert =
     """(?is)\s*insert\s+(?:or\s+\w+\s+)?into\s+[`"]?(\w+)[`"]?\s*(\([^)]*\))?\s*((?:values|select|with)\b.+)""".r
+  private val CreateView =
+    """(?is)\s*create\s+(?:temp(?:orary)?\s+)?view\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+as\s+(.+)""".r
   private val Drop =
-    """(?is)\s*drop\s+table\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
+    """(?is)\s*drop\s+(?:table|view)\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
+  private val Update =
+    """(?is)\s*update\s+(?:or\s+\w+\s+)?[`"]?(\w+)[`"]?\s+set\s+(.+)""".r
+  private val Delete =
+    """(?is)\s*delete\s+from\s+[`"]?(\w+)[`"]?(?:\s+where\s+(.+?))?\s*""".r
   private val Rejected =
-    """(?is)\s*(update|delete|alter|replace|vacuum|pragma|attach|detach|reindex|analyze|begin|commit|rollback|savepoint|release)\b.*""".r
+    """(?is)\s*(alter|replace|vacuum|pragma|attach|detach|reindex|analyze|begin|commit|rollback|savepoint|release)\b.*""".r
+
+  /** True when `name` is a SQL-created temp VIEW (stores view text and
+    * re-resolves) rather than a plan-bound table: DML must reject it
+    * like sqlite3 ("cannot modify v because it is a view"). */
+  private def isView(spark: SparkSession, name: String): Boolean =
+    spark.sessionState.catalog.getRawTempView(name)
+      .exists(_.tableMeta.viewText.isDefined)
+
+  private def rejectViewDml(spark: SparkSession, name: String): Unit =
+    if (isView(spark, name))
+      throw new UnsupportedOperationException(
+        s"cannot modify $name because it is a view")
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -71,7 +105,14 @@ object ScriptDdl {
         val names = splitTopLevel(colDefs)
           .map(d => stripQuotes(d.trim.split("\\s+", 2).head))
           .filterNot(n => constraintKw.contains(n.toLowerCase))
-        val schema = StructType(names.map(n => StructField(n, StringType)))
+        // Created-table columns are dynamically typed like every sqawk
+        // column: the NUMERIC affinity tag gives them SQLite's
+        // storage-class ORDER BY / min / max via AffinityOrdering
+        // (sqlite3-pinned: values 1,2,103,104 inserted as ints order
+        // numerically, not as strings).
+        val meta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(graft.plans.AffinityOrdering.AffinityKey, "NUMERIC").build()
+        val schema = StructType(names.map(n => StructField(n, StringType, metadata = meta)))
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           .createOrReplaceTempView(name)
       }
@@ -80,6 +121,7 @@ object ScriptDdl {
     case Insert(name, colList, body) =>
       if (!spark.catalog.tableExists(name))
         throw new IllegalArgumentException(s"no such table: $name")
+      rejectViewDml(spark, name)
       val target = spark.table(name)
       val rows = spark.sql(body)
       val aligned = Option(colList).map(_.trim).filter(_.nonEmpty) match {
@@ -109,6 +151,59 @@ object ScriptDdl {
       target.unionByName(aligned).createOrReplaceTempView(name)
       true
 
+    case CreateView(ifNotExists, name, select) =>
+      if (spark.catalog.tableExists(name)) {
+        if (ifNotExists == null)
+          throw new IllegalArgumentException(s"view $name already exists")
+      } else spark.sql(s"CREATE TEMPORARY VIEW `$name` AS $select")
+      true
+
+    case Update(name, rest) =>
+      if (!spark.catalog.tableExists(name))
+        throw new IllegalArgumentException(s"no such table: $name")
+      rejectViewDml(spark, name)
+      val (setClause, whereOpt) = splitAtTopLevelWhere(rest)
+      val assigns = splitTopLevel(setClause).map(parseAssignment)
+      val target = spark.table(name)
+      for ((n, _) <- assigns if !target.columns.exists(_.equalsIgnoreCase(n)))
+        throw new IllegalArgumentException(s"no such column: $n")
+      val proj = target.columns.map { c =>
+        // rightmost assignment to a column wins (SQLite rule)
+        assigns.reverse.find(_._1.equalsIgnoreCase(c)) match {
+          case Some((_, exprText)) =>
+            // SQLite applies the column's affinity to the assigned
+            // value BEFORE storage; our tables store canonicalized
+            // text (Affinity scaladoc), so render the value
+            // SQLite-style and canonicalize under NUMERIC — this is
+            // what turns the double-typed `a2 * 10` back into the
+            // integer 20 that sqlite3 stores (pinned in CliSpec).
+            val e = expr(exprText)
+            val isBool = target.select(e).schema.head.dataType ==
+              org.apache.spark.sql.types.BooleanType
+            val rendered = if (isBool) e.cast("int").cast("string") else e.cast("string")
+            val assigned = Affinity.canonicalExpr(rendered, "NUMERIC")
+            // keep the column's affinity tag through the rebind, so
+            // ORDER BY after UPDATE still uses storage-class ordering
+            (whereOpt match {
+              case Some(w) => when(expr(w), assigned).otherwise(col(s"`$c`"))
+              case None    => assigned
+            }).as(c, target.schema(c).metadata)
+          case None => col(s"`$c`")
+        }
+      }
+      target.select(proj.toIndexedSeq: _*).createOrReplaceTempView(name)
+      true
+
+    case Delete(name, cond) =>
+      if (!spark.catalog.tableExists(name))
+        throw new IllegalArgumentException(s"no such table: $name")
+      rejectViewDml(spark, name)
+      val rebound =
+        if (cond == null) spark.table(name).limit(0)
+        else spark.sql(s"SELECT * FROM `$name` WHERE NOT coalesce(($cond), false)")
+      rebound.createOrReplaceTempView(name)
+      true
+
     case Drop(ifExists, name) =>
       val existed = spark.catalog.dropTempView(name)
       if (!existed && ifExists == null)
@@ -116,6 +211,40 @@ object ScriptDdl {
       true
 
     case _ => false
+  }
+
+  /** Split an UPDATE tail `SET-list [WHERE cond]` at the first
+    * top-level WHERE keyword — outside quotes and parentheses, so a
+    * `'where'` string literal or a subquery's WHERE never splits. */
+  private def splitAtTopLevelWhere(s: String): (String, Option[String]) = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'w' | 'W' if depth == 0 &&
+            i + 5 <= s.length && s.substring(i, i + 5).equalsIgnoreCase("where") &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+            (i + 5 == s.length || !Character.isLetterOrDigit(s.charAt(i + 5)) && s.charAt(i + 5) != '_') =>
+          return (s.substring(0, i), Some(s.substring(i + 5)))
+        case _ =>
+      }
+      i += 1
+    }
+    (s, None)
+  }
+
+  private val Assignment = """(?s)\s*[`"]?(\w+)[`"]?\s*=(.+)""".r
+
+  private def parseAssignment(a: String): (String, String) = a match {
+    case Assignment(name, expr) => (name, expr)
+    case other => throw new IllegalArgumentException(
+      s"""cannot parse SET assignment near "${other.trim.take(40)}"""")
   }
 
   /** Split on commas outside parentheses and quotes. */

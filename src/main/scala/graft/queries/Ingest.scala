@@ -529,6 +529,42 @@ object Ingest {
              |)
              |SELECT rn AS ln, line FROM a
              |UNION ALL
-             |SELECT rn + (SELECT CAST(count(*) AS BIGINT) FROM a), line FROM b""".stripMargin))
+             |SELECT rn + (SELECT CAST(count(*) AS BIGINT) FROM a), line FROM b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i21: UPDATE/DELETE mid-script (reference forwards them verbatim
+    // to SQLite, lib/classes/sqawk.tcl:216) — CTAS, then an UPDATE
+    // whose assignments see the OLD row, then a DELETE that keeps
+    // NULL-condition rows, all through the real ScriptRunner →
+    // ScriptDdl rebind path; the oracle recomputes the post-state as
+    // pure CASE/filter SQL.
+    QDef(
+      "i21_update_delete",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("g_nat_ud")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """CREATE TABLE ud_i21 AS
+            |  SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r FROM g_nat_ud;
+            |UPDATE ud_i21 SET nm = lower(nm), r = r + 10 WHERE k % 3 = 0;
+            |DELETE FROM ud_i21 WHERE r = 12""".stripMargin,
+          new AwkSerializer(sw))
+        val out = s.table("ud_i21")
+          .select(col("k").cast("long").as("k"), col("nm"),
+            col("r").cast("long").as("r"))
+          .orderBy("k")
+        s.catalog.dropTempView("ud_i21")
+        out
+      },
+      Some("""WITH m AS (
+             |  SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r FROM nation
+             |), u AS (
+             |  SELECT k,
+             |    CASE WHEN k % 3 = 0 THEN lower(nm) ELSE nm END AS nm,
+             |    CASE WHEN k % 3 = 0 THEN r + 10 ELSE r END AS r
+             |  FROM m
+             |)
+             |SELECT CAST(k AS BIGINT) AS k, nm, CAST(r AS BIGINT) AS r
+             |FROM u WHERE NOT coalesce(r = 12, false) ORDER BY k""".stripMargin))
   )
 }

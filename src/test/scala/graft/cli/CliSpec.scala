@@ -486,12 +486,78 @@ class CliSpec extends SparkSpec {
     assert(c2 == 1)
   }
 
-  test("UPDATE/DELETE statements are rejected with a one-line error") {
-    val f = tempFile("foo 1\n")
-    assert(sqawk("update a set a2 = 5", f)._1 == 1)
-    assert(sqawk("delete from a", f)._1 == 1)
-    // the rest of the script surface stays usable after a rejection
-    assert(sqawk("select a2 from a", f) == (0, "1\n"))
+  test("UPDATE evaluates assignments against the OLD row (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: update ut set a=a+100, b=a+1 where a>=3 → 1|10 2|20 103|4 104|5
+    // (`b = a+1` sees the pre-update a; the a=4,b=NULL row matches too)
+    val (c, o) = sqawk(
+      "create table ut (a, b); " +
+        "insert into ut values (1, 10), (2, 20), (3, 30), (4, null); " +
+        "update ut set a = a + 100, b = a + 1 where a >= 3; " +
+        "select a, b from ut order by a",
+      f)
+    assert((c, o) == (0, "1 10\n2 20\n103 4\n104 5\n"))
+    // rightmost duplicate assignment wins (sqlite3: set a=100, a=200 → 200)
+    val (c2, o2) = sqawk(
+      "create table ut2 (a, b); insert into ut2 values (1, 10); " +
+        "update ut2 set a = 100, a = 200; select a, b from ut2",
+      f)
+    assert((c2, o2) == (0, "200 10\n"))
+  }
+
+  test("DELETE keeps NULL-condition rows; bare DELETE empties (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: delete from dt where b > 15 keeps (1,10) AND (2,NULL)
+    val (c, o) = sqawk(
+      "create table dt (a, b); " +
+        "insert into dt values (1, 10), (2, null), (3, 30); " +
+        "delete from dt where b > 15; " +
+        "select a, b from dt order by a",
+      f)
+    assert((c, o) == (0, "1 10\n2 \n"))
+    val (c2, o2) = sqawk(
+      "create table dt2 (a); insert into dt2 values (1), (2); " +
+        "delete from dt2; select count(*) from dt2",
+      f)
+    assert((c2, o2) == (0, "0\n"))
+  }
+
+  test("UPDATE/DELETE work on ingested tables mid-script (sqlite3-pinned)") {
+    val f = tempFile("foo 1\nbar 2\nfoo 3\n")
+    assert(sqawk("update a set a2 = a2 * 10 where a1 = 'foo'; select a1, a2 from a order by anr", f)
+      == (0, "foo 10\nbar 2\nfoo 30\n"))
+    assert(sqawk("delete from a where a2 >= 2; select a1, a2 from a", f)
+      == (0, "foo 1\n"))
+    // a 'where' string literal in an assignment must not split the clause
+    val (c3, o3) = sqawk(
+      "update a set a1 = 'where' where a2 = 2; select a1, a2 from a order by anr", f)
+    assert((c3, o3) == (0, "foo 1\nwhere 2\nfoo 3\n"))
+    // unknown column / unknown table error like sqlite3
+    assert(sqawk("update a set nosuch = 1", f)._1 == 1)
+    assert(sqawk("delete from never_there", f)._1 == 1)
+  }
+
+  test("CREATE VIEW re-evaluates: INSERT into the base shows through (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: view sees the row inserted AFTER its creation → y|2
+    // (arithmetic inside a view hits the documented KNOWN DEVIATION —
+    // double-typed scalars — so the pin uses a filter, not `v * 10`)
+    val (c, o) = sqawk(
+      "create table vb (k, v); insert into vb values ('x', 1); " +
+        "create view vw as select k, v from vb where v > 1; " +
+        "insert into vb values ('y', 2); " +
+        "select k, v from vw order by k",
+      f)
+    assert((c, o) == (0, "y 2\n"))
+    // duplicate CREATE VIEW errors; IF NOT EXISTS tolerates (sqlite3)
+    assert(sqawk("create view vw as select 1", f)._1 == 1)
+    assert(sqawk("create view if not exists vw as select 1; select 2", f) == (0, "2\n"))
+    // DML against a view errors like sqlite3 ("cannot modify … view")
+    assert(sqawk("insert into vw values (1, 2)", f)._1 == 1)
+    assert(sqawk("update vw set v = 0", f)._1 == 1)
+    assert(sqawk("delete from vw", f)._1 == 1)
+    // DROP VIEW removes it
+    assert(sqawk("drop view vw; select 3", f) == (0, "3\n"))
   }
 
   test("append into an initially empty first file does not fail") {
