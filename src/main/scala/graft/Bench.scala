@@ -73,10 +73,24 @@ object Bench {
           name -> -1.0
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds: sub-ms resolution, and the one-line JSON
+    // shrinks ~30% (the harness that collects this line keeps only a
+    // bounded stdout tail — BENCH_r04.json lost the head of the
+    // full-precision line, so i01-p25 were not machine-readable).
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The full per-query map cannot fit any bounded stdout tail with
+    // 111 query names, so ALSO persist the exact line to the repo,
+    // where the next round's diff can read every float (VERDICT r4
+    // "What's wrong" #3).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
     if (failed) sys.exit(1)
   }
