@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * checks the answer (dup groups ≈ n/11).
   */
 object DedupBench {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -102,14 +107,17 @@ object DedupBench {
              |ELSE concat('novel:', CAST(id AS STRING)) END""".stripMargin),
           256).as("h"))
       val idx = spark.read.parquet(idxDir.toString)
-      // index is unique per hash, so the probe is a pure inner BHJ —
-      // no groupBy, no join-induced exchange
-      val hits = idx.join(broadcast(batch.select("h")), Seq("h"))
+      // index is unique per hash and the probe set is deduplicated, so
+      // hits stays ≤ batch-size and the probe is a pure inner BHJ —
+      // no groupBy over the corpus, no join-induced exchange
+      val hits = idx.join(broadcast(batch.select("h").distinct()), Seq("h"))
         .withColumnRenamed("doc_id", "dup_of")
       batch.join(broadcast(hits), Seq("h"), "left")
         .agg(sum(when(col("dup_of").isNotNull, 1L).otherwise(0L)).as("dups"),
           sum(when(col("dup_of").isNull, 1L).otherwise(0L)).as("novel"))
     }
+    // the index parquet is bench scaffolding — don't leak it in /tmp
+    deleteRecursively(idxDir.toFile)
 
     timed("minhash_lsh", Seq((8 * dups).toDouble)) {
       val sh = corpus

@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param left  rows to enrich; all its columns pass through.
+  /** @param left  rows to enrich; all its columns pass through. Must
+    *              not already contain a column named `asof` (the
+    *              output attaches one; asserted below).
     * @param right rows to match; the winning row is attached whole as
     *              a struct column `asof` (null when no prior row).
-    * @param keys  equality key columns, present in BOTH inputs.
+    * @param keys  equality key columns, present in BOTH inputs. Key
+    *              names `_t`, `_l`, `_r`, `_isr` are reserved for the
+    *              internal union frame (asserted below). NULL keys
+    *              follow SQL join equality: a left row with a null in
+    *              any key gets a null `asof`, never a null-key right
+    *              match (Window.partitionBy alone would group nulls
+    *              together — that grouping is masked off at the end).
     * @param timeCol event-time column, present in BOTH inputs; right
     *              rows at exactly the left time DO match (inclusive).
     * @param tieBreak extra ordering columns (evaluated on the unioned
@@ -33,6 +41,11 @@ object AsofJoin {
     */
   def latestPrior(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val reserved = Set("_t", "_l", "_r", "_isr")
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(!keys.exists(reserved), s"key names ${reserved.mkString("/")} are reserved")
+    require(!left.columns.contains("asof"),
+      "left input already has a column named `asof` — rename it first")
     val l2 = left.select(
       keys.map(col) ++ Seq(
         col(timeCol).as("_t"),
@@ -50,9 +63,12 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc +: col("_isr").desc +: tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // SQL join-equality on NULL keys: a null-key left row must not
+    // match the null-key right rows its window partition contains
+    val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     l2.unionByName(r2)
-      .withColumn("asof",
-        last(when(col("_isr"), col("_r")), ignoreNulls = true).over(w))
+      .withColumn("asof", when(keysNonNull,
+        last(when(col("_isr"), col("_r")), ignoreNulls = true).over(w)))
       .filter(!col("_isr"))
       .select(left.columns.map(c => col(s"_l.`$c`").as(c)).toSeq :+ col("asof"): _*)
   }

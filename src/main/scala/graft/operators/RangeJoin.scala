@@ -25,6 +25,15 @@ object RangeJoin {
       pointCol: String, startCol: String, endCol: String,
       bucketWidth: Long, broadcastIntervals: Boolean = true): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    // the output keeps every column of both inputs and the
+    // containment filter is unqualified, so shared names would make
+    // the join ambiguous (or silently resolve to the wrong side) —
+    // assert the precondition instead of failing later in analysis
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must have disjoint columns; shared: ${shared.mkString(", ")}")
+    require(!points.columns.contains("_bucket") && !intervals.columns.contains("_bucket"),
+      "`_bucket` is reserved for the internal bucket key — rename it first")
     val exploded = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("_bucket", explode(expr(

@@ -2095,10 +2095,14 @@ object Pipeline {
             Window.partitionBy("lang").orderBy("h")))
           .filter(col("rk") === KmvK)
           .select(col("lang"), col("h").as("hk"))
+        // greatest(hk, 1): md5 CAN hash to 0 (13 leading zero hex
+        // digits — ~2^-52 per gram, reachable at 100 TB scale) and a
+        // zero divisor would yield est = Infinity; clamping to 1 keeps
+        // the estimate finite and the oracle applies the same clamp
         exact.join(broadcast(kth), Seq("lang"), "left")
           .select(col("lang"), col("n_distinct"), col("hk"),
             (lit((KmvK - 1).toDouble * 4503599627370496.0) /
-              col("hk").cast("double")).as("est"))
+              greatest(col("hk"), lit(1L)).cast("double")).as("est"))
       },
       Some(s"""WITH t AS (
               |  SELECT lang, $toksDuck AS toks FROM documents
@@ -2117,7 +2121,8 @@ object Pipeline {
               |  SELECT lang, h AS hk FROM r WHERE rk = $KmvK
               |)
               |SELECT ex.lang, ex.n_distinct, kth.hk,
-              |  ${(KmvK - 1).toDouble * 4503599627370496.0} / CAST(kth.hk AS DOUBLE) AS est
+              |  ${(KmvK - 1).toDouble * 4503599627370496.0}
+              |    / CAST(greatest(kth.hk, 1) AS DOUBLE) AS est
               |FROM ex LEFT JOIN kth USING (lang)""".stripMargin))
   )
 

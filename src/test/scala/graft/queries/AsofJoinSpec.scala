@@ -48,6 +48,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(got === Seq(103L)) // last in (view_id asc) order wins
   }
 
+  test("null-key left rows get a null asof, never a null-key right match") {
+    import spark.implicits._
+    val left = Seq((1L, Some(1L), 10L), (2L, None, 10L))
+      .toDF("event_id", "user_id", "sec")
+      .select(col("event_id"), col("user_id"), to_timestamp(col("sec")).as("ts"))
+    val right = Seq((100L, Some(1L), 5L), (200L, None, 5L))
+      .toDF("view_id", "user_id", "sec")
+      .select(col("view_id"), col("user_id"), to_timestamp(col("sec")).as("ts"))
+    val got = AsofJoin.latestPrior(left, right, Seq("user_id"), "ts")
+      .select(col("event_id"), col("asof.view_id").as("view_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    // SQL join equality: NULL = NULL is not a match
+    assert(got === Map(1L -> Some(100L), 2L -> None))
+  }
+
+  test("reserved output and internal names are rejected up front") {
+    import spark.implicits._
+    val withAsof = Seq((1L, 2L)).toDF("asof", "user_id")
+    intercept[IllegalArgumentException] {
+      AsofJoin.latestPrior(withAsof, withAsof, Seq("user_id"), "asof")
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.latestPrior(Seq((1L, 2L)).toDF("_t", "x"),
+        Seq((1L, 2L)).toDF("_t", "x"), Seq("_t"), "x")
+    }
+  }
+
   test("q39 plan is join-free with exactly one shuffle on the key") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -47,6 +47,19 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("shared or reserved column names are rejected up front") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("id", "p")
+    intercept[IllegalArgumentException] { // `id` on both sides: ambiguous output
+      RangeJoin.pointInInterval(points, Seq((1L, 0L, 9L)).toDF("id", "s", "e"),
+        "p", "s", "e", bucketWidth = 8L)
+    }
+    intercept[IllegalArgumentException] { // `_bucket` is the internal key
+      RangeJoin.pointInInterval(points.withColumnRenamed("id", "_bucket"),
+        Seq((1L, 0L, 9L)).toDF("iid", "s", "e"), "p", "s", "e", bucketWidth = 8L)
+    }
+  }
+
   test("q40 plan is a broadcast equi-join, never a nested loop") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
