@@ -145,6 +145,12 @@ object Relational {
              |GROUP BY o_custkey HAVING count(*) > 10""".stripMargin)),
 
     QDef(
+      // Two count-distincts in one agg → Catalyst's Expand-based
+      // plan (rows duplicated per distinct column, then two-level
+      // agg). r4's apparent 2.66× regression vs r3 did not reproduce
+      // on a quiet container (0.60/0.67 s vs r3's 0.68 s at sf0.1) —
+      // container noise, not a plan change; the Expand shape is the
+      // standard scale-safe plan for multi-distinct.
       "q12_agg_distinct",
       (s, d) => li(s, d).groupBy("l_returnflag")
         .agg(countDistinct(col("l_suppkey")).as("supps"),
