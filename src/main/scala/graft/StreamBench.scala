@@ -59,16 +59,34 @@ object StreamBench {
       .outputMode("append").start()
 
     val per = n / batches
+    // per-batch state-store size: rows held by the windowed agg after
+    // each micro-batch group, read from StreamingQueryProgress
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
     val t0 = System.nanoTime()
     try {
       var b = 0L
       while (b < batches) {
         input.addData(b * per until (b + 1) * per)
         q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators.map(_.numRowsTotal).sum
         b += 1
       }
     } finally q.stop()
     val secs = (System.nanoTime() - t0) / 1e9
+
+    // The watermark-bounded-state CLAIM, asserted: rows in the store
+    // must plateau at (windows inside the delay horizon × types) —
+    // here ≤ 3 in-flight hour windows × 7 types — independent of how
+    // many batches have replayed. Each batch advances event time by
+    // per/20 s ≈ 1.4 h > delay + window, so the plateau is reached
+    // within the first half; if the second half ever exceeds the
+    // first-half max, state is growing with batch count (eviction
+    // bug) and the bench FAILS.
+    val (head, tail) = stateRows.splitAt(stateRows.length / 2)
+    val stateOk = head.nonEmpty && tail.nonEmpty &&
+      tail.max <= head.max && stateRows.last > 0
 
     // Emission rule on bounded input: window [h, h+1) emits iff
     // (h+1)*3600 <= maxTs - 3600, with maxTs = (n-1) DIV 20. Events
@@ -83,11 +101,14 @@ object StreamBench {
       .head()
     val total = result.getLong(0)
     val groups = result.getLong(1)
-    val ok = total == expectTotal && groups == expectGroups
+    val ok = total == expectTotal && groups == expectGroups && stateOk
     println(f"[stream-bench] events=${per * batches} batches=$batches " +
       f"emitted_groups=$groups (expect $expectGroups) emitted_total=$total " +
       f"(expect $expectTotal) wall=$secs%.2f s " +
-      f"(${per * batches / secs}%.0f events/s) check=${if (ok) "OK" else "FAIL"}")
+      f"(${per * batches / secs}%.0f events/s) " +
+      s"state_rows=${stateRows.mkString(",")} " +
+      s"state=${if (stateOk) "BOUNDED" else "GROWING"} " +
+      s"check=${if (ok) "OK" else "FAIL"}")
     spark.stop()
     if (!ok) sys.exit(1)
   }

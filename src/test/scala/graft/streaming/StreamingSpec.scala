@@ -31,6 +31,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark bounds windowed-agg state across micro-batches") {
+    // The scale claim behind every watermark op: rows in the state
+    // store plateau at (in-flight windows × keys), independent of how
+    // many batches replay. 12 batches, each advancing event time by a
+    // full hour window; monotonic state growth fails here.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[Long]
+    val agg = input.toDS()
+      .select(timestamp_seconds(col("value")).as("ts"),
+        (col("value") % 3).cast("string").as("k"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    val q = agg.writeStream.format("memory").queryName("g_state_pin")
+      .outputMode(OutputMode.Append()).start()
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      for (b <- 0L until 12L) {
+        input.addData(b * 3600L until (b + 1) * 3600L)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    val (head, tail) = stateRows.splitAt(stateRows.length / 2)
+    assert(head.nonEmpty && tail.nonEmpty, s"no state progress captured: $stateRows")
+    assert(tail.max <= head.max,
+      s"state grows with batch count — eviction broken: $stateRows")
+    assert(stateRows.last > 0, s"state should hold the in-flight windows: $stateRows")
+  }
+
   test("bounded stream windowed agg equals the batch answer") {
     val d = "/root/testdata/sf0.001"
     val streamed = StreamOps.windowedEventCounts(spark, d)
