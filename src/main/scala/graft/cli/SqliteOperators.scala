@@ -96,17 +96,16 @@ object SqliteOperators {
           // SQLite collation names → Spark 4 collations: NOCASE maps
           // to UTF8_LCASE (identical on ASCII, SQLite's NOCASE scope;
           // full-Unicode case folding beyond it), BINARY to
-          // UTF8_BINARY. RTRIM has no Spark equivalent — reject with
-          // a one-line error rather than silently changing semantics.
+          // UTF8_BINARY, RTRIM to UTF8_BINARY_RTRIM (both ignore
+          // trailing 0x20 spaces in comparison — Spark 4's trim
+          // collation, sqlite3-pinned in CliSpec).
           val nj = nextIdx(j)
           if (nj < toks.length && toks(nj).kind == 'w') {
             val name = text(toks(nj)).toLowerCase
             val mapped = name match {
               case "nocase" => Some("UTF8_LCASE")
               case "binary" => Some("UTF8_BINARY")
-              case "rtrim" =>
-                throw new IllegalArgumentException(
-                  "error: collation RTRIM is not supported")
+              case "rtrim" => Some("UTF8_BINARY_RTRIM")
               case _ => None
             }
             mapped.foreach { m =>

@@ -861,6 +861,22 @@ class CliSpec extends SparkSpec {
       (0, "2\n10\nA\na\nb\n"))
   }
 
+  test("COLLATE RTRIM ignores trailing spaces (sqlite3-verified)") {
+    // sqlite3 over c in ('b ','a  ','a','ab','a '):
+    //   SELECT c ORDER BY c COLLATE RTRIM, c → a, 'a ', 'a  ', ab, 'b '
+    //   SELECT c WHERE c = ('a' COLLATE RTRIM) ORDER BY c → a, 'a ', 'a  '
+    //   SELECT ' a' = 'a' COLLATE RTRIM → 0 (leading spaces count)
+    // a0 is the raw line (trim defaults to none), so trailing spaces
+    // survive ingestion.
+    val f = tempFile("b \na  \na\nab\na \n")
+    assert(sqawk("select a0 from a order by a0 COLLATE RTRIM, a0", f) ==
+      (0, "a\na \na  \nab\nb \n"))
+    assert(sqawk("select a0 from a where a0 = ('a' COLLATE RTRIM) order by a0", f) ==
+      (0, "a\na \na  \n"))
+    assert(sqawk("select ' a' = 'a' COLLATE RTRIM from a limit 1", f) ==
+      (0, "0\n"))
+  }
+
   test("three-way join across three files (examples/three-files/tryme.sh)") {
     // the reference example verbatim: -FS , three CSVish files,
     // expected output from examples/three-files/results.correct

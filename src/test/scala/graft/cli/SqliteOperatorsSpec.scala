@@ -154,15 +154,13 @@ class SqliteOperatorsSpec extends AnyFunSuite {
     assert(rw("SELECT 5 IS NOT -5") === "SELECT 5 IS DISTINCT FROM -5")
   }
 
-  test("COLLATE NOCASE/BINARY map to Spark collations; RTRIM rejects") {
+  test("COLLATE NOCASE/BINARY/RTRIM map to Spark collations") {
     assert(rw("SELECT a1 FROM a ORDER BY a1 COLLATE NOCASE") ===
       "SELECT a1 FROM a ORDER BY a1 COLLATE UTF8_LCASE")
     assert(rw("SELECT a1 FROM a ORDER BY a1 collate binary, a2 COLLATE NOCASE") ===
       "SELECT a1 FROM a ORDER BY a1 collate UTF8_BINARY, a2 COLLATE UTF8_LCASE")
     assert(rw("SELECT 'COLLATE NOCASE'") === "SELECT 'COLLATE NOCASE'")
-    val e = intercept[IllegalArgumentException] {
-      rw("SELECT a1 FROM a ORDER BY a1 COLLATE RTRIM")
-    }
-    assert(e.getMessage.contains("RTRIM"))
+    assert(rw("SELECT a1 FROM a ORDER BY a1 COLLATE RTRIM") ===
+      "SELECT a1 FROM a ORDER BY a1 COLLATE UTF8_BINARY_RTRIM")
   }
 }
