@@ -29,6 +29,12 @@ object DedupBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    // optional second arg: comma-separated stage names to run (all by
+    // default) — lets the 10× scale probe time one stage without
+    // paying for the whole suite
+    val stageFilter: Option[Set[String]] =
+      args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def enabled(stage: String): Boolean = stageFilter.forall(_.contains(stage))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -52,7 +58,8 @@ object DedupBench {
           .stripMargin), " ").as("text"))
 
     var failed = false
-    def timed(name: String, expect: Seq[Any] = Nil)(df: DataFrame): Unit = {
+    def timed(name: String, expect: Seq[Any] = Nil)(df: => DataFrame): Unit = {
+      if (!enabled(name)) return
       val t0 = System.nanoTime()
       val rows = df.collect()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -91,9 +98,11 @@ object DedupBench {
     // incrementality; rate prints per HISTORY doc for comparability.
     val batchN = n / 10
     val idxDir = java.nio.file.Files.createTempDirectory("graft-dedup-idx")
-    corpus.groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min("doc_id").as("doc_id"))
-      .write.mode("overwrite").parquet(idxDir.toString)
+    if (enabled("incremental")) {
+      corpus.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .write.mode("overwrite").parquet(idxDir.toString)
+    }
     timed("incremental", Seq((batchN + 1) / 2, batchN / 2)) {
       val batch = spark.range(0, batchN).select(
         (col("id") + n).as("doc_id"),
@@ -217,6 +226,62 @@ object DedupBench {
       tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .select(col("doc_id"))
         .agg(count(lit(1)).as("docs"))
+    }
+
+    // The -dbfile generation-store cost curve (VERDICT r4 #5): drive
+    // the REAL CLI append path (graft.cli.Main → GraftSession.loadAll:
+    // one immutable generation per invocation, manifest cutover,
+    // LSM-style compaction past CompactThreshold=16, stale-gen sweep)
+    // for 40 appends — enough to cross compaction twice — and print
+    // the per-append seconds. Steady-state appends cost O(own rows);
+    // the two compaction spikes cost O(live set). Self-falsifying:
+    // the final count must equal appends × rows (no rows lost or
+    // duplicated across cutovers) and the live set must stay bounded
+    // by the threshold, else nonzero exit.
+    if (enabled("compaction_curve")) {
+      val appends = 40
+      val rowsPer = 20000
+      val db = java.nio.file.Files.createTempDirectory("graft-dbfile-bench")
+      val dbfile = db.resolve("store").toString
+      val tdir = java.nio.file.Paths.get(dbfile + ".d", "a")
+      def liveGenCount(): Int = {
+        val mf = tdir.resolve("MANIFEST")
+        if (java.nio.file.Files.exists(mf))
+          java.nio.file.Files.readString(mf).split("\n").count(_.trim.nonEmpty)
+        else 0
+      }
+      val times = Array.ofDim[Double](appends)
+      val gens = Array.ofDim[Int](appends)
+      var maxGens = 0
+      val t0 = System.nanoTime()
+      for (a <- 0 until appends) {
+        val f = java.nio.file.Files.createTempFile("graft-append", ".txt")
+        val sb = new StringBuilder(rowsPer * 12)
+        var i = 0
+        while (i < rowsPer) { sb.append(a * rowsPer + i).append(" v").append(i).append('\n'); i += 1 }
+        java.nio.file.Files.writeString(f, sb.toString)
+        val ta = System.nanoTime()
+        val sw = new java.io.StringWriter
+        val rc = cli.Main.run(
+          Seq("-dbfile", dbfile, "select a1 from a limit 1", f.toString), spark, sw)
+        times(a) = (System.nanoTime() - ta) / 1e9
+        gens(a) = liveGenCount()
+        maxGens = math.max(maxGens, gens(a))
+        java.nio.file.Files.delete(f)
+        if (rc != 0) failed = true
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val sw = new java.io.StringWriter
+      cli.Main.run(Seq("-dbfile", dbfile, "-noinput", "select count(*) from a"), spark, sw)
+      val total = sw.toString.trim.toLong
+      val ok = total == appends.toLong * rowsPer && maxGens <= cli.GraftSession.CompactThreshold
+      if (!ok) failed = true
+      println(f"[dedup-bench] compaction_curve: appends=$appends rows_per=$rowsPer " +
+        f"total=$total (expect ${appends.toLong * rowsPer}) max_live_gens=$maxGens " +
+        f"wall=$secs%.2f s (${appends / secs}%.2f appends/s) " +
+        s"append_secs=${times.map(t => f"$t%.2f").mkString(",")} " +
+        s"live_gens=${gens.mkString(",")} check=${if (ok) "OK" else "FAIL"}")
+      deleteRecursively(db.toFile)
     }
 
     spark.stop()

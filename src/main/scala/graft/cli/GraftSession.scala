@@ -140,7 +140,7 @@ object GraftSession {
     * reads as an N-way union — the small-files/plan-size problem
     * LSM stores solve the same way. */
   private val ManifestName = "MANIFEST"
-  private[cli] val CompactThreshold = 16
+  private[graft] val CompactThreshold = 16
 
   private def allGenDirs(tdir: Path): Seq[Path] =
     listDir(tdir)(p =>

@@ -537,6 +537,23 @@ class CliSpec extends SparkSpec {
     assert(sqawk("delete from never_there", f)._1 == 1)
   }
 
+  test("hundreds of DML rebinds keep the view plan bounded") {
+    // Each INSERT/UPDATE/DELETE rebinds the view over its previous
+    // plan; without lineage cuts 300 statements build a 300-deep plan
+    // and script analysis goes quadratic (VERDICT r4 watch-list #2).
+    val f = tempFile("x\n")
+    val inserts = (1 to 300).map(i => s"insert into big values ($i, 'v$i')").mkString("; ")
+    val (c, o) = sqawk(
+      s"create table big (k, v); $inserts; " +
+        "update big set v = 'z' where k = 5; delete from big where k > 290; " +
+        "select count(*), min(k), max(k) from big", f)
+    assert((c, o) == (0, "290 1 290\n"))
+    // the rebound view's plan must have been collapsed, not 300 deep
+    val nodes = spark.table("big").queryExecution.analyzed.collect { case p => p }.size
+    assert(nodes < 200, s"view plan grew unbounded: $nodes nodes")
+    spark.catalog.dropTempView("big")
+  }
+
   test("CREATE VIEW re-evaluates: INSERT into the base shows through (sqlite3-pinned)") {
     val f = tempFile("x\n")
     // sqlite3: view sees the row inserted AFTER its creation → y|2
