@@ -38,8 +38,12 @@ import graft.sources.Affinity
   *    so an INSERT into a base table after CREATE VIEW shows through
   *    the view — sqlite3-pinned in CliSpec. `DROP VIEW` shares the
   *    DROP arm (temp views and "tables" live in one namespace here);
-  *  - the rest of SQLite's statement surface gets a one-line
-  *    sqawk-style rejection instead of a raw Spark error.
+  *  - `CREATE INDEX` / `DROP INDEX` → no-ops: SQLite indexes change
+  *    performance, never results, and Catalyst plans declaratively.
+  *    `CREATE UNIQUE INDEX` is rejected (its uniqueness constraint on
+  *    later INSERTs would silently not be enforced);
+  *  - the rest of SQLite's statement surface (triggers included) gets
+  *    a one-line sqawk-style rejection instead of a raw Spark error.
   */
 object ScriptDdl {
 
@@ -53,6 +57,12 @@ object ScriptDdl {
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?view\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+as\s+(.+)""".r
   private val Drop =
     """(?is)\s*drop\s+(?:table|view)\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
+  private val CreateIndex =
+    """(?is)\s*create\s+(unique\s+)?index\s+.+""".r
+  private val DropIndex =
+    """(?is)\s*drop\s+index\s+.+""".r
+  private val CreateTrigger =
+    """(?is)\s*create\s+(?:temp(?:orary)?\s+)?trigger\b.*""".r
   private val Update =
     """(?is)\s*update\s+(?:or\s+\w+\s+)?[`"]?(\w+)[`"]?\s+set\s+(.+)""".r
   private val Delete =
@@ -218,6 +228,22 @@ object ScriptDdl {
         else spark.sql(s"SELECT * FROM `$name` WHERE NOT coalesce(($cond), false)")
       collapseIfDeep(rebound).createOrReplaceTempView(name)
       true
+
+    case CreateIndex(unique) =>
+      // SQLite indexes change performance, never results; Catalyst
+      // plans declaratively, so a plain CREATE INDEX is a faithful
+      // no-op. A UNIQUE index also enforces a constraint on later
+      // INSERTs — silently ignoring that would diverge, so reject.
+      if (unique != null)
+        throw new UnsupportedOperationException(
+          "CREATE UNIQUE INDEX is not supported by this engine (uniqueness would not be enforced)")
+      true
+
+    case DropIndex() => true // companion no-op
+
+    case CreateTrigger() =>
+      throw new UnsupportedOperationException(
+        "CREATE TRIGGER statements are not supported by this engine")
 
     case Drop(ifExists, name) =>
       val existed = spark.catalog.dropTempView(name)

@@ -565,6 +565,38 @@ object Ingest {
              |  FROM m
              |)
              |SELECT CAST(k AS BIGINT) AS k, nm, CAST(r AS BIGINT) AS r
-             |FROM u WHERE NOT coalesce(r = 12, false) ORDER BY k""".stripMargin))
+             |FROM u WHERE NOT coalesce(r = 12, false) ORDER BY k""".stripMargin)),
+
+    // i22: CREATE VIEW mid-script (same dialect argument as i21:
+    // README.md:100 forwards the full statement surface) — a view
+    // RE-EVALUATES on every reference, so rows INSERTed into the base
+    // table after the view's creation must show through it; the
+    // oracle recomputes the view over the post-insert base state.
+    QDef(
+      "i22_create_view",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("g_nat_cv")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """CREATE TABLE cv_base AS
+            |  SELECT n_nationkey AS k, n_name AS nm FROM g_nat_cv;
+            |CREATE VIEW cv_v AS SELECT k, nm FROM cv_base WHERE k % 2 = 0;
+            |INSERT INTO cv_base VALUES (98, 'even_new'), (99, 'odd_new')""".stripMargin,
+          new AwkSerializer(sw))
+        // resolution is eager at table(); dropping the views after
+        // does not unbind the returned plan (same pattern as i21)
+        val out = s.table("cv_v")
+          .select(col("k").cast("long").as("k"), col("nm"))
+          .orderBy("k")
+        s.catalog.dropTempView("cv_v")
+        s.catalog.dropTempView("cv_base")
+        out
+      },
+      Some("""WITH b AS (
+             |  SELECT n_nationkey AS k, n_name AS nm FROM nation
+             |  UNION ALL VALUES (98, 'even_new'), (99, 'odd_new')
+             |)
+             |SELECT CAST(k AS BIGINT) AS k, nm FROM b
+             |WHERE k % 2 = 0 ORDER BY k""".stripMargin))
   )
 }

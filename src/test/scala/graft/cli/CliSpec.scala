@@ -537,21 +537,31 @@ class CliSpec extends SparkSpec {
     assert(sqawk("delete from never_there", f)._1 == 1)
   }
 
+  test("CREATE/DROP INDEX are no-ops; UNIQUE index and TRIGGER reject") {
+    val f = tempFile("foo 1\nbar 2\n")
+    // sqlite3 runs the same script with identical output — the index
+    // only changes its access path, which Catalyst handles declaratively
+    assert(sqawk("create index idx on a (a1); select a1 from a where a1 = 'bar'; " +
+      "drop index idx", f) == (0, "bar\n"))
+    assert(sqawk("create unique index u on a (a1)", f)._1 == 1)
+    assert(sqawk("create trigger tr after insert on a begin select 1; end", f)._1 == 1)
+  }
+
   test("hundreds of DML rebinds keep the view plan bounded") {
     // Each INSERT/UPDATE/DELETE rebinds the view over its previous
     // plan; without lineage cuts 300 statements build a 300-deep plan
     // and script analysis goes quadratic (VERDICT r4 watch-list #2).
     val f = tempFile("x\n")
-    val inserts = (1 to 300).map(i => s"insert into big values ($i, 'v$i')").mkString("; ")
+    val inserts = (1 to 300).map(i => s"insert into dmlchain values ($i, 'v$i')").mkString("; ")
     val (c, o) = sqawk(
-      s"create table big (k, v); $inserts; " +
-        "update big set v = 'z' where k = 5; delete from big where k > 290; " +
-        "select count(*), min(k), max(k) from big", f)
+      s"create table dmlchain (k, v); $inserts; " +
+        "update dmlchain set v = 'z' where k = 5; delete from dmlchain where k > 290; " +
+        "select count(*), min(k), max(k) from dmlchain", f)
     assert((c, o) == (0, "290 1 290\n"))
     // the rebound view's plan must have been collapsed, not 300 deep
-    val nodes = spark.table("big").queryExecution.analyzed.collect { case p => p }.size
+    val nodes = spark.table("dmlchain").queryExecution.analyzed.collect { case p => p }.size
     assert(nodes < 200, s"view plan grew unbounded: $nodes nodes")
-    spark.catalog.dropTempView("big")
+    spark.catalog.dropTempView("dmlchain")
   }
 
   test("CREATE VIEW re-evaluates: INSERT into the base shows through (sqlite3-pinned)") {
