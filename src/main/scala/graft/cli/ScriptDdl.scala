@@ -42,10 +42,44 @@ import graft.sources.Affinity
   *    performance, never results, and Catalyst plans declaratively.
   *    `CREATE UNIQUE INDEX` is rejected (its uniqueness constraint on
   *    later INSERTs would silently not be enforced);
+  *  - `ALTER TABLE` → rebinds: RENAME TO re-binds the plan under the
+  *    new name, RENAME COLUMN / DROP COLUMN are projection rebinds,
+  *    ADD COLUMN appends a literal column. The DEFAULT applies to
+  *    existing rows AND is remembered in column metadata so a later
+  *    INSERT omitting the column fills the default instead of NULL
+  *    (both sqlite3-pinned). Only constant defaults are allowed and
+  *    PRIMARY KEY / UNIQUE adds are rejected — same rules, same
+  *    messages as sqlite3;
+  *  - transaction control (`BEGIN`/`COMMIT`/`END`/`SAVEPOINT`/
+  *    `RELEASE`) → state-tracked no-ops: a one-shot script
+  *    auto-commits every statement, so the only observable transaction
+  *    behavior is the error surface (nested BEGIN, COMMIT without a
+  *    transaction, RELEASE of an unknown savepoint — all
+  *    sqlite3-pinned). `ROLLBACK` inside a transaction is rejected
+  *    loudly: rebinds apply as statements execute and cannot be
+  *    undone, so pretending to roll back would silently diverge.
+  *    (Documented deviation: in sqlite3 an aborted transaction also
+  *    un-applies its earlier statements; here the script aborts with
+  *    the same error but earlier statements remain applied —
+  *    observable only by output already serialized before the error.)
+  *  - `VACUUM` / `ANALYZE` / `REINDEX` → no-ops (performance-only in
+  *    SQLite; they never change results);
   *  - the rest of SQLite's statement surface (triggers included) gets
   *    a one-line sqawk-style rejection instead of a raw Spark error.
   */
 object ScriptDdl {
+
+  /** Per-script-run mutable state: the transaction/savepoint surface
+    * needs statement-to-statement memory for its error semantics. */
+  final class State {
+    private[ScriptDdl] var explicitTxn = false
+    private[ScriptDdl] val savepoints = scala.collection.mutable.ArrayBuffer.empty[String]
+    private[ScriptDdl] def txnActive: Boolean = explicitTxn || savepoints.nonEmpty
+  }
+
+  /** Column-metadata key remembering an ADD COLUMN default, so later
+    * INSERTs that omit the column fill the default (sqlite3-pinned). */
+  val DefaultKey = "graft.dml.default"
 
   private val Ctas =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?table\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+as\s+(.+)""".r
@@ -67,8 +101,28 @@ object ScriptDdl {
     """(?is)\s*update\s+(?:or\s+\w+\s+)?[`"]?(\w+)[`"]?\s+set\s+(.+)""".r
   private val Delete =
     """(?is)\s*delete\s+from\s+[`"]?(\w+)[`"]?(?:\s+where\s+(.+?))?\s*""".r
+  private val AlterRenameTable =
+    """(?is)\s*alter\s+table\s+[`"]?(\w+)[`"]?\s+rename\s+to\s+[`"]?(\w+)[`"]?\s*""".r
+  private val AlterRenameColumn =
+    """(?is)\s*alter\s+table\s+[`"]?(\w+)[`"]?\s+rename\s+(?:column\s+)?[`"]?(\w+)[`"]?\s+to\s+[`"]?(\w+)[`"]?\s*""".r
+  private val AlterAddColumn =
+    """(?is)\s*alter\s+table\s+[`"]?(\w+)[`"]?\s+add\s+(?:column\s+)?[`"]?(\w+)[`"]?(.*)""".r
+  private val AlterDropColumn =
+    """(?is)\s*alter\s+table\s+[`"]?(\w+)[`"]?\s+drop\s+(?:column\s+)?[`"]?(\w+)[`"]?\s*""".r
+  private val Begin =
+    """(?is)\s*begin(?:\s+(?:deferred|immediate|exclusive))?(?:\s+transaction)?\s*""".r
+  private val Commit =
+    """(?is)\s*(?:commit|end)(?:\s+transaction)?\s*""".r
+  private val Rollback =
+    """(?is)\s*rollback\b.*""".r
+  private val Savepoint =
+    """(?is)\s*savepoint\s+[`"]?(\w+)[`"]?\s*""".r
+  private val Release =
+    """(?is)\s*release\s+(?:savepoint\s+)?[`"]?(\w+)[`"]?\s*""".r
+  private val Maintenance =
+    """(?is)\s*(?:vacuum|analyze|reindex)\b.*""".r
   private val Rejected =
-    """(?is)\s*(alter|replace|vacuum|pragma|attach|detach|reindex|analyze|begin|commit|rollback|savepoint|release)\b.*""".r
+    """(?is)\s*(alter|replace|pragma|attach|detach)\b.*""".r
 
   /** True when `name` is a SQL-created temp VIEW (stores view text and
     * re-resolves) rather than a plan-bound table: DML must reject it
@@ -107,7 +161,112 @@ object ScriptDdl {
   /** Handle `stmt` if it is a side-effecting dialect statement.
     * Returns true when handled (no result rows to serialize); false
     * when the statement is a plain query for `spark.sql`. */
-  def execute(spark: SparkSession, stmt: String): Boolean = stmt match {
+  def execute(spark: SparkSession, stmt: String, state: State = new State): Boolean = stmt match {
+    case Begin() =>
+      if (state.txnActive)
+        throw new IllegalArgumentException("cannot start a transaction within a transaction")
+      state.explicitTxn = true
+      true
+
+    case Commit() =>
+      if (!state.txnActive)
+        throw new IllegalArgumentException("cannot commit - no transaction is active")
+      state.explicitTxn = false
+      state.savepoints.clear()
+      true
+
+    case Rollback() =>
+      // statements auto-commit as they execute (every DML arm rebinds
+      // its view immediately), so a real rollback is impossible —
+      // reject loudly rather than silently diverge. Outside a
+      // transaction sqlite3's own error applies verbatim.
+      if (!state.txnActive)
+        throw new IllegalArgumentException("cannot rollback - no transaction is active")
+      throw new UnsupportedOperationException(
+        "ROLLBACK is not supported by this engine (statements apply as they execute)")
+
+    case Savepoint(name) =>
+      state.savepoints += name
+      true
+
+    case Release(name) =>
+      // releases the named savepoint and everything nested inside it;
+      // releasing the outermost savepoint commits (SQLite semantics)
+      val idx = state.savepoints.lastIndexWhere(_.equalsIgnoreCase(name))
+      if (idx < 0)
+        throw new IllegalArgumentException(s"no such savepoint: $name")
+      state.savepoints.remove(idx, state.savepoints.length - idx)
+      true
+
+    case Maintenance() => true // performance-only in SQLite; no-op
+
+    case AlterRenameTable(name, newName) =>
+      requireTable(spark, name)
+      if (isView(spark, name))
+        throw new UnsupportedOperationException(s"view $name may not be altered")
+      if (spark.catalog.tableExists(newName))
+        throw new IllegalArgumentException(
+          s"there is already another table or index with this name: $newName")
+      val df = spark.table(name) // eager resolution: survives the drop below
+      df.createOrReplaceTempView(newName)
+      spark.catalog.dropTempView(name)
+      true
+
+    case AlterRenameColumn(name, oldCol, newCol) =>
+      requireTable(spark, name)
+      if (isView(spark, name))
+        throw new UnsupportedOperationException(s"view $name may not be altered")
+      val target = spark.table(name)
+      if (!target.columns.exists(_.equalsIgnoreCase(oldCol)))
+        throw new IllegalArgumentException(s"""no such column: "$oldCol"""")
+      val proj = target.columns.map { c =>
+        if (c.equalsIgnoreCase(oldCol)) col(s"`$c`").as(newCol, target.schema(c).metadata)
+        else col(s"`$c`")
+      }
+      target.select(proj.toIndexedSeq: _*).createOrReplaceTempView(name)
+      true
+
+    case AlterAddColumn(name, colName, rest) =>
+      requireTable(spark, name)
+      if (isView(spark, name))
+        throw new UnsupportedOperationException("Cannot add a column to a view")
+      // sqlite3-pinned: the DEFAULT fills EXISTING rows too, and must
+      // be a constant literal ("Cannot add a column with non-constant
+      // default" — even deterministic calls like abs(-3) are refused)
+      val defaultMatch = """(?is)\bdefault\s+(.+)""".r.findFirstMatchIn(rest)
+      // constraint keywords live in the type/constraint prefix, never
+      // inside the default literal text
+      val prefix = defaultMatch.map(m => rest.substring(0, m.start)).getOrElse(rest)
+      if ("""(?is).*\bprimary\s+key\b.*""".r.matches(prefix))
+        throw new UnsupportedOperationException("Cannot add a PRIMARY KEY column")
+      if ("""(?is).*\bunique\b.*""".r.matches(prefix))
+        throw new UnsupportedOperationException("Cannot add a UNIQUE column")
+      val target = spark.table(name)
+      if (target.columns.exists(_.equalsIgnoreCase(colName)))
+        throw new IllegalArgumentException(s"duplicate column name: $colName")
+      val default = defaultMatch.map(m => parseConstantDefault(m.group(1)))
+      val metaB = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(graft.plans.AffinityOrdering.AffinityKey, "NUMERIC")
+      default.flatten.foreach(v => metaB.putString(DefaultKey, v))
+      val added = lit(default.flatten.orNull).cast(StringType).as(colName, metaB.build())
+      target.select((target.columns.map(c => col(s"`$c`")) :+ added).toIndexedSeq: _*)
+        .createOrReplaceTempView(name)
+      true
+
+    case AlterDropColumn(name, colName) =>
+      requireTable(spark, name)
+      if (isView(spark, name))
+        throw new UnsupportedOperationException(s"view $name may not be altered")
+      val target = spark.table(name)
+      if (!target.columns.exists(_.equalsIgnoreCase(colName)))
+        throw new IllegalArgumentException(s"""no such column: "$colName"""")
+      if (target.columns.length == 1)
+        throw new IllegalArgumentException(
+          s"""cannot drop column "$colName": no other columns exist""")
+      val kept = target.columns.filterNot(_.equalsIgnoreCase(colName)).map(c => col(s"`$c`"))
+      target.select(kept.toIndexedSeq: _*).createOrReplaceTempView(name)
+      true
+
     case Rejected(kw) =>
       throw new UnsupportedOperationException(
         s"${kw.toUpperCase} statements are not supported by this engine")
@@ -127,17 +286,23 @@ object ScriptDdl {
         // First token of each top-level comma-separated definition is
         // the column name; table-level constraint defs are skipped.
         val constraintKw = Set("primary", "unique", "check", "foreign", "constraint")
-        val names = splitTopLevel(colDefs)
-          .map(d => stripQuotes(d.trim.split("\\s+", 2).head))
-          .filterNot(n => constraintKw.contains(n.toLowerCase))
+        val defs = splitTopLevel(colDefs).map(_.trim)
+          .filterNot(d => constraintKw.contains(d.split("\\s+", 2).head.toLowerCase))
         // Created-table columns are dynamically typed like every sqawk
         // column: the NUMERIC affinity tag gives them SQLite's
         // storage-class ORDER BY / min / max via AffinityOrdering
         // (sqlite3-pinned: values 1,2,103,104 inserted as ints order
-        // numerically, not as strings).
-        val meta = new org.apache.spark.sql.types.MetadataBuilder()
-          .putString(graft.plans.AffinityOrdering.AffinityKey, "NUMERIC").build()
-        val schema = StructType(names.map(n => StructField(n, StringType, metadata = meta)))
+        // numerically, not as strings). A per-column DEFAULT literal
+        // is remembered so INSERTs omitting the column fill it.
+        val schema = StructType(defs.map { d =>
+          val n = stripQuotes(d.split("\\s+", 2).head)
+          val metaB = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(graft.plans.AffinityOrdering.AffinityKey, "NUMERIC")
+          """(?is).*\bdefault\s+(.+)""".r.findFirstMatchIn(d)
+            .flatMap(m => parseConstantDefault(m.group(1)))
+            .foreach(v => metaB.putString(DefaultKey, v))
+          StructField(n, StringType, metadata = metaB.build())
+        })
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           .createOrReplaceTempView(name)
       }
@@ -169,7 +334,13 @@ object ScriptDdl {
           val named = rows.toDF(names: _*)
           val filled = target.columns.foldLeft(named) { (df, c) =>
             if (names.exists(_.equalsIgnoreCase(c))) df
-            else df.withColumn(c, lit(null).cast(target.schema(c).dataType))
+            else {
+              // a column declared with DEFAULT (CREATE TABLE def or
+              // ALTER TABLE ADD COLUMN) fills its default, not NULL
+              val m = target.schema(c).metadata
+              val fill = if (m.contains(DefaultKey)) lit(m.getString(DefaultKey)) else lit(null)
+              df.withColumn(c, fill.cast(target.schema(c).dataType))
+            }
           }
           filled.select(target.columns.map(col).toIndexedSeq: _*)
       }
@@ -252,6 +423,32 @@ object ScriptDdl {
       true
 
     case _ => false
+  }
+
+  private def requireTable(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name))
+      throw new IllegalArgumentException(s"no such table: $name")
+
+  /** Parse an ADD COLUMN / column-def DEFAULT as a constant literal,
+    * returning its canonical stored text (None for NULL). SQLite
+    * refuses anything else — including deterministic function calls —
+    * with "Cannot add a column with non-constant default"; same here,
+    * except the message also covers CREATE TABLE defs. */
+  private[cli] def parseConstantDefault(raw: String): Option[String] = {
+    var t = raw.trim
+    // one level of parens is allowed around the literal: DEFAULT (7)
+    if (t.startsWith("(") && t.endsWith(")")) t = t.substring(1, t.length - 1).trim
+    val StringLit = """(?s)'((?:[^']|'')*)'""".r
+    val NumberLit = """[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?""".r
+    t match {
+      case StringLit(body) => Some(body.replace("''", "'"))
+      case s if NumberLit.matches(s) => Some(Affinity.canonicalize(s, "NUMERIC"))
+      case s if s.equalsIgnoreCase("null") => None
+      case s if s.equalsIgnoreCase("true") => Some("1")
+      case s if s.equalsIgnoreCase("false") => Some("0")
+      case _ => throw new IllegalArgumentException(
+        "Cannot add a column with non-constant default")
+    }
   }
 
   /** Split an UPDATE tail `SET-list [WHERE cond]` at the first

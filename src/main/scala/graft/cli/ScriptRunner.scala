@@ -120,6 +120,7 @@ object ScriptRunner {
     // NULL, not an error) whatever the host session's ANSI setting is.
     val savedAnsi = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    val ddlState = new ScriptDdl.State // per-run transaction tracking
     try graft.functions.GraftFunctions.withSqliteAggregates(spark) {
       for (stmt <- splitStatements(script)) {
         // SQLite operator spellings (A GLOB B / A REGEXP B) become the
@@ -128,7 +129,7 @@ object ScriptRunner {
         // Side-effecting dialect statements (CREATE TABLE/INSERT/DROP)
         // bind temp views and emit no rows; UPDATE/DELETE etc. get a
         // one-line rejection (ScriptDdl).
-        if (!ScriptDdl.execute(spark, sql)) {
+        if (!ScriptDdl.execute(spark, sql, ddlState)) {
           val df: DataFrame = spark.sql(sql)
           if (df.schema.nonEmpty) pump(df, serializer)
         }

@@ -597,6 +597,44 @@ object Ingest {
              |  UNION ALL VALUES (98, 'even_new'), (99, 'odd_new')
              |)
              |SELECT CAST(k AS BIGINT) AS k, nm FROM b
-             |WHERE k % 2 = 0 ORDER BY k""".stripMargin))
+             |WHERE k % 2 = 0 ORDER BY k""".stripMargin)),
+
+    // i23: ALTER TABLE + transaction control mid-script (the remaining
+    // statement surface the reference forwards verbatim,
+    // lib/classes/sqawk.tcl:216). ADD COLUMN's DEFAULT fills existing
+    // rows AND later INSERTs that omit the column (sqlite3-pinned);
+    // BEGIN/COMMIT/SAVEPOINT/RELEASE/VACUUM are no-ops whose only
+    // observable surface is their error cases (CliSpec); the oracle
+    // recomputes the post-ALTER state as plain SQL.
+    QDef(
+      "i23_alter_txn",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("g_nat_at")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """CREATE TABLE at_base AS SELECT n_nationkey AS k, n_name AS nm FROM g_nat_at;
+            |BEGIN;
+            |ALTER TABLE at_base ADD COLUMN tag DEFAULT 'legacy';
+            |INSERT INTO at_base (k, nm) VALUES (97, 'new_row');
+            |COMMIT;
+            |SAVEPOINT sp;
+            |ALTER TABLE at_base RENAME COLUMN nm TO name;
+            |DELETE FROM at_base WHERE k % 7 = 3;
+            |RELEASE sp;
+            |VACUUM""".stripMargin,
+          new AwkSerializer(sw))
+        val out = s.table("at_base")
+          .select(col("k").cast("long").as("k"), col("name"), col("tag"))
+          .orderBy("k")
+        s.catalog.dropTempView("at_base")
+        s.catalog.dropTempView("g_nat_at")
+        out
+      },
+      Some("""WITH b AS (
+             |  SELECT n_nationkey AS k, n_name AS name, 'legacy' AS tag FROM nation
+             |  UNION ALL SELECT 97, 'new_row', 'legacy'
+             |)
+             |SELECT CAST(k AS BIGINT) AS k, name, tag FROM b
+             |WHERE NOT coalesce(k % 7 = 3, false) ORDER BY k""".stripMargin))
   )
 }

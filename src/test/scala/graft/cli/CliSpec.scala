@@ -547,6 +547,76 @@ class CliSpec extends SparkSpec {
     assert(sqawk("create trigger tr after insert on a begin select 1; end", f)._1 == 1)
   }
 
+  test("transaction control: no-ops with sqlite3's error surface") {
+    val f = tempFile("x\n")
+    // statements auto-commit, so BEGIN/COMMIT/SAVEPOINT/RELEASE and the
+    // maintenance statements are no-ops — sqlite3 runs this script with
+    // the same output
+    assert(sqawk(
+      "create table tx (k); begin; insert into tx values (1); commit; " +
+        "savepoint SP1; insert into tx values (2); release sp1; " + // case-insensitive
+        "begin transaction; insert into tx values (3); end; " +
+        "vacuum; analyze; reindex; " +
+        "select count(*) from tx", f) == (0, "3\n"))
+    spark.catalog.dropTempView("tx")
+    // sqlite3-pinned error surface
+    assert(sqawk("begin; begin", f)._1 == 1) // cannot start a transaction within a transaction
+    assert(sqawk("savepoint s; begin", f)._1 == 1) // a savepoint starts a transaction too
+    assert(sqawk("commit", f)._1 == 1) // cannot commit - no transaction is active
+    assert(sqawk("rollback", f)._1 == 1) // cannot rollback - no transaction is active
+    assert(sqawk("release nope", f)._1 == 1) // no such savepoint: nope
+    assert(sqawk("savepoint s; release s; release s", f)._1 == 1) // released = gone
+    // releasing the outermost savepoint commits, so BEGIN works after
+    assert(sqawk("savepoint s; release s; begin; select 1", f) == (0, "1\n"))
+    // ROLLBACK inside a transaction is loudly unsupported (rebinds
+    // cannot be undone); silently ignoring it would diverge
+    assert(sqawk("begin; rollback", f)._1 == 1)
+  }
+
+  test("ALTER TABLE rename/add/drop rebinds match sqlite3") {
+    val f = tempFile("x\n")
+    // mirror of the sqlite3 pin session: add-with-default fills
+    // existing rows AND later column-list INSERTs; add-without-default
+    // fills NULL; renames carry data through
+    val (c, o) = sqawk(
+      "create table at (k, v); insert into at values (1,'a'), (2,'b'); " +
+        "alter table at add column c default 7; " +
+        "select * from at; " +
+        "insert into at (k,v) values (3,'c'); " +
+        "alter table at add column d; " +
+        "alter table at rename column v to vv; " +
+        "alter table at rename to at2; " +
+        "select k, vv, c, d from at2 order by k; " +
+        "alter table at2 drop column d; " +
+        "select * from at2 order by k", f)
+    assert((c, o) == (0,
+      "1 a 7\n2 b 7\n" +
+        "1 a 7 \n2 b 7 \n3 c 7 \n" + // d is NULL → ""
+        "1 a 7\n2 b 7\n3 c 7\n"))
+    // sqlite3-pinned error cases
+    assert(sqawk("alter table at2 drop column nope", f)._1 == 1) // no such column
+    assert(sqawk("alter table at2 rename column nope to y", f)._1 == 1)
+    assert(sqawk("create table at3 (x); alter table at3 rename to at2", f)._1 == 1) // name taken
+    assert(sqawk("alter table at2 add column e default (abs(-3))", f)._1 == 1) // non-constant default
+    assert(sqawk("alter table at2 add column f primary key", f)._1 == 1)
+    assert(sqawk("alter table missing_alter add column x", f)._1 == 1) // no such table
+    assert(sqawk("create table only1 (only_col); alter table only1 drop column only_col", f)._1 == 1)
+    // views may not be altered
+    assert(sqawk("create view av as select * from at2; alter table av add column z", f)._1 == 1)
+    assert(sqawk("alter table av rename to av2", f)._1 == 1)
+    for (v <- Seq("at2", "at3", "only1", "av")) spark.catalog.dropTempView(v)
+  }
+
+  test("CREATE TABLE column DEFAULT fills omitted INSERT columns (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: 1|7|x'y then 2|8|z — the '' escape inside the default
+    // literal and the default-vs-explicit row both pinned
+    assert(sqawk("create table dflt (k, v default 7, w default 'x''y'); " +
+      "insert into dflt (k) values (1); insert into dflt values (2, 8, 'z'); " +
+      "select * from dflt order by k", f) == (0, "1 7 x'y\n2 8 z\n"))
+    spark.catalog.dropTempView("dflt")
+  }
+
   test("hundreds of DML rebinds keep the view plan bounded") {
     // Each INSERT/UPDATE/DELETE rebinds the view over its previous
     // plan; without lineage cuts 300 statements build a 300-deep plan
