@@ -564,6 +564,37 @@ object Relational {
              |)
              |SELECT e.event_id, w.w_id
              |FROM (SELECT event_id, epoch_ns(ts) // 1000 AS us FROM events) e
-             |JOIN w ON e.us >= w.start_us AND e.us < w.end_us""".stripMargin))
+             |JOIN w ON e.us >= w.start_us AND e.us < w.end_us""".stripMargin)),
+
+    QDef(
+      "q41_recursive_cte",
+      // WITH RECURSIVE is part of the delegated SQLite dialect
+      // (README.md:100 forwards scripts verbatim); Spark 4.x executes
+      // recursive CTEs natively as an iterative UnionLoop, so a
+      // depth-bounded recursion stays fully distributed — each level
+      // is one unioned scan, no driver-side loop. Functional-graph
+      // walk k → (3k+1) mod 25 for 5 steps from every nation key,
+      // then distinct-reachability stats per start node.
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("graft_nation_rc")
+        s.sql("""WITH RECURSIVE step (start_k, k, d) AS (
+                |  SELECT n_nationkey, n_nationkey, 0 FROM graft_nation_rc
+                |  UNION ALL
+                |  SELECT start_k, (k * 3 + 1) % 25, d + 1 FROM step WHERE d < 5
+                |)
+                |SELECT CAST(start_k AS BIGINT) AS start_k,
+                |       CAST(count(DISTINCT k) AS BIGINT) AS reach,
+                |       CAST(sum(DISTINCT k) AS BIGINT) AS sum_k
+                |FROM step GROUP BY start_k""".stripMargin)
+      },
+      Some("""WITH RECURSIVE step (start_k, k, d) AS (
+             |  SELECT n_nationkey, n_nationkey, 0 FROM nation
+             |  UNION ALL
+             |  SELECT start_k, (k * 3 + 1) % 25, d + 1 FROM step WHERE d < 5
+             |)
+             |SELECT CAST(start_k AS BIGINT) AS start_k,
+             |       CAST(count(DISTINCT k) AS BIGINT) AS reach,
+             |       CAST(sum(DISTINCT k) AS BIGINT) AS sum_k
+             |FROM step GROUP BY start_k""".stripMargin))
   )
 }

@@ -607,6 +607,12 @@ class CliSpec extends SparkSpec {
     for (v <- Seq("at2", "at3", "only1", "av")) spark.catalog.dropTempView(v)
   }
 
+  test("WITH RECURSIVE runs through the script dialect (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    assert(sqawk("with recursive c(x) as (select 1 union all select x+1 from c where x < 5) " +
+      "select sum(x) from c", f) == (0, "15\n"))
+  }
+
   test("CREATE TABLE column DEFAULT fills omitted INSERT columns (sqlite3-pinned)") {
     val f = tempFile("x\n")
     // sqlite3: 1|7|x'y then 2|8|z — the '' escape inside the default
