@@ -51,17 +51,18 @@ import graft.sources.Affinity
   *    PRIMARY KEY / UNIQUE adds are rejected — same rules, same
   *    messages as sqlite3;
   *  - transaction control (`BEGIN`/`COMMIT`/`END`/`SAVEPOINT`/
-  *    `RELEASE`) → state-tracked no-ops: a one-shot script
-  *    auto-commits every statement, so the only observable transaction
-  *    behavior is the error surface (nested BEGIN, COMMIT without a
-  *    transaction, RELEASE of an unknown savepoint — all
-  *    sqlite3-pinned). `ROLLBACK` inside a transaction is rejected
-  *    loudly: rebinds apply as statements execute and cannot be
-  *    undone, so pretending to roll back would silently diverge.
-  *    (Documented deviation: in sqlite3 an aborted transaction also
-  *    un-applies its earlier statements; here the script aborts with
-  *    the same error but earlier statements remain applied —
-  *    observable only by output already serialized before the error.)
+  *    `RELEASE`/`ROLLBACK [TO]`) → binding snapshots: every statement
+  *    in this dialect takes effect by (re)binding temp views, so a
+  *    transaction's whole visible state is the catalog's name→plan
+  *    map. `BEGIN` and `SAVEPOINT` capture that map (driver-side
+  *    metadata only — plans are lazy, no data is copied); `ROLLBACK`
+  *    restores the outermost capture and ends the transaction,
+  *    `ROLLBACK TO sp` restores sp's capture and keeps sp live for
+  *    repeated rollbacks — both undo CREATE TABLE/DROP/ALTER as well
+  *    as DML, exactly like sqlite3 (pinned in CliSpec). `COMMIT` and
+  *    `RELEASE` discard captures (changes were already live). The
+  *    error surface (nested BEGIN, COMMIT without a transaction,
+  *    ROLLBACK TO an unknown savepoint) is sqlite3-pinned verbatim;
   *  - `VACUUM` / `ANALYZE` / `REINDEX` → no-ops (performance-only in
   *    SQLite; they never change results);
   *  - the rest of SQLite's statement surface (triggers included) gets
@@ -69,12 +70,32 @@ import graft.sources.Affinity
   */
 object ScriptDdl {
 
+  /** A transaction capture: the full local temp-view catalog at one
+    * point in the script. Plans are lazy logical trees, so this is
+    * O(tables) driver-side metadata — restoring rebinds the names to
+    * the captured plans without touching any data. */
+  private[cli] final case class Snapshot(
+      views: Map[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation])
+
   /** Per-script-run mutable state: the transaction/savepoint surface
-    * needs statement-to-statement memory for its error semantics. */
+    * needs statement-to-statement memory for rollback and its error
+    * semantics. */
   final class State {
-    private[ScriptDdl] var explicitTxn = false
-    private[ScriptDdl] val savepoints = scala.collection.mutable.ArrayBuffer.empty[String]
-    private[ScriptDdl] def txnActive: Boolean = explicitTxn || savepoints.nonEmpty
+    private[ScriptDdl] var explicitTxn: Option[Snapshot] = None
+    private[ScriptDdl] val savepoints =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Snapshot)]
+    private[ScriptDdl] def txnActive: Boolean = explicitTxn.isDefined || savepoints.nonEmpty
+  }
+
+  private def snapshot(spark: SparkSession): Snapshot = {
+    val cat = spark.sessionState.catalog
+    Snapshot(cat.getTempViewNames().flatMap(n => cat.getRawTempView(n).map(n -> _)).toMap)
+  }
+
+  private def restore(spark: SparkSession, snap: Snapshot): Unit = {
+    val cat = spark.sessionState.catalog
+    for (n <- cat.getTempViewNames()) cat.dropTempView(n)
+    for ((n, d) <- snap.views) cat.createTempView(n, d, overrideIfExists = true)
   }
 
   /** Column-metadata key remembering an ADD COLUMN default, so later
@@ -113,8 +134,10 @@ object ScriptDdl {
     """(?is)\s*begin(?:\s+(?:deferred|immediate|exclusive))?(?:\s+transaction)?\s*""".r
   private val Commit =
     """(?is)\s*(?:commit|end)(?:\s+transaction)?\s*""".r
+  private val RollbackTo =
+    """(?is)\s*rollback(?:\s+transaction)?\s+to\s+(?:savepoint\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val Rollback =
-    """(?is)\s*rollback\b.*""".r
+    """(?is)\s*rollback(?:\s+transaction)?\s*""".r
   private val Savepoint =
     """(?is)\s*savepoint\s+[`"]?(\w+)[`"]?\s*""".r
   private val Release =
@@ -165,34 +188,50 @@ object ScriptDdl {
     case Begin() =>
       if (state.txnActive)
         throw new IllegalArgumentException("cannot start a transaction within a transaction")
-      state.explicitTxn = true
+      state.explicitTxn = Some(snapshot(spark))
       true
 
     case Commit() =>
       if (!state.txnActive)
         throw new IllegalArgumentException("cannot commit - no transaction is active")
-      state.explicitTxn = false
+      state.explicitTxn = None
       state.savepoints.clear()
       true
 
+    case RollbackTo(name) =>
+      // restores the named savepoint's capture; the savepoint itself
+      // stays live (sqlite3-pinned: ROLLBACK TO sp can repeat), only
+      // savepoints nested inside it are discarded
+      val idx = state.savepoints.lastIndexWhere(_._1.equalsIgnoreCase(name))
+      if (idx < 0)
+        throw new IllegalArgumentException(s"no such savepoint: $name")
+      restore(spark, state.savepoints(idx)._2)
+      state.savepoints.remove(idx + 1, state.savepoints.length - (idx + 1))
+      true
+
     case Rollback() =>
-      // statements auto-commit as they execute (every DML arm rebinds
-      // its view immediately), so a real rollback is impossible —
-      // reject loudly rather than silently diverge. Outside a
-      // transaction sqlite3's own error applies verbatim.
+      // restore the outermost capture — BEGIN's, or the first
+      // savepoint's when the transaction was started implicitly by
+      // SAVEPOINT — and end the transaction (sqlite3-pinned: plain
+      // ROLLBACK releases all savepoints, and undoes CREATE TABLE /
+      // DROP / ALTER as well as DML)
       if (!state.txnActive)
         throw new IllegalArgumentException("cannot rollback - no transaction is active")
-      throw new UnsupportedOperationException(
-        "ROLLBACK is not supported by this engine (statements apply as they execute)")
+      val outer = state.explicitTxn.getOrElse(state.savepoints.head._2)
+      restore(spark, outer)
+      state.explicitTxn = None
+      state.savepoints.clear()
+      true
 
     case Savepoint(name) =>
-      state.savepoints += name
+      state.savepoints += (name -> snapshot(spark))
       true
 
     case Release(name) =>
       // releases the named savepoint and everything nested inside it;
-      // releasing the outermost savepoint commits (SQLite semantics)
-      val idx = state.savepoints.lastIndexWhere(_.equalsIgnoreCase(name))
+      // releasing the outermost savepoint commits (SQLite semantics).
+      // Changes are already live in the catalog, so no binding work.
+      val idx = state.savepoints.lastIndexWhere(_._1.equalsIgnoreCase(name))
       if (idx < 0)
         throw new IllegalArgumentException(s"no such savepoint: $name")
       state.savepoints.remove(idx, state.savepoints.length - idx)

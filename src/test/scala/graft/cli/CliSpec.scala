@@ -549,9 +549,8 @@ class CliSpec extends SparkSpec {
 
   test("transaction control: no-ops with sqlite3's error surface") {
     val f = tempFile("x\n")
-    // statements auto-commit, so BEGIN/COMMIT/SAVEPOINT/RELEASE and the
-    // maintenance statements are no-ops — sqlite3 runs this script with
-    // the same output
+    // COMMIT/RELEASE discard their captures — changes stay applied;
+    // sqlite3 runs this script with the same output
     assert(sqawk(
       "create table tx (k); begin; insert into tx values (1); commit; " +
         "savepoint SP1; insert into tx values (2); release sp1; " + // case-insensitive
@@ -568,9 +567,43 @@ class CliSpec extends SparkSpec {
     assert(sqawk("savepoint s; release s; release s", f)._1 == 1) // released = gone
     // releasing the outermost savepoint commits, so BEGIN works after
     assert(sqawk("savepoint s; release s; begin; select 1", f) == (0, "1\n"))
-    // ROLLBACK inside a transaction is loudly unsupported (rebinds
-    // cannot be undone); silently ignoring it would diverge
-    assert(sqawk("begin; rollback", f)._1 == 1)
+  }
+
+  test("ROLLBACK restores pre-transaction bindings (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // plain ROLLBACK undoes DML *and* DDL back to BEGIN: sqlite3 shows
+    // count 1 and then errors "no such table: r1" on the same script
+    assert(sqawk(
+      "create table tr (k); insert into tr values (1); " +
+        "begin; create table r1 (x); insert into tr values (50); rollback; " +
+        "select count(*) from tr", f) == (0, "1\n"))
+    assert(sqawk("select * from r1", f)._1 == 1) // rolled-back CREATE TABLE is gone
+    spark.catalog.dropTempView("tr")
+    // ROLLBACK also undoes DROP and ALTER (the whole binding map restores)
+    assert(sqawk(
+      "create table td (k); insert into td values (7); " +
+        "begin; drop table td; rollback; select k from td", f) == (0, "7\n"))
+    spark.catalog.dropTempView("td")
+    // savepoint stack: ROLLBACK TO sp undoes past sp but keeps sp live
+    // for a second rollback; a later ROLLBACK TO an outer savepoint
+    // then unwinds further; plain ROLLBACK unwinds everything.
+    // sqlite3 prints 1|X / 2|b, then v=a after the outer rollbacks.
+    assert(sqawk(
+      "create table ts (k, v); insert into ts values (1,'a'), (2,'b'); " +
+        "savepoint s1; update ts set v = 'X' where k = 1; " +
+        "savepoint s2; delete from ts where k = 2; " +
+        "rollback to s2; select k, v from ts order by k; " + // delete undone, update kept
+        "rollback to savepoint s2; " + // still live after the first rollback
+        "rollback to s1; rollback; " + // outer savepoint, then full unwind
+        "select v from ts where k = 1", f) == (0, "1 X\n2 b\na\n"))
+    spark.catalog.dropTempView("ts")
+    // sqlite3-pinned error: unknown savepoint name
+    assert(sqawk("begin; rollback to nosuch", f)._1 == 1) // no such savepoint: nosuch
+    // a savepoint-started transaction fully unwinds on plain ROLLBACK
+    assert(sqawk(
+      "create table tu (k); savepoint sp; insert into tu values (1); rollback; " +
+        "select count(*) from tu", f) == (0, "0\n"))
+    spark.catalog.dropTempView("tu")
   }
 
   test("ALTER TABLE rename/add/drop rebinds match sqlite3") {
