@@ -102,12 +102,17 @@ object ScriptDdl {
     * INSERTs that omit the column fill the default (sqlite3-pinned). */
   val DefaultKey = "graft.dml.default"
 
+  /** Column-metadata key keeping the DEFAULT clause's verbatim SQL
+    * text — what `PRAGMA table_info` reports in dflt_value
+    * (sqlite3-pinned: `'leg''acy'` shows quoted as written). */
+  val DefaultSqlKey = "graft.dml.defaultsql"
+
   private val Ctas =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?table\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+as\s+(.+)""".r
   private val CreateCols =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?table\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s*\((.+)\)\s*""".r
   private val Insert =
-    """(?is)\s*insert\s+(?:or\s+\w+\s+)?into\s+[`"]?(\w+)[`"]?\s*(\([^)]*\))?\s*((?:values|select|with)\b.+)""".r
+    """(?is)\s*(replace|insert(?:\s+or\s+(\w+))?)\s+into\s+[`"]?(\w+)[`"]?\s*(\([^)]*\))?\s*((?:values|select|with)\b.+)""".r
   private val CreateView =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?view\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+as\s+(.+)""".r
   private val Drop =
@@ -145,7 +150,7 @@ object ScriptDdl {
   private val Maintenance =
     """(?is)\s*(?:vacuum|analyze|reindex)\b.*""".r
   private val Rejected =
-    """(?is)\s*(alter|replace|pragma|attach|detach)\b.*""".r
+    """(?is)\s*(alter|pragma|attach|detach)\b.*""".r
 
   /** True when `name` is a SQL-created temp VIEW (stores view text and
     * re-resolves) rather than a plan-bound table: DML must reject it
@@ -283,11 +288,14 @@ object ScriptDdl {
       val target = spark.table(name)
       if (target.columns.exists(_.equalsIgnoreCase(colName)))
         throw new IllegalArgumentException(s"duplicate column name: $colName")
-      val default = defaultMatch.map(m => parseConstantDefault(m.group(1)))
+      val cd = parseColDef(s"$colName $rest")
       val metaB = new org.apache.spark.sql.types.MetadataBuilder()
         .putString(graft.plans.AffinityOrdering.AffinityKey, "NUMERIC")
-      default.flatten.foreach(v => metaB.putString(DefaultKey, v))
-      val added = lit(default.flatten.orNull).cast(StringType).as(colName, metaB.build())
+        .putString(Affinity.DeclKey, Affinity.declaredTypeText(cd.declType))
+      cd.defaultVal.foreach(v => metaB.putString(DefaultKey, v))
+      cd.defaultSql.foreach(s => metaB.putString(DefaultSqlKey, s))
+      if (cd.notNull) metaB.putString(Affinity.NotNullKey, "1")
+      val added = lit(cd.defaultVal.orNull).cast(StringType).as(colName, metaB.build())
       target.select((target.columns.map(c => col(s"`$c`")) :+ added).toIndexedSeq: _*)
         .createOrReplaceTempView(name)
       true
@@ -323,34 +331,65 @@ object ScriptDdl {
           throw new IllegalArgumentException(s"table $name already exists")
       } else {
         // First token of each top-level comma-separated definition is
-        // the column name; table-level constraint defs are skipped.
+        // the column name; table-level constraint defs are split off
+        // (PRIMARY KEY (cols) is honored, the rest are skipped).
         val constraintKw = Set("primary", "unique", "check", "foreign", "constraint")
-        val defs = splitTopLevel(colDefs).map(_.trim)
-          .filterNot(d => constraintKw.contains(d.split("\\s+", 2).head.toLowerCase))
+        val allDefs = splitTopLevel(colDefs).map(_.trim)
+        val (tableCons, defs) =
+          allDefs.partition(d => constraintKw.contains(d.split("\\s+", 2).head.toLowerCase))
+        val tablePk: Seq[String] = tableCons.flatMap { d =>
+          """(?is)\s*primary\s+key\s*\(([^)]*)\)\s*""".r.findFirstMatchIn(d)
+            .map(_.group(1).split(",").map(s => stripQuotes(s.trim)).toSeq)
+            .getOrElse(Nil)
+        }
+        val parsed = defs.map(parseColDef)
+        // a column is a rowid alias only for a single-column PRIMARY
+        // KEY declared exactly INTEGER (SQLite's rowid-alias rule:
+        // `INT PRIMARY KEY` is NOT an alias)
+        val pkCount = parsed.count(_.pk) + tablePk.length
         // Created-table columns are dynamically typed like every sqawk
         // column: the NUMERIC affinity tag gives them SQLite's
         // storage-class ORDER BY / min / max via AffinityOrdering
         // (sqlite3-pinned: values 1,2,103,104 inserted as ints order
         // numerically, not as strings). A per-column DEFAULT literal
-        // is remembered so INSERTs omitting the column fill it.
-        val schema = StructType(defs.map { d =>
-          val n = stripQuotes(d.split("\\s+", 2).head)
+        // is remembered so INSERTs omitting the column fill it; the
+        // declared type / pk / NOT NULL land in metadata for PRAGMA
+        // table_info and the INSERT-time constraint surface.
+        val schema = StructType(parsed.map { cd =>
           val metaB = new org.apache.spark.sql.types.MetadataBuilder()
             .putString(graft.plans.AffinityOrdering.AffinityKey, "NUMERIC")
-          """(?is).*\bdefault\s+(.+)""".r.findFirstMatchIn(d)
-            .flatMap(m => parseConstantDefault(m.group(1)))
-            .foreach(v => metaB.putString(DefaultKey, v))
-          StructField(n, StringType, metadata = metaB.build())
+            .putString(Affinity.DeclKey, Affinity.declaredTypeText(cd.declType))
+          val isPk = cd.pk || tablePk.exists(_.equalsIgnoreCase(cd.name))
+          if (isPk) {
+            val rowid = pkCount == 1 && cd.declType.trim.equalsIgnoreCase("integer")
+            metaB.putString(Affinity.PkKey, if (rowid) "rowid" else "pk")
+          }
+          if (cd.notNull) metaB.putString(Affinity.NotNullKey, "1")
+          cd.defaultVal.foreach(v => metaB.putString(DefaultKey, v))
+          cd.defaultSql.foreach(s => metaB.putString(DefaultSqlKey, s))
+          StructField(cd.name, StringType, metadata = metaB.build())
         })
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           .createOrReplaceTempView(name)
       }
       true
 
-    case Insert(name, colList, body) =>
+    case Insert(verb, orRes, name, colList, body) =>
       if (!spark.catalog.tableExists(name))
         throw new IllegalArgumentException(s"no such table: $name")
       rejectViewDml(spark, name)
+      // REPLACE INTO ≡ INSERT OR REPLACE INTO (SQLite alias); the
+      // other conflict resolutions (ABORT/FAIL/ROLLBACK) all surface
+      // as the statement erroring, which aborts the one-shot script —
+      // same observable as plain INSERT.
+      val mode =
+        if (verb.trim.equalsIgnoreCase("replace")) "replace"
+        else Option(orRes).map(_.toLowerCase).getOrElse("abort") match {
+          case "replace" => "replace"
+          case "ignore" => "ignore"
+          case "abort" | "fail" | "rollback" => "abort"
+          case other => throw new IllegalArgumentException(s"""near "$other": syntax error""")
+        }
       val target = spark.table(name)
       val rows = spark.sql(body)
       val aligned = Option(colList).map(_.trim).filter(_.nonEmpty) match {
@@ -383,7 +422,8 @@ object ScriptDdl {
           }
           filled.select(target.columns.map(col).toIndexedSeq: _*)
       }
-      collapseIfDeep(target.unionByName(aligned)).createOrReplaceTempView(name)
+      collapseIfDeep(applyInsert(spark, name, target, aligned, mode))
+        .createOrReplaceTempView(name)
       true
 
     case CreateView(ifNotExists, name, select) =>
@@ -467,6 +507,197 @@ object ScriptDdl {
   private def requireTable(spark: SparkSession, name: String): Unit =
     if (!spark.catalog.tableExists(name))
       throw new IllegalArgumentException(s"no such table: $name")
+
+  /** Bind one INSERT/REPLACE batch into the table, enforcing the
+    * declared-constraint surface sqlite3 enforces:
+    *
+    *  - NOT NULL columns reject NULL values ("NOT NULL constraint
+    *    failed: t.c");
+    *  - an `INTEGER PRIMARY KEY` rowid alias autoassigns NULL/omitted
+    *    values with running-max semantics — VALUES (NULL),(100),(NULL)
+    *    gets max+1, 100, 101 (sqlite3-pinned) — and rejects
+    *    non-integral values with sqlite3's "datatype mismatch";
+    *  - pk duplicates error ("UNIQUE constraint failed: t.k"), or are
+    *    skipped (OR IGNORE: first batch occurrence wins) or displace
+    *    the stored row (REPLACE: last batch occurrence wins). NULL
+    *    keys never conflict on non-rowid pks (SQLite treats NULLs as
+    *    distinct);
+    *  - tables with a rowid alias rebind ordered by it: SQLite scans
+    *    rowid tables in rowid order, so a SELECT without ORDER BY
+    *    shows displaced/out-of-order keys in key order.
+    *
+    * Constraint checks and autoassign run driver-side on the batch —
+    * the script DML surface is CLI-scoped (ScriptRunner already pumps
+    * every result through the driver), so the batch is bounded; tables
+    * with no declared constraints keep the pure-union fast path. */
+  private def applyInsert(
+      spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
+      aligned: org.apache.spark.sql.DataFrame, mode: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count => fCount, max => fMax, monotonically_increasing_id, row_number}
+
+    val schema = target.schema
+    val pkCols = schema.fields.filter(_.metadata.contains(Affinity.PkKey)).map(_.name).toSeq
+    val rowid = schema.fields
+      .find(f => f.metadata.contains(Affinity.PkKey) && f.metadata.getString(Affinity.PkKey) == "rowid")
+      .map(_.name)
+    val notNullCols = schema.fields.filter(_.metadata.contains(Affinity.NotNullKey)).map(_.name).toSeq
+    if (pkCols.isEmpty && notNullCols.isEmpty) return target.unionByName(aligned)
+
+    // align the batch to the stored schema's types so driver-side
+    // assignment and key comparison see the canonical stored text
+    val alignedT = aligned.select(
+      schema.fields.map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+    val nnCheck = notNullCols.filterNot(rowid.contains) // rowid NULLs autoassign instead
+    if (nnCheck.nonEmpty) {
+      val bad = alignedT
+        .where(nnCheck.map(c => col(s"`$c`").isNull).reduce(_ || _)).limit(1).collect()
+      if (bad.nonEmpty) {
+        val c = nnCheck.find(c => bad(0).isNullAt(alignedT.columns.indexOf(c))).get
+        throw new IllegalArgumentException(s"NOT NULL constraint failed: $name.$c")
+      }
+    }
+
+    val batch: DataFrame = rowid match {
+      case Some(rc) =>
+        // driver-side running-max walk: each NULL key takes one more
+        // than the largest key seen so far (stored or earlier in the
+        // batch — sqlite3-pinned); explicit keys are canonicalized
+        // ("2.0" stores as 2) and validated integral
+        val rcIdx = schema.fieldIndex(rc)
+        // the rowid column is LongType on ingest tables (anr) and
+        // StringType on script-created ones — store back in kind
+        def keyValue(n: Long): Any = schema(rcIdx).dataType match {
+          case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(n)
+          case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(n.toInt)
+          case _ => n.toString
+        }
+        var run: Long = target.select(fMax(col(s"`$rc`").cast("long"))).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => math.max(0L, r.getLong(0))
+        }
+        val out = alignedT.collect().map { r =>
+          val vals = Array.tabulate[Any](schema.length)(r.get)
+          vals(rcIdx) match {
+            case null => run += 1; vals(rcIdx) = keyValue(run)
+            case v =>
+              val canon = Affinity.canonicalize(v.toString, "INTEGER")
+              val n =
+                try java.lang.Long.parseLong(canon)
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException("datatype mismatch") }
+              vals(rcIdx) = keyValue(n)
+              if (n > run) run = n
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+        spark.createDataFrame(
+          java.util.Arrays.asList(out: _*),
+          StructType(schema.fields.map(f => StructField(f.name, f.dataType))))
+      case _ => alignedT
+    }
+
+    def order(df: DataFrame): DataFrame = rowid match {
+      case Some(rc) => df.orderBy(col(s"`$rc`").cast("long"))
+      case None => df
+    }
+
+    if (pkCols.isEmpty) return order(target.unionByName(batch))
+
+    val keyNonNull = pkCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
+    def cond(b: DataFrame, t: DataFrame) =
+      pkCols.map(c => b(c) === t(c)).reduce(_ && _)
+
+    mode match {
+      case "abort" =>
+        val dupExisting = batch.where(keyNonNull)
+          .join(target, cond(batch, target), "left_semi").limit(1).count() > 0
+        val dupInternal = batch.where(keyNonNull)
+          .groupBy(pkCols.map(c => col(s"`$c`")): _*).agg(fCount(lit(1)).as("__n"))
+          .where(col("__n") > 1).limit(1).count() > 0
+        if (dupExisting || dupInternal)
+          throw new IllegalArgumentException(
+            "UNIQUE constraint failed: " + pkCols.map(c => s"$name.$c").mkString(", "))
+        order(target.unionByName(batch))
+
+      case "ignore" =>
+        val withRid = batch.withColumn("__gr_rid", monotonically_increasing_id())
+        val w = Window.partitionBy(pkCols.map(c => col(s"`$c`")): _*).orderBy(col("__gr_rid"))
+        val firstPer = withRid.where(keyNonNull)
+          .withColumn("__gr_rn", row_number().over(w)).where(col("__gr_rn") === 1)
+          .drop("__gr_rn")
+        val fresh = firstPer.join(target, cond(firstPer, target), "left_anti")
+          .drop("__gr_rid")
+        val nullKeyed = withRid.where(!keyNonNull).drop("__gr_rid")
+        order(target.unionByName(fresh).unionByName(nullKeyed))
+
+      case "replace" =>
+        val withRid = batch.withColumn("__gr_rid", monotonically_increasing_id())
+        val w = Window.partitionBy(pkCols.map(c => col(s"`$c`")): _*)
+          .orderBy(col("__gr_rid").desc)
+        val lastPer = withRid.where(keyNonNull)
+          .withColumn("__gr_rn", row_number().over(w)).where(col("__gr_rn") === 1)
+          .drop("__gr_rn", "__gr_rid")
+        val nullKeyed = withRid.where(!keyNonNull).drop("__gr_rid")
+        val kept = target.join(lastPer, cond(target, lastPer), "left_anti")
+        order(kept.unionByName(lastPer).unionByName(nullKeyed))
+    }
+  }
+
+  private final case class ColDef(
+      name: String, declType: String, pk: Boolean, notNull: Boolean,
+      defaultSql: Option[String], defaultVal: Option[String])
+
+  /** Parse one CREATE TABLE column definition: the name token, then
+    * declared-type tokens up to the first constraint keyword (so
+    * `varchar(20)` and `double precision` survive verbatim), then the
+    * constraint surface sqlite3 reports through table_info. */
+  private def parseColDef(d: String): ColDef = {
+    val parts = d.split("\\s+", 2)
+    val name = stripQuotes(parts.head)
+    val rest = parts.lift(1).getOrElse("")
+    val constraintStart = Set("primary", "not", "null", "unique", "check",
+      "default", "references", "collate", "generated", "as", "constraint")
+    val typeTokens = rest.split("\\s+").toSeq.filter(_.nonEmpty)
+      .takeWhile(t => !constraintStart(t.toLowerCase.takeWhile(_.isLetter)))
+    val dfltText = """(?is)\bdefault\s+(.+)""".r.findFirstMatchIn(d)
+      .map(m => firstDefaultValue(m.group(1)))
+    ColDef(
+      name,
+      typeTokens.mkString(" "),
+      pk = """(?is).*\bprimary\s+key\b.*""".r.matches(d),
+      notNull = """(?is).*\bnot\s+null\b.*""".r.matches(d),
+      defaultSql = dfltText,
+      defaultVal = dfltText.flatMap(parseConstantDefault))
+  }
+
+  /** The DEFAULT clause's value text: a quoted string ('' escapes), a
+    * balanced parenthesized group, or one token — whatever trailing
+    * constraints (`DEFAULT 5 NOT NULL`) follow are not part of it. */
+  private def firstDefaultValue(text: String): String = {
+    val t = text.trim
+    if (t.startsWith("'")) {
+      var i = 1
+      while (i < t.length) {
+        if (t.charAt(i) == '\'') {
+          if (i + 1 < t.length && t.charAt(i + 1) == '\'') i += 2
+          else return t.substring(0, i + 1)
+        } else i += 1
+      }
+      t
+    } else if (t.startsWith("(")) {
+      var depth = 0
+      var i = 0
+      while (i < t.length) {
+        if (t.charAt(i) == '(') depth += 1
+        else if (t.charAt(i) == ')') { depth -= 1; if (depth == 0) return t.substring(0, i + 1) }
+        i += 1
+      }
+      t
+    } else t.split("\\s+").head
+  }
 
   /** Parse an ADD COLUMN / column-def DEFAULT as a constant literal,
     * returning its canonical stored text (None for NULL). SQLite

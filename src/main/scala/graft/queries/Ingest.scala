@@ -635,6 +635,43 @@ object Ingest {
              |  UNION ALL SELECT 97, 'new_row', 'legacy'
              |)
              |SELECT CAST(k AS BIGINT) AS k, name, tag FROM b
-             |WHERE NOT coalesce(k % 7 = 3, false) ORDER BY k""".stripMargin))
+             |WHERE NOT coalesce(k % 7 = 3, false) ORDER BY k""".stripMargin)),
+
+    // i24: INTEGER PRIMARY KEY + transaction rollback mid-script (the
+    // reference's ingest DDL declares `anr INTEGER PRIMARY KEY`,
+    // lib/classes/table.tcl:70, and forwards REPLACE/savepoint
+    // statements verbatim, sqawk.tcl:216). Omitted keys autoassign
+    // max+1 (nation's max key 24 → 25, 26), REPLACE displaces k=3,
+    // OR IGNORE skips the dup k=5 and keeps k=40, and the
+    // BEGIN→DELETE→ROLLBACK round-trip leaves no trace (binding
+    // snapshots); the oracle recomputes the net state as plain SQL.
+    QDef(
+      "i24_pk_replace",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("g_nat_pk")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """CREATE TABLE pk24 (k INTEGER PRIMARY KEY, nm TEXT);
+            |INSERT INTO pk24 SELECT n_nationkey, n_name FROM g_nat_pk;
+            |INSERT INTO pk24 (nm) VALUES ('auto_a'), ('auto_b');
+            |REPLACE INTO pk24 VALUES (3, 'replaced');
+            |INSERT OR IGNORE INTO pk24 VALUES (5, 'ignored'), (40, 'kept');
+            |BEGIN;
+            |DELETE FROM pk24 WHERE k < 10;
+            |ROLLBACK""".stripMargin,
+          new AwkSerializer(sw))
+        val out = s.table("pk24")
+          .select(col("k").cast("long").as("k"), col("nm"))
+        s.catalog.dropTempView("pk24")
+        s.catalog.dropTempView("g_nat_pk")
+        out
+      },
+      Some("""WITH base AS (
+             |  SELECT n_nationkey AS k,
+             |         CASE WHEN n_nationkey = 3 THEN 'replaced' ELSE n_name END AS nm
+             |  FROM nation
+             |)
+             |SELECT CAST(k AS BIGINT) AS k, nm FROM base
+             |UNION ALL VALUES (25, 'auto_a'), (26, 'auto_b'), (40, 'kept')""".stripMargin))
   )
 }

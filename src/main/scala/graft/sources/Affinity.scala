@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Affinity {
 
+  /** Column-metadata keys recording the DECLARED shape of a table
+    * column — what `PRAGMA table_info` reports and what the DML layer
+    * enforces. Set at table creation (ingest: RecordPipeline; scripts:
+    * ScriptDdl's CREATE TABLE) and carried through view rebinds.
+    *  - [[DeclKey]]: the declared type text, sqlite3-normalized (see
+    *    [[declaredTypeText]]); "" for an untyped column.
+    *  - [[PkKey]]: "rowid" for SQLite's `INTEGER PRIMARY KEY` rowid
+    *    alias (autoassigns on NULL/omitted INSERT), "pk" for any other
+    *    PRIMARY KEY member (uniqueness only, NULLs allowed).
+    *  - [[NotNullKey]]: present when declared NOT NULL. */
+  val DeclKey = "graft.decl.type"
+  val PkKey = "graft.decl.pk"
+  val NotNullKey = "graft.decl.notnull"
+
+  /** sqlite3 (pinned on 3.x) reports the five canonical type keywords
+    * uppercased in `PRAGMA table_info` and everything else verbatim:
+    * int→INT, TeXt→TEXT, blob→BLOB, real→REAL, Integer→INTEGER, while
+    * varchar(20), int8, numeric, double precision, foo stay as
+    * written. */
+  def declaredTypeText(decl: String): String = {
+    val t = decl.trim
+    if (Set("int", "integer", "text", "blob", "real")(t.toLowerCase)) t.toUpperCase else t
+  }
+
   private val intRe = """[+-]?\d+""".r
   private val realRe = """[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r
 

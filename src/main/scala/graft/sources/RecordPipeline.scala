@@ -222,20 +222,31 @@ object RecordPipeline {
       val affinity = Affinity.hasAffinity(declared)
       val raw = get(col("__fields"), lit(i - 1))
       val value = Affinity.canonicalExpr(raw, affinity)
+      // Declared-type metadata feeds PRAGMA table_info (the reference
+      // declares each field column with its datatypes= text,
+      // lib/classes/table.tcl:60-66).
+      val declMeta = new MetadataBuilder()
+        .putString(Affinity.DeclKey, Affinity.declaredTypeText(declared))
       // Numeric-affinity columns are marked (attribute metadata for
       // Sort/min/max, AffinityValue wrapper for pushed-down
       // comparisons) so AffinityOrdering can give them SQLite's
       // cross-type semantics.
-      if (affinity == "TEXT" || affinity == "BLOB") value.as(fieldNames(i - 1))
+      if (affinity == "TEXT" || affinity == "BLOB") value.as(fieldNames(i - 1), declMeta.build())
       else call_function("graft_affinity_value", value, lit(affinity)).as(fieldNames(i - 1),
-        new MetadataBuilder().putString(graft.plans.AffinityOrdering.AffinityKey, affinity).build())
+        declMeta.putString(graft.plans.AffinityOrdering.AffinityKey, affinity).build())
     }
 
-    val nrMeta = new MetadataBuilder().putLong(RowCountKey, totalRows).build()
+    // `<prefix>nr INTEGER PRIMARY KEY` in the reference's DDL
+    // (lib/classes/table.tcl:70) — the rowid alias, so script INSERTs
+    // autoassign it and PRAGMA table_info reports pk=1.
+    val nrMeta = new MetadataBuilder().putLong(RowCountKey, totalRows)
+      .putString(Affinity.DeclKey, "INTEGER").putString(Affinity.PkKey, "rowid").build()
+    val nfMeta = new MetadataBuilder().putString(Affinity.DeclKey, "INTEGER").build()
+    val a0Meta = new MetadataBuilder().putString(Affinity.DeclKey, "TEXT").build()
     val base = Seq(
       col("__nr").as(s"${p}nr", nrMeta),
-      size(col("__fields")).as(s"${p}nf")) ++
-      (if (opts.f0) Seq(col("__a0").as(s"${p}0")) else Nil)
+      size(col("__fields")).as(s"${p}nf", nfMeta)) ++
+      (if (opts.f0) Seq(col("__a0").as(s"${p}0", a0Meta)) else Nil)
 
     cropped.select(base ++ fieldCols: _*)
   }

@@ -569,6 +569,71 @@ class CliSpec extends SparkSpec {
     assert(sqawk("savepoint s; release s; begin; select 1", f) == (0, "1\n"))
   }
 
+  test("INTEGER PRIMARY KEY: autoassign, REPLACE, OR IGNORE (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // the full pinned sqlite3 session: NULL/omitted keys autoassign
+    // with running-max semantics, REPLACE displaces in place, OR
+    // IGNORE skips dups, out-of-order keys list in key order (SQLite
+    // scans rowid tables in rowid order)
+    assert(sqawk(
+      "create table t (k INTEGER PRIMARY KEY, v TEXT); " +
+        "insert into t values (1,'a'), (2,'b'), (5,'e'); " +
+        "insert into t (v) values ('auto'); " +
+        "replace into t values (2,'B2'); " +
+        "insert or replace into t (k, v) values (5,'E2'), (7,'g'); " +
+        "insert or ignore into t values (1,'dup'), (8,'h'); " +
+        "insert into t values (null,'n1'), (100,'x'), (null,'n2'); " +
+        "insert into t values (3,'mid'); " +
+        "select k, v from t", f) ==
+      (0, "1 a\n2 B2\n3 mid\n5 E2\n6 auto\n7 g\n8 h\n9 n1\n100 x\n101 n2\n"))
+    spark.catalog.dropTempView("t")
+    // REAL keys store losslessly as integers and feed the running max
+    assert(sqawk(
+      "create table t2 (k INTEGER PRIMARY KEY, v); " +
+        "insert into t2 values (2.0, 'real'), (null, 'after'); select k, v from t2",
+      f) == (0, "2 real\n3 after\n"))
+    spark.catalog.dropTempView("t2")
+    // sqlite3-pinned error surface
+    assert(sqawk("create table te (k INTEGER PRIMARY KEY, v); " +
+      "insert into te values (1,'a'); insert into te values (1,'dup')", f)._1 == 1) // UNIQUE constraint failed: te.k
+    spark.catalog.dropTempView("te")
+    assert(sqawk("create table tm (k INTEGER PRIMARY KEY, v); " +
+      "insert into tm values ('abc', 1)", f)._1 == 1) // datatype mismatch
+    spark.catalog.dropTempView("tm")
+    assert(sqawk("create table nn (a, b NOT NULL); " +
+      "insert into nn values (1, null)", f)._1 == 1) // NOT NULL constraint failed: nn.b
+    spark.catalog.dropTempView("nn")
+  }
+
+  test("non-rowid pk: NULLs never conflict; REPLACE appends (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // TEXT PRIMARY KEY allows multiple NULLs (SQLite quirk); REPLACE
+    // deletes + appends, so the displaced row lists last
+    assert(sqawk(
+      "create table u (k TEXT PRIMARY KEY, v); " +
+        "insert into u values ('x','1'), (null,'n1'), (null,'n2'); " +
+        "replace into u values ('x','2'); " +
+        "insert or ignore into u values ('x','3'), ('y','4'); " +
+        "select k, v from u", f) == (0, " n1\n n2\nx 2\ny 4\n"))
+    spark.catalog.dropTempView("u")
+    // without any pk, REPLACE is a plain INSERT (nothing to displace)
+    assert(sqawk(
+      "create table w (a, b); insert into w values (1,2); " +
+        "replace into w values (1,3); select a, b from w", f) == (0, "1 2\n1 3\n"))
+    spark.catalog.dropTempView("w")
+  }
+
+  test("ingest tables autoassign anr on INSERT (reference DDL: anr INTEGER PRIMARY KEY)") {
+    val f = tempFile("foo 1\nbar 2\nbaz 3\n")
+    // lib/classes/table.tcl:70 declares anr INTEGER PRIMARY KEY, so in
+    // sqawk an INSERT omitting it autoassigns max+1
+    assert(sqawk("insert into a (a1, a2) values ('new', 9); " +
+      "select anr, a1, a2 from a", f) ==
+      (0, "1 foo 1\n2 bar 2\n3 baz 3\n4 new 9\n"))
+    // and a duplicate anr errors like sqlite3
+    assert(sqawk("insert into a (anr, a1) values (2, 'dup')", f)._1 == 1)
+  }
+
   test("ROLLBACK restores pre-transaction bindings (sqlite3-pinned)") {
     val f = tempFile("x\n")
     // plain ROLLBACK undoes DML *and* DDL back to BEGIN: sqlite3 shows
