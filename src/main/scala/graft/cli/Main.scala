@@ -27,7 +27,8 @@ object Main {
     try {
       GraftSession.loadAll(spark, parsed)
       val serializer = ScriptRunner.makeSerializer(parsed.global.output, parsed.global, out)
-      ScriptRunner.run(spark, parsed.script, serializer)
+      ScriptRunner.run(spark, parsed.script, serializer,
+        Option(parsed.global.dbfile).filter(_ != ":memory:"))
       0
     } catch {
       // Only a broken pipe is tolerated silently (reference tests.tcl:70-83);

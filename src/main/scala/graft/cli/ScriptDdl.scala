@@ -38,10 +38,16 @@ import graft.sources.Affinity
   *    so an INSERT into a base table after CREATE VIEW shows through
   *    the view — sqlite3-pinned in CliSpec. `DROP VIEW` shares the
   *    DROP arm (temp views and "tables" live in one namespace here);
-  *  - `CREATE INDEX` / `DROP INDEX` → no-ops: SQLite indexes change
-  *    performance, never results, and Catalyst plans declaratively.
-  *    `CREATE UNIQUE INDEX` is rejected (its uniqueness constraint on
-  *    later INSERTs would silently not be enforced);
+  *  - `CREATE INDEX` / `DROP INDEX` → planning no-ops: SQLite indexes
+  *    change performance, never results, and Catalyst plans
+  *    declaratively. They still register in the run's index registry
+  *    (PRAGMA index_list, name reservation, DROP INDEX errors — all
+  *    like sqlite3). `CREATE UNIQUE INDEX` is rejected (its
+  *    uniqueness constraint on later INSERTs would silently not be
+  *    enforced);
+  *  - `PRAGMA` → answered from the declared-column metadata and the
+  *    run state ([[pragmaRows]]): table_info / database_list /
+  *    index_list / journal_mode / user_version and friends;
   *  - `ALTER TABLE` → rebinds: RENAME TO re-binds the plan under the
   *    new name, RENAME COLUMN / DROP COLUMN are projection rebinds,
   *    ADD COLUMN appends a literal column. The DEFAULT applies to
@@ -70,32 +76,47 @@ import graft.sources.Affinity
   */
 object ScriptDdl {
 
-  /** A transaction capture: the full local temp-view catalog at one
-    * point in the script. Plans are lazy logical trees, so this is
-    * O(tables) driver-side metadata — restoring rebinds the names to
-    * the captured plans without touching any data. */
+  /** A transaction capture: the full local temp-view catalog (plus
+    * the index registry and user_version) at one point in the script.
+    * Plans are lazy logical trees, so this is O(tables) driver-side
+    * metadata — restoring rebinds the names to the captured plans
+    * without touching any data. */
   private[cli] final case class Snapshot(
-      views: Map[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation])
+      views: Map[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation],
+      indexes: Vector[(String, String)],
+      userVersion: Long)
 
   /** Per-script-run mutable state: the transaction/savepoint surface
     * needs statement-to-statement memory for rollback and its error
-    * semantics. */
-  final class State {
+    * semantics, and the PRAGMA surface reports the run's index
+    * registry, user_version and attached file. */
+  final class State(val dbFile: Option[String] = None) {
     private[ScriptDdl] var explicitTxn: Option[Snapshot] = None
     private[ScriptDdl] val savepoints =
       scala.collection.mutable.ArrayBuffer.empty[(String, Snapshot)]
     private[ScriptDdl] def txnActive: Boolean = explicitTxn.isDefined || savepoints.nonEmpty
+    /** CREATE INDEX registry, (index name, table name): indexes are
+      * planning no-ops here, but PRAGMA index_list and DROP INDEX
+      * still see them like sqlite3 does. */
+    private[ScriptDdl] val indexes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    private[ScriptDdl] var userVersion: Long = 0L
   }
 
-  private def snapshot(spark: SparkSession): Snapshot = {
+  private def snapshot(spark: SparkSession, state: State): Snapshot = {
     val cat = spark.sessionState.catalog
-    Snapshot(cat.getTempViewNames().flatMap(n => cat.getRawTempView(n).map(n -> _)).toMap)
+    Snapshot(
+      cat.getTempViewNames().flatMap(n => cat.getRawTempView(n).map(n -> _)).toMap,
+      state.indexes.toVector,
+      state.userVersion)
   }
 
-  private def restore(spark: SparkSession, snap: Snapshot): Unit = {
+  private def restore(spark: SparkSession, state: State, snap: Snapshot): Unit = {
     val cat = spark.sessionState.catalog
     for (n <- cat.getTempViewNames()) cat.dropTempView(n)
     for ((n, d) <- snap.views) cat.createTempView(n, d, overrideIfExists = true)
+    state.indexes.clear()
+    state.indexes ++= snap.indexes
+    state.userVersion = snap.userVersion
   }
 
   /** Column-metadata key remembering an ADD COLUMN default, so later
@@ -118,9 +139,9 @@ object ScriptDdl {
   private val Drop =
     """(?is)\s*drop\s+(?:table|view)\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val CreateIndex =
-    """(?is)\s*create\s+(unique\s+)?index\s+.+""".r
+    """(?is)\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+on\s+[`"]?(\w+)[`"]?\s*\(.+""".r
   private val DropIndex =
-    """(?is)\s*drop\s+index\s+.+""".r
+    """(?is)\s*drop\s+index\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val CreateTrigger =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?trigger\b.*""".r
   private val Update =
@@ -150,7 +171,9 @@ object ScriptDdl {
   private val Maintenance =
     """(?is)\s*(?:vacuum|analyze|reindex)\b.*""".r
   private val Rejected =
-    """(?is)\s*(alter|pragma|attach|detach)\b.*""".r
+    """(?is)\s*(alter|attach|detach)\b.*""".r
+  private val Pragma =
+    """(?is)\s*pragma\s+(?:[`"]?\w+[`"]?\s*\.\s*)?[`"]?(\w+)[`"]?\s*(?:\(\s*['"`]?(\w+)['"`]?\s*\)|=\s*(.+?))?\s*""".r
 
   /** True when `name` is a SQL-created temp VIEW (stores view text and
     * re-resolves) rather than a plan-bound table: DML must reject it
@@ -193,7 +216,7 @@ object ScriptDdl {
     case Begin() =>
       if (state.txnActive)
         throw new IllegalArgumentException("cannot start a transaction within a transaction")
-      state.explicitTxn = Some(snapshot(spark))
+      state.explicitTxn = Some(snapshot(spark, state))
       true
 
     case Commit() =>
@@ -210,7 +233,7 @@ object ScriptDdl {
       val idx = state.savepoints.lastIndexWhere(_._1.equalsIgnoreCase(name))
       if (idx < 0)
         throw new IllegalArgumentException(s"no such savepoint: $name")
-      restore(spark, state.savepoints(idx)._2)
+      restore(spark, state, state.savepoints(idx)._2)
       state.savepoints.remove(idx + 1, state.savepoints.length - (idx + 1))
       true
 
@@ -223,13 +246,13 @@ object ScriptDdl {
       if (!state.txnActive)
         throw new IllegalArgumentException("cannot rollback - no transaction is active")
       val outer = state.explicitTxn.getOrElse(state.savepoints.head._2)
-      restore(spark, outer)
+      restore(spark, state, outer)
       state.explicitTxn = None
       state.savepoints.clear()
       true
 
     case Savepoint(name) =>
-      state.savepoints += (name -> snapshot(spark))
+      state.savepoints += (name -> snapshot(spark, state))
       true
 
     case Release(name) =>
@@ -322,7 +345,41 @@ object ScriptDdl {
       if (spark.catalog.tableExists(name)) {
         if (ifNotExists == null)
           throw new IllegalArgumentException(s"table $name already exists")
-      } else spark.sql(select).createOrReplaceTempView(name)
+      } else {
+        // sqlite3-pinned CTAS metadata: the new table keeps each
+        // source COLUMN's affinity as its declared type (INTEGER
+        // column → "INT", TEXT → "TEXT"; expressions and literals
+        // have no affinity → ""), and sheds pk / NOT NULL / DEFAULT —
+        // `CREATE TABLE t AS SELECT * FROM a` has no rowid alias, so
+        // INSERTs into it do not autoassign.
+        val df = spark.sql(select)
+        val tagged = df.select(df.schema.fields.map { f =>
+          // the DECLARED type decides affinity when known (script
+          // tables tag untyped columns NUMERIC for ordering, but
+          // sqlite3 gives an undeclared column no affinity at all)
+          val affinity =
+            if (f.metadata.contains(Affinity.DeclKey))
+              Affinity.hasAffinity(f.metadata.getString(Affinity.DeclKey))
+            else if (f.metadata.contains(graft.plans.AffinityOrdering.AffinityKey))
+              f.metadata.getString(graft.plans.AffinityOrdering.AffinityKey)
+            else "BLOB"
+          val declText = affinity match {
+            case "INTEGER" => "INT"
+            case "TEXT" => "TEXT"
+            case "REAL" => "REAL"
+            case "NUMERIC" => "NUM"
+            case _ => ""
+          }
+          val m = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .remove(Affinity.PkKey).remove(Affinity.NotNullKey)
+            .remove(DefaultKey).remove(DefaultSqlKey)
+            .putString(Affinity.DeclKey, declText)
+            .build()
+          col(s"`${f.name}`").as(f.name, m)
+        }.toIndexedSeq: _*)
+        tagged.createOrReplaceTempView(name)
+      }
       true
 
     case CreateCols(ifNotExists, name, colDefs) =>
@@ -479,17 +536,30 @@ object ScriptDdl {
       collapseIfDeep(rebound).createOrReplaceTempView(name)
       true
 
-    case CreateIndex(unique) =>
+    case CreateIndex(unique, ifNotExists, idxName, tblName) =>
       // SQLite indexes change performance, never results; Catalyst
-      // plans declaratively, so a plain CREATE INDEX is a faithful
-      // no-op. A UNIQUE index also enforces a constraint on later
-      // INSERTs — silently ignoring that would diverge, so reject.
+      // plans declaratively, so a plain CREATE INDEX is a planning
+      // no-op — but it still registers (PRAGMA index_list and DROP
+      // INDEX see it, and its name is reserved, like sqlite3). A
+      // UNIQUE index also enforces a constraint on later INSERTs —
+      // silently ignoring that would diverge, so reject.
       if (unique != null)
         throw new UnsupportedOperationException(
           "CREATE UNIQUE INDEX is not supported by this engine (uniqueness would not be enforced)")
+      requireTable(spark, tblName)
+      if (state.indexes.exists(_._1.equalsIgnoreCase(idxName))) {
+        if (ifNotExists == null)
+          throw new IllegalArgumentException(s"index $idxName already exists")
+      } else state.indexes += (idxName -> tblName)
       true
 
-    case DropIndex() => true // companion no-op
+    case DropIndex(ifExists, idxName) =>
+      val idx = state.indexes.indexWhere(_._1.equalsIgnoreCase(idxName))
+      if (idx < 0) {
+        if (ifExists == null)
+          throw new IllegalArgumentException(s"no such index: $idxName")
+      } else state.indexes.remove(idx)
+      true
 
     case CreateTrigger() =>
       throw new UnsupportedOperationException(
@@ -507,6 +577,87 @@ object ScriptDdl {
   private def requireTable(spark: SparkSession, name: String): Unit =
     if (!spark.catalog.tableExists(name))
       throw new IllegalArgumentException(s"no such table: $name")
+
+  /** The PRAGMA surface (reference forwards PRAGMA statements to
+    * SQLite verbatim like the rest of the dialect, sqawk.tcl:216).
+    * Returns Some(rows) when `stmt` is a PRAGMA — an empty-schema
+    * frame for the silent forms — or None for non-PRAGMA statements.
+    * Shapes and values are sqlite3-pinned:
+    *
+    *  - `table_info(t)`: (cid, name, type, notnull, dflt_value, pk)
+    *    from the declared-column metadata; unknown tables yield no
+    *    rows (not an error); CTAS columns have no declared type ("");
+    *    view columns inherit the base column's declared type, show
+    *    "BLOB" for typeless base columns, "" for expressions, and
+    *    never report notnull/dflt/pk;
+    *  - `database_list`: one row — seq 0, name main, the `-dbfile`
+    *    path or "" (in-memory);
+    *  - `index_list(t)`: this run's CREATE INDEX registry, origin "c",
+    *    never unique (UNIQUE indexes are rejected at creation);
+    *  - `journal_mode` reads AND assignments answer "memory" (an
+    *    in-memory SQLite ignores journal-mode changes the same way);
+    *    `synchronous` → 2, `foreign_keys` → 0; `user_version` is
+    *    readable, assignable and transactional (captured in rollback
+    *    snapshots);
+    *  - every other pragma — including assignments — is silent,
+    *    matching sqlite3's unknown-pragma behavior. */
+  def pragmaRows(spark: SparkSession, stmt: String, state: State): Option[org.apache.spark.sql.DataFrame] = {
+    import spark.implicits._
+    def silent = spark.emptyDataFrame
+    def one(name: String, v: Any): org.apache.spark.sql.DataFrame = v match {
+      case s: String => Seq(s).toDF(name)
+      case l: Long => Seq(l).toDF(name)
+      case other => Seq(other.toString).toDF(name)
+    }
+    stmt match {
+      case Pragma(name, arg, assign) => Some(name.toLowerCase match {
+        case "table_info" if arg != null => tableInfo(spark, arg)
+        case "database_list" =>
+          Seq((0L, "main", state.dbFile.getOrElse(""))).toDF("seq", "name", "file")
+        case "index_list" if arg != null =>
+          state.indexes.toSeq.filter(_._2.equalsIgnoreCase(arg)).zipWithIndex
+            .map { case ((idx, _), i) => (i.toLong, idx, 0L, "c", 0L) }
+            .toDF("seq", "name", "unique", "origin", "partial")
+        case "journal_mode" => one("journal_mode", "memory")
+        case "synchronous" if assign == null => one("synchronous", 2L)
+        case "foreign_keys" if assign == null => one("foreign_keys", 0L)
+        case "user_version" =>
+          if (assign == null) one("user_version", state.userVersion)
+          else {
+            state.userVersion =
+              try assign.trim.toLong
+              catch { case _: NumberFormatException => 0L }
+            silent
+          }
+        case _ => silent
+      })
+      case _ => None
+    }
+  }
+
+  private def tableInfo(spark: SparkSession, table: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, Long, String, Long)]
+      .toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
+    if (!spark.catalog.tableExists(table)) return empty
+    val view = isView(spark, table)
+    val fields = spark.table(table).schema.fields
+    var pkOrd = 0L
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      val m = f.metadata
+      val declOpt = if (m.contains(Affinity.DeclKey)) Some(m.getString(Affinity.DeclKey)) else None
+      val decl =
+        if (view) declOpt.map(d => if (d.isEmpty) "BLOB" else d).getOrElse("")
+        else declOpt.getOrElse("")
+      val notNull = if (!view && m.contains(Affinity.NotNullKey)) 1L else 0L
+      val dflt =
+        if (!view && m.contains(DefaultSqlKey)) m.getString(DefaultSqlKey) else null
+      val pk =
+        if (!view && m.contains(Affinity.PkKey)) { pkOrd += 1; pkOrd } else 0L
+      (i.toLong, f.name, decl, notNull, dflt, pk)
+    }
+    rows.toSeq.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
+  }
 
   /** Bind one INSERT/REPLACE batch into the table, enforcing the
     * declared-constraint surface sqlite3 enforces:

@@ -115,23 +115,29 @@ object ScriptRunner {
     * bounded driver memory (`toLocalIterator`). SQLite-semantic
     * aggregates (`sum` INTEGER-iff-all-integer, `total`) apply inside
     * script execution only. */
-  def run(spark: SparkSession, script: String, serializer: Serializer): Unit = {
+  def run(spark: SparkSession, script: String, serializer: Serializer,
+      dbFile: Option[String] = None): Unit = {
     // The script dialect needs SQLite-permissive coercions ('x' < 10 is
     // NULL, not an error) whatever the host session's ANSI setting is.
     val savedAnsi = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    val ddlState = new ScriptDdl.State // per-run transaction tracking
+    val ddlState = new ScriptDdl.State(dbFile) // per-run transaction/pragma tracking
     try graft.functions.GraftFunctions.withSqliteAggregates(spark) {
       for (stmt <- splitStatements(script)) {
         // SQLite operator spellings (A GLOB B / A REGEXP B) become the
         // registered function calls before Spark parses the statement.
         val sql = SqliteOperators.rewrite(stmt)
-        // Side-effecting dialect statements (CREATE TABLE/INSERT/DROP)
-        // bind temp views and emit no rows; UPDATE/DELETE etc. get a
-        // one-line rejection (ScriptDdl).
-        if (!ScriptDdl.execute(spark, sql, ddlState)) {
-          val df: DataFrame = spark.sql(sql)
-          if (df.schema.nonEmpty) pump(df, serializer)
+        // PRAGMAs answer rows of their own; the side-effecting dialect
+        // statements (CREATE TABLE/INSERT/DROP/transactions) bind temp
+        // views and emit none; everything else is a query for spark.sql.
+        ScriptDdl.pragmaRows(spark, sql, ddlState) match {
+          case Some(df) =>
+            if (df.schema.nonEmpty) pump(df, serializer)
+          case None =>
+            if (!ScriptDdl.execute(spark, sql, ddlState)) {
+              val df: DataFrame = spark.sql(sql)
+              if (df.schema.nonEmpty) pump(df, serializer)
+            }
         }
       }
     } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)

@@ -569,6 +569,61 @@ class CliSpec extends SparkSpec {
     assert(sqawk("savepoint s; release s; begin; select 1", f) == (0, "1\n"))
   }
 
+  test("PRAGMA table_info/database_list/index_list/settings (sqlite3-pinned)") {
+    val f = tempFile("foo 1\nbar 2\n")
+    // the reference's ingest DDL (lib/classes/table.tcl:69-72) is
+    // `anr INTEGER PRIMARY KEY, anf INTEGER, a0 TEXT, a1..aMNF
+    // INTEGER` (maxnf default 10); sqlite3 reports exactly these
+    // table_info rows for it
+    val aFields = (1 to 10).map(i => s"${i + 2} a$i INTEGER 0  0\n").mkString
+    assert(sqawk("pragma table_info(a)", f) ==
+      (0, "0 anr INTEGER 0  1\n1 anf INTEGER 0  0\n2 a0 TEXT 0  0\n" + aFields))
+    // datatypes= flows into the declared types, like the reference DDL
+    val aTail = (3 to 10).map(i => s"${i + 2} a$i INTEGER 0  0\n").mkString
+    assert(sqawk("pragma table_info(a)", "datatypes=TEXT,REAL", f) ==
+      (0, "0 anr INTEGER 0  1\n1 anf INTEGER 0  0\n2 a0 TEXT 0  0\n" +
+        "3 a1 TEXT 0  0\n4 a2 REAL 0  0\n" + aTail))
+    // script tables: canonical type keywords uppercase (int→INT,
+    // TeXt→TEXT), others verbatim (foo); DEFAULT text shows as
+    // written; NOT NULL reports; the rowid alias reports pk=1
+    assert(sqawk(
+      "create table ty (k INTEGER PRIMARY KEY, a int, b TeXt, c foo, " +
+        "d REAL DEFAULT 3.5, e TEXT DEFAULT 'leg''acy' NOT NULL); " +
+        "pragma table_info(ty)", f) ==
+      (0, "0 k INTEGER 0  1\n1 a INT 0  0\n2 b TEXT 0  0\n3 c foo 0  0\n" +
+        "4 d REAL 0 3.5 0\n5 e TEXT 1 'leg''acy' 0\n"))
+    // CTAS columns have no declared type; view columns inherit the
+    // base declared type, show BLOB over typeless base columns and ""
+    // for expressions, and never report pk/notnull/dflt
+    assert(sqawk("create table ct as select 1 as x; pragma table_info(ct)", f) ==
+      (0, "0 x  0  0\n"))
+    assert(sqawk("create view vv as select x, x + 1 as kk from ct; " +
+      "pragma table_info(vv)", f) == (0, "0 x BLOB 0  0\n1 kk  0  0\n"))
+    assert(sqawk("create view vt as select k, e from ty; pragma table_info(vt)", f) ==
+      (0, "0 k INTEGER 0  0\n1 e TEXT 0  0\n"))
+    for (v <- Seq("vv", "vt", "ct", "ty")) spark.catalog.dropTempView(v)
+    // unknown table: no rows, no error (sqlite3-pinned)
+    assert(sqawk("pragma table_info(nosuch)", f) == (0, ""))
+    // database_list: seq 0, main, no file for the in-memory default
+    assert(sqawk("pragma database_list", f) == (0, "0 main \n"))
+    // index_list sees this run's CREATE INDEX registry
+    assert(sqawk("create index i1 on a (a1); pragma index_list(a)", f) ==
+      (0, "0 i1 0 c 0\n"))
+    assert(sqawk("create index i1 on a (a1); drop index i1; pragma index_list(a)", f) ==
+      (0, ""))
+    assert(sqawk("drop index nosuch", f)._1 == 1) // no such index: nosuch
+    // settings pragmas answer like an in-memory sqlite3: journal_mode
+    // is "memory" even when assigned; user_version is read/write;
+    // unknown pragmas are silent
+    assert(sqawk("pragma journal_mode", f) == (0, "memory\n"))
+    assert(sqawk("pragma journal_mode=wal", f) == (0, "memory\n"))
+    assert(sqawk("pragma synchronous", f) == (0, "2\n"))
+    assert(sqawk("pragma foreign_keys", f) == (0, "0\n"))
+    assert(sqawk("pragma user_version; pragma user_version = 7; pragma user_version", f) ==
+      (0, "0\n7\n"))
+    assert(sqawk("pragma nosuchpragma; pragma cache_size = 100", f) == (0, ""))
+  }
+
   test("INTEGER PRIMARY KEY: autoassign, REPLACE, OR IGNORE (sqlite3-pinned)") {
     val f = tempFile("x\n")
     // the full pinned sqlite3 session: NULL/omitted keys autoassign
