@@ -133,7 +133,7 @@ object ScriptDdl {
   private val CreateCols =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?table\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s*\((.+)\)\s*""".r
   private val Insert =
-    """(?is)\s*(replace|insert(?:\s+or\s+(\w+))?)\s+into\s+[`"]?(\w+)[`"]?\s*(\([^)]*\))?\s*((?:values|select|with)\b.+)""".r
+    """(?is)\s*(replace|insert(?:\s+or\s+(\w+))?)\s+into\s+[`"]?(\w+)[`"]?\s*(\([^)]*\))?\s*((?:values|select|with)\b.+|default\s+values)\s*""".r
   private val CreateView =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?view\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+as\s+(.+)""".r
   private val Drop =
@@ -448,7 +448,33 @@ object ScriptDdl {
           case other => throw new IllegalArgumentException(s"""near "$other": syntax error""")
         }
       val target = spark.table(name)
-      val rows = spark.sql(body)
+      // `INSERT INTO t DEFAULT VALUES` is one row where every column
+      // takes its DEFAULT (or NULL) — and the rowid walk below then
+      // autoassigns the key (sqlite3-pinned in CliSpec).
+      if ("""(?is)\s*default\s+values\s*""".r.matches(body)) {
+        val defaults = target.schema.fields.map { f =>
+          val fill =
+            if (f.metadata.contains(DefaultKey)) lit(f.metadata.getString(DefaultKey))
+            else lit(null)
+          fill.cast(f.dataType).as(f.name)
+        }
+        val row = spark.range(1).select(defaults.toIndexedSeq: _*)
+        collapseIfDeep(applyInsert(spark, name, target, row, mode))
+          .createOrReplaceTempView(name)
+        return true
+      }
+      val rows =
+        try spark.sql(body)
+        catch {
+          // SQLite is dynamically typed: VALUES ('x',1),(NULL,'y') is
+          // legal there but trips Spark's inline-table type
+          // unification. Our tables store canonicalized text anyway,
+          // so retry with every scalar cast to string.
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition != null &&
+                e.getCondition.startsWith("INVALID_INLINE_TABLE") =>
+            spark.sql(stringifyValues(body))
+        }
       val aligned = Option(colList).map(_.trim).filter(_.nonEmpty) match {
         case None =>
           if (rows.columns.length != target.columns.length)
@@ -795,6 +821,21 @@ object ScriptDdl {
         val kept = target.join(lastPer, cond(target, lastPer), "left_anti")
         order(kept.unionByName(lastPer).unionByName(nullKeyed))
     }
+  }
+
+  /** Rewrite an inline `VALUES (…),(…)` body with every scalar cast
+    * to string, for the dynamically-typed rows SQLite accepts but
+    * Spark's inline-table type unification rejects. */
+  private[cli] def stringifyValues(body: String): String = {
+    val m = """(?is)\s*values\s+(.+)""".r.findFirstMatchIn(body).getOrElse(
+      throw new IllegalArgumentException("cannot rewrite non-VALUES insert body"))
+    val rewritten = splitTopLevel(m.group(1)).map(_.trim).map { r =>
+      if (!(r.startsWith("(") && r.endsWith(")")))
+        throw new IllegalArgumentException(s"""cannot parse VALUES row near "${r.take(40)}"""")
+      splitTopLevel(r.substring(1, r.length - 1))
+        .map(s => s"CAST((${s.trim}) AS STRING)").mkString("(", ", ", ")")
+    }
+    "VALUES " + rewritten.mkString(", ")
   }
 
   private final case class ColDef(

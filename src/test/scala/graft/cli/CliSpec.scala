@@ -660,6 +660,24 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("nn")
   }
 
+  test("DEFAULT VALUES and dynamically-typed VALUES rows (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // INSERT ... DEFAULT VALUES fills declared defaults, NULLs the
+    // rest, and autoassigns the rowid alias
+    assert(sqawk(
+      "create table t (k INTEGER PRIMARY KEY, v TEXT DEFAULT 'dv', w); " +
+        "insert into t default values; insert into t default values; " +
+        "select k, v, w from t", f) == (0, "1 dv \n2 dv \n"))
+    spark.catalog.dropTempView("t")
+    // SQLite accepts mixed-type VALUES columns (dynamic typing); the
+    // engine retries Spark's inline-table type rejection with
+    // all-string scalars, which is exactly the stored representation
+    assert(sqawk(
+      "create table m (a, b); insert into m values ('x',1), (2,'y'), (null,null); " +
+        "select a, b from m", f) == (0, "x 1\n2 y\n \n"))
+    spark.catalog.dropTempView("m")
+  }
+
   test("non-rowid pk: NULLs never conflict; REPLACE appends (sqlite3-pinned)") {
     val f = tempFile("x\n")
     // TEXT PRIMARY KEY allows multiple NULLs (SQLite quirk); REPLACE
