@@ -279,39 +279,9 @@ object Pipeline {
     // partition.
     QDef(
       "p03_dedup_simhash",
-      (s, d) => {
-        // Bit j's sign is the high bit of md5 hex nibble j. Rather
-        // than 32 substr+instr ops per token, pack each 8-nibble
-        // group into a long once (4 convs) and test bits: nibble
-        // d of group g has its high bit at position 31-4d. Same ±1
-        // values as the oracle's substr formulation.
-        val tok = docs(s, d)
-          .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
-          .select(col("doc_id") +: (0 until 4).map(g =>
-            expr(s"CAST(conv(substr(md5(tok), ${g * 8 + 1}, 8), 16, 10) AS BIGINT)")
-              .as(s"g$g")): _*)
-        val bitSums = (0 until 32).map { j =>
-          val (g, dIdx) = (j / 8, j % 8)
-          sum(expr(s"CASE WHEN (g$g >> ${31 - 4 * dIdx}) & 1 = 1 THEN 1 ELSE -1 END"))
-            .as(s"s$j")
-        }
-        tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"),
-            (0 until 32).map(j =>
-              when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-              .reduce(_ + _).cast("long").as("simhash"))
-      },
-      Some(s"""WITH tok AS (
-              |  SELECT doc_id, md5(unnest($toksDuck)) AS h FROM documents
-              |), bits AS (
-              |  SELECT doc_id, j,
-              |    sum(CASE WHEN strpos('89abcdef', substr(h, CAST(j AS INT) + 1, 1)) > 0
-              |             THEN 1 ELSE -1 END) AS sgn
-              |  FROM tok, range(0, 32) t(j) GROUP BY doc_id, j
-              |)
-              |SELECT doc_id,
-              |  CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
-              |FROM bits GROUP BY doc_id""".stripMargin)),
+      (s, d) => simhash32(s, d),
+      Some(s"""$simhashOracleCte
+              |SELECT doc_id, simhash FROM sim""".stripMargin)),
 
     // ------------------------------------------------------------------
     // p04: TEXT QUALITY STATS — per-document token counts, type/token
@@ -2123,7 +2093,78 @@ object Pipeline {
               |SELECT ex.lang, ex.n_distinct, kth.hk,
               |  ${(KmvK - 1).toDouble * 4503599627370496.0}
               |    / CAST(greatest(kth.hk, 1) AS DOUBLE) AS est
-              |FROM ex LEFT JOIN kth USING (lang)""".stripMargin))
+              |FROM ex LEFT JOIN kth USING (lang)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p44: SIMHASH NEAR-DUP SCAN (Manku/Jain/Das Sarma-style web
+    // dedup) — the JOIN that makes p03's fingerprint useful: band the
+    // 32-bit simhash into 4×8-bit blocks, bucket-join docs sharing any
+    // block (two docs within Hamming distance 3 of a 32-bit hash must
+    // agree exactly on at least one of 4 blocks — pigeonhole), then
+    // verify candidates with a popcount over XOR. Per-doc output
+    // (candidate count, near-dup count at Hamming ≤ 6, min distance)
+    // keeps a stable 1-row-per-doc shape.
+    //
+    // Scale shape: fingerprint agg is one 32-col row per doc with
+    // map-side partials; the self-join is a hash equi-join on
+    // (block, key) — no all-pairs stage; verification is bit
+    // arithmetic on the joined row (no re-join for fingerprints: the
+    // banding rows carry them). At 100 TB the 8-bit blocks saturate
+    // (every bucket ~n/256 docs): the production knob is Manku's
+    // 64-bit fingerprint with ~log2(n)-bit blocks — block width
+    // chosen so bucket occupancy stays constant — and the pipeline
+    // shape (fingerprint → block equi-join → popcount verify) is
+    // unchanged.
+    QDef(
+      "p44_simhash_neardup",
+      (s, d) => {
+        val sim = simhash32(s, d)
+        val bands = sim.select(col("doc_id"), col("simhash"),
+            explode(expr("sequence(0, 3)")).as("b"))
+          .withColumn("bkey", expr("(simhash >> (8 * b)) & 255"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+            col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+          .distinct()
+          .withColumn("ham", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        val sym = cand.select(col("ida").as("doc_id"), col("ham"))
+          .unionByName(cand.select(col("idb").as("doc_id"), col("ham")))
+        val agg = sym.groupBy("doc_id").agg(
+          count(lit(1)).as("n_cand"),
+          sum(when(col("ham") <= 6, 1L).otherwise(0L)).as("n_near"),
+          min(col("ham")).as("min_ham"))
+        docs(s, d).select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            coalesce(col("min_ham"), lit(-1L)).as("min_ham"))
+      },
+      Some(s"""$simhashOracleCte, bands AS (
+              |  SELECT doc_id, simhash, b, (simhash >> (8 * CAST(b AS INT))) & 255 AS bkey
+              |  FROM sim, range(0, 4) t(b)
+              |), cand AS (
+              |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb,
+              |                  x.simhash AS sa, y.simhash AS sb
+              |  FROM bands x JOIN bands y
+              |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+              |), ham AS (
+              |  SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS ham FROM cand
+              |), sym AS (
+              |  SELECT ida AS doc_id, ham FROM ham
+              |  UNION ALL SELECT idb, ham FROM ham
+              |), agg AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand,
+              |         CAST(sum(CASE WHEN ham <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+              |         min(ham) AS min_ham
+              |  FROM sym GROUP BY doc_id
+              |)
+              |SELECT d.doc_id,
+              |  coalesce(a.n_cand, 0) AS n_cand,
+              |  coalesce(a.n_near, 0) AS n_near,
+              |  coalesce(a.min_ham, -1) AS min_ham
+              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
@@ -2202,6 +2243,48 @@ object Pipeline {
           |THEN transform(sequence(0, size(toks) - 3),
           |               k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2]))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
+
+  /** p03/p44 shared 32-bit SimHash: bit j is the sign of the
+    * token-frequency-weighted sum of (2·bit_j(md5(token)) − 1), where
+    * bit_j is the high bit of md5 hex nibble j. Rather than 32
+    * substr+instr ops per token, each 8-nibble group packs into a
+    * long once (4 convs) and bits are tested by shift: nibble d of
+    * group g has its high bit at position 31−4d — same ±1 values as
+    * the oracle's substr formulation. One row per token with 32
+    * partial-sum columns: the token×bit rows never materialize and
+    * the shuffle is one 32-column row per doc per partition. */
+  private def simhash32(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .select(col("doc_id") +: (0 until 4).map(g =>
+        expr(s"CAST(conv(substr(md5(tok), ${g * 8 + 1}, 8), 16, 10) AS BIGINT)")
+          .as(s"g$g")): _*)
+    val bitSums = (0 until 32).map { j =>
+      val (g, dIdx) = (j / 8, j % 8)
+      sum(expr(s"CASE WHEN (g$g >> ${31 - 4 * dIdx}) & 1 = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$j")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
+  }
+
+  /** The same SimHash as a DuckDB CTE ending in `sim(doc_id, simhash)`. */
+  private def simhashOracleCte: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(unnest($toksDuck)) AS h FROM documents
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN strpos('89abcdef', substr(h, CAST(j AS INT) + 1, 1)) > 0
+       |             THEN 1 ELSE -1 END) AS sgn
+       |  FROM tok, range(0, 32) t(j) GROUP BY doc_id, j
+       |), sim AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
 
   /** Distinct-free word bigrams per document (callers dedupe). */
   private def bigrams(s: SparkSession, d: String): DataFrame =
