@@ -2118,7 +2118,11 @@ object Pipeline {
     QDef(
       "p44_simhash_neardup",
       (s, d) => {
-        val sim = simhash32(s, d)
+        // materialize the fingerprints once — the self-join would
+        // otherwise evaluate the whole token→simhash aggregation on
+        // both sides (production keeps fingerprints as a table; the
+        // checkpoint is 1 tiny row/doc)
+        val sim = simhash32(s, d).localCheckpoint()
         val bands = sim.select(col("doc_id"), col("simhash"),
             explode(expr("sequence(0, 3)")).as("b"))
           .withColumn("bkey", expr("(simhash >> (8 * b)) & 255"))
