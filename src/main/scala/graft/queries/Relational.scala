@@ -595,6 +595,38 @@ object Relational {
              |SELECT CAST(start_k AS BIGINT) AS start_k,
              |       CAST(count(DISTINCT k) AS BIGINT) AS reach,
              |       CAST(sum(DISTINCT k) AS BIGINT) AS sum_k
-             |FROM step GROUP BY start_k""".stripMargin))
+             |FROM step GROUP BY start_k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q42: WINDOW FRAMES beyond the q14-q16 basics — ntile bucketing,
+    // a value-RANGE frame (sum over a sliding 30-day event-time
+    // window, which a ROWS frame cannot express), and cume_dist. All
+    // three windows order by a TOTAL key (ties broken by o_orderkey)
+    // so the outputs are deterministic and hash-comparable. Same
+    // WindowExec partitioning story as q15: one shuffle per distinct
+    // partitioning, frames evaluated in a single pass per window.
+    QDef(
+      "q42_window_frames",
+      (s, d) => {
+        val wNtile = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wRange = Window.partitionBy("o_custkey").orderBy(col("dayn"))
+          .rangeBetween(-30, Window.currentRow)
+        ord(s, d)
+          .withColumn("dayn", expr("datediff(o_orderdate, DATE '1992-01-01')").cast("long"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(wNtile).cast("long").as("price_quartile"),
+            round(cume_dist().over(wNtile), 6).as("cd"),
+            round(sum("o_totalprice").over(wRange), 2).as("sum_30d"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile,
+             |  round(cume_dist() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey), 6) AS cd,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1992-01-01')
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d
+             |FROM orders""".stripMargin))
   )
 }

@@ -123,6 +123,40 @@ object Streaming {
       (s, d) => graft.streaming.StreamOps.enrichedEvents(s, d),
       Some("""SELECT event_id, user_id, event_type,
              |  c_mktsegment, c_nationkey, value
-             |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin))
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)),
+
+    // Left-outer stream-stream join: matches emit on arrival, but an
+    // UNMATCHED left row emits its null-padded result only when the
+    // global watermark (min of the two sources' max ts − 1 hour)
+    // passes its join-window end — null emission is a state-eviction
+    // event. Lefts whose window is still open when the bounded replay
+    // ends never emit; the oracle reproduces that exact rule, so the
+    // hash compare pins the eviction semantics (see
+    // StreamOps.leftJoinAttribution).
+    QDef(
+      "s08_stream_left_join",
+      (s, d) => graft.streaming.StreamOps.leftJoinAttribution(s, d),
+      Some("""WITH e AS (
+             |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id
+             |  FROM events
+             |), a AS (SELECT * FROM e WHERE event_id % 3 = 0),
+             |b AS (SELECT * FROM e WHERE event_id % 3 = 1),
+             |wm AS (
+             |  SELECT least((SELECT max(ts) FROM a), (SELECT max(ts) FROM b))
+             |           - INTERVAL 1 HOUR AS w
+             |), m AS (
+             |  SELECT a.event_id AS ida, b.event_id AS idb, a.user_id,
+             |         CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+             |  FROM a JOIN b ON a.user_id = b.user_id
+             |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+             |), unmatched AS (
+             |  SELECT a.event_id AS ida, CAST(NULL AS BIGINT) AS idb, a.user_id,
+             |         CAST(NULL AS BIGINT) AS gap_s
+             |  FROM a, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id
+             |      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE)
+             |    AND a.ts + INTERVAL 10 MINUTE < wm.w
+             |)
+             |SELECT * FROM m UNION ALL SELECT * FROM unmatched""".stripMargin))
   )
 }

@@ -174,6 +174,54 @@ object StreamOps {
     spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
   }
 
+  /** LEFT-OUTER stream-stream join — the semantics inner joins don't
+    * exercise: an unmatched left row may only emit (with right-side
+    * NULLs) once the watermark proves no future right row can match,
+    * so null emission is a STATE-EVICTION event, not an arrival
+    * event. Left side: events with id ≡ 0 (mod 3); right side: same
+    * user's id ≡ 1 (mod 3) events in [a.ts, a.ts + 10 min]. Matches
+    * emit on arrival; unmatched lefts emit when the global watermark
+    * (min of both sources' max ts − 1 h) passes their join-window
+    * end. The bounded replay leaves lefts whose window is still open
+    * unemitted — the oracle reproduces exactly that rule, so the hash
+    * compare pins the eviction semantics. State is bounded by the
+    * 10-minute range + 1-hour watermark on both sides, exactly as in
+    * [[intervalJoinPairs]]. */
+  def leftJoinAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    def src() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // filter BEFORE the watermark: each side's watermark tracks its
+    // own subset's max event time, like two genuinely distinct topics
+    val a = src().where("event_id % 3 = 0").withWatermark("ts", "1 hour").alias("a")
+    val b = src().where("event_id % 3 = 1").withWatermark("ts", "1 hour").alias("b")
+    val joined = a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("a.event_id").as("ida"), col("b.event_id").as("idb"),
+        col("a.user_id").as("user_id"),
+        (col("b.ts").cast("long") - col("a.ts").cast("long")).as("gap_s"))
+    val out = tempDir("graft-sljoin-out")
+    val ckpt = tempDir("graft-sljoin-ckpt")
+    // unlike the inner join, the trailing no-data micro-batch is
+    // REQUIRED here: it advances the final watermark so expired
+    // unmatched lefts flush their null rows (leave the default on)
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
+  }
+
   /** SESSION WINDOWS — the sessionization primitive itself (s04 is
     * the pairwise-attribution variant): per-user sessions close after
     * a 10-minute event-time silence, via `session_window` — dynamic-
