@@ -672,6 +672,46 @@ object Ingest {
              |  FROM nation
              |)
              |SELECT CAST(k AS BIGINT) AS k, nm FROM base
-             |UNION ALL VALUES (25, 'auto_a'), (26, 'auto_b'), (40, 'kept')""".stripMargin))
+             |UNION ALL VALUES (25, 'auto_a'), (26, 'auto_b'), (40, 'kept')""".stripMargin)),
+
+    // i25: the PRAGMA surface end-to-end through
+    // the real reader + ScriptRunner path: table_info reflects the
+    // reference's ingest DDL (anr INTEGER PRIMARY KEY, anf INTEGER,
+    // a0 TEXT, then the datatypes= declarations,
+    // lib/classes/table.tcl:69-72), index_list sees a CREATE INDEX
+    // from the same script, and user_version/journal_mode answer the
+    // in-memory defaults. table_info depends only on the declared
+    // schema, so the oracle is the pinned sqlite3 output verbatim.
+    QDef(
+      "i25_pragma",
+      (s, d) => {
+        import s.implicits._
+        val df = AwkReader.parse(s,
+          lines(custSrc(s, d), concat_ws(" ", col("ck"), col("nm"))),
+          AwkOptions(), TableOptions(nf = 2, datatypes = Seq("TEXT", "REAL")))
+        df.createOrReplaceTempView("g_pragma")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """pragma table_info(g_pragma);
+            |create index gp_idx on g_pragma (a1);
+            |pragma index_list(g_pragma);
+            |pragma user_version = 9;
+            |pragma user_version;
+            |pragma journal_mode""".stripMargin,
+          new AwkSerializer(sw))
+        s.catalog.dropTempView("g_pragma")
+        sw.toString.split("\n", -1).toSeq.filter(_.nonEmpty)
+          .zipWithIndex.map { case (l, i) => ((i + 1).toLong, l) }
+          .toDF("ln", "line")
+      },
+      Some("""SELECT CAST(ln AS BIGINT) AS ln, line FROM (VALUES
+             |  (1, '0 anr INTEGER 0  1'),
+             |  (2, '1 anf INTEGER 0  0'),
+             |  (3, '2 a0 TEXT 0  0'),
+             |  (4, '3 a1 TEXT 0  0'),
+             |  (5, '4 a2 REAL 0  0'),
+             |  (6, '0 gp_idx 0 c 0'),
+             |  (7, '9'),
+             |  (8, 'memory')) t(ln, line)""".stripMargin))
   )
 }

@@ -627,6 +627,76 @@ object Relational {
              |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
              |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1992-01-01')
              |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_30d
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q43: SUBQUERY PREDICATES — correlated EXISTS / NOT EXISTS
+    // (planned as semi/anti joins), IN, and the three-valued-logic
+    // trap: NOT IN over a subquery containing NULLs matches NOTHING.
+    // Spark plans the nullable case as a null-aware anti join
+    // (single-column NAAJ → broadcast hash join, not a nested loop);
+    // identical SQL runs on both engines via temp views.
+    QDef(
+      "q43_subquery_exists",
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("g_q43_orders")
+        cust(s, d).createOrReplaceTempView("g_q43_customer")
+        s.sql("""
+          |SELECT 'exists_urgent' AS test, CAST(count(*) AS BIGINT) AS n
+          |FROM g_q43_customer c
+          |WHERE EXISTS (SELECT 1 FROM g_q43_orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |UNION ALL
+          |SELECT 'not_exists_urgent', CAST(count(*) AS BIGINT)
+          |FROM g_q43_customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM g_q43_orders o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderpriority = '1-URGENT')
+          |UNION ALL
+          |SELECT 'in_big_spenders', CAST(count(*) AS BIGINT)
+          |FROM g_q43_customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM g_q43_orders
+          |                    WHERE o_totalprice > 300000)
+          |UNION ALL
+          |SELECT 'not_in_nullfree', CAST(count(*) AS BIGINT)
+          |FROM g_q43_customer
+          |WHERE c_custkey NOT IN (SELECT o_custkey FROM g_q43_orders
+          |                        WHERE o_totalprice > 300000)
+          |UNION ALL
+          |SELECT 'not_in_with_null', CAST(count(*) AS BIGINT)
+          |FROM g_q43_customer
+          |WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 300000
+          |                               THEN o_custkey ELSE NULL END
+          |                        FROM g_q43_orders)
+          |""".stripMargin)
+      },
+      Some("""SELECT 'exists_urgent' AS test, CAST(count(*) AS BIGINT) AS n
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT 'not_exists_urgent', CAST(count(*) AS BIGINT)
+             |FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT 'in_big_spenders', CAST(count(*) AS BIGINT)
+             |FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders
+             |                    WHERE o_totalprice > 300000)
+             |UNION ALL
+             |SELECT 'not_in_nullfree', CAST(count(*) AS BIGINT)
+             |FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_totalprice > 300000)
+             |UNION ALL
+             |SELECT 'not_in_with_null', CAST(count(*) AS BIGINT)
+             |FROM customer
+             |WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 300000
+             |                               THEN o_custkey ELSE NULL END
+             |                        FROM orders)""".stripMargin))
   )
 }
