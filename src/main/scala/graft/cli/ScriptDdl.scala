@@ -549,7 +549,9 @@ object ScriptDdl {
           case None => col(s"`$c`")
         }
       }
-      collapseIfDeep(target.select(proj.toIndexedSeq: _*)).createOrReplaceTempView(name)
+      val updated = target.select(proj.toIndexedSeq: _*)
+      enforceUpdateConstraints(spark, name, target, updated, assigns.map(_._1))
+      collapseIfDeep(updated).createOrReplaceTempView(name)
       true
 
     case Delete(name, cond) =>
@@ -603,6 +605,45 @@ object ScriptDdl {
   private def requireTable(spark: SparkSession, name: String): Unit =
     if (!spark.catalog.tableExists(name))
       throw new IllegalArgumentException(s"no such table: $name")
+
+  /** UPDATE-time constraint surface, only when the table declares
+    * constraints and the statement assigns a constrained column
+    * (sqlite3-pinned): an assigned NOT NULL column rejects NULL, an
+    * assigned rowid alias rejects NULL and non-integral values with
+    * "datatype mismatch" (the NUMERIC canonicalization upstream
+    * already stores '2.0' as 2), and an assigned pk rejects duplicate
+    * FINAL states. The final-state uniqueness check is deliberately
+    * set-based: sqlite3's row-at-a-time scan can also fail on
+    * transient dups (`SET k = k+1` over dense keys) — this engine is
+    * strictly more permissive there, which set semantics make the
+    * honest choice. */
+  private def enforceUpdateConstraints(
+      spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
+      updated: org.apache.spark.sql.DataFrame, assigned: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{count => fCount}
+    val schema = target.schema
+    def isAssigned(c: String) = assigned.exists(_.equalsIgnoreCase(c))
+    val nn = schema.fields
+      .filter(f => f.metadata.contains(Affinity.NotNullKey) && isAssigned(f.name)).map(_.name)
+    for (c <- nn)
+      if (updated.where(col(s"`$c`").isNull).limit(1).count() > 0)
+        throw new IllegalArgumentException(s"NOT NULL constraint failed: $name.$c")
+    val pkCols = schema.fields.filter(_.metadata.contains(Affinity.PkKey)).map(_.name).toSeq
+    if (pkCols.nonEmpty && pkCols.exists(isAssigned)) {
+      val rowid = schema.fields.find(f => f.metadata.contains(Affinity.PkKey) &&
+        f.metadata.getString(Affinity.PkKey) == "rowid").map(_.name)
+      for (rc <- rowid if isAssigned(rc))
+        if (updated.where(col(s"`$rc`").isNull ||
+            !col(s"`$rc`").cast("string").rlike("^[+-]?\\d+$")).limit(1).count() > 0)
+          throw new IllegalArgumentException("datatype mismatch")
+      val keyed = updated.where(pkCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
+      val dup = keyed.groupBy(pkCols.map(c => col(s"`$c`")): _*)
+        .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count() > 0
+      if (dup)
+        throw new IllegalArgumentException(
+          "UNIQUE constraint failed: " + pkCols.map(c => s"$name.$c").mkString(", "))
+    }
+  }
 
   /** The PRAGMA surface (reference forwards PRAGMA statements to
     * SQLite verbatim like the rest of the dialect, sqawk.tcl:216).

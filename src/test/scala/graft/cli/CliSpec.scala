@@ -660,6 +660,24 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("nn")
   }
 
+  test("UPDATE enforces pk and NOT NULL constraints (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    val mk = "create table t (k INTEGER PRIMARY KEY, v TEXT NOT NULL); " +
+      "insert into t values (1,'a'), (2,'b'); "
+    assert(sqawk(mk + "update t set k = null where k = 1", f)._1 == 1) // datatype mismatch
+    spark.catalog.dropTempView("t")
+    assert(sqawk(mk + "update t set k = 'abc' where k = 1", f)._1 == 1) // datatype mismatch
+    spark.catalog.dropTempView("t")
+    assert(sqawk(mk + "update t set k = 2 where k = 1", f)._1 == 1) // UNIQUE constraint failed: t.k
+    spark.catalog.dropTempView("t")
+    assert(sqawk(mk + "update t set v = null where k = 1", f)._1 == 1) // NOT NULL constraint failed: t.v
+    spark.catalog.dropTempView("t")
+    // a REAL key with an integral value stores as the integer (no error)
+    assert(sqawk(mk + "update t set k = 2.0 where k = 2; select k, v from t", f) ==
+      (0, "1 a\n2 b\n"))
+    spark.catalog.dropTempView("t")
+  }
+
   test("DEFAULT VALUES and dynamically-typed VALUES rows (sqlite3-pinned)") {
     val f = tempFile("x\n")
     // INSERT ... DEFAULT VALUES fills declared defaults, NULLs the
