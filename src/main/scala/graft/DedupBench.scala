@@ -189,6 +189,41 @@ object DedupBench {
         .agg(sum(expr("sz * (sz - 1) / 2")).as("cand_pairs"))
     }
 
+    timed("simhash64_neardup", Seq(dups)) {
+      // p44's shape at PRODUCTION parameters: the oracle-verified
+      // operator uses a 32-bit md5-derived fingerprint with 8-bit
+      // blocks (the widest DuckDB can replicate bit-identically);
+      // this stage runs the Manku-style 64-bit variant — xxhash64
+      // token hashes, 64 sign sums, 4×16-bit blocks, so bucket
+      // occupancy stays ~n/65536 per block and the pigeonhole
+      // guarantee covers Hamming ≤ 3. Every 11th doc copies its
+      // predecessor's text (identical fingerprint, distance 0), and a
+      // random 64-bit pair at distance ≤ 3 is a 2.4e-15 event, so the
+      // near-pair count must be exactly the planted dup count — a
+      // wrong band join or popcount fails the bench.
+      val tok = corpus.select(col("doc_id"), explode(expr("split(text, ' ')")).as("tok"))
+        .select(col("doc_id"), expr("xxhash64(tok)").as("h"))
+      val bitSums = (0 until 64).map(j =>
+        sum(expr(s"CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END")).as(s"s$j"))
+      val sig = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(j =>
+            when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("fp"))
+        .localCheckpoint() // fingerprints materialize once for the self-join
+      val bands = sig.select(col("doc_id"), col("fp"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("bkey", expr("(fp >> (16 * b)) & 65535"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+          col("x.fp").as("fa"), col("y.fp").as("fb"))
+        .distinct()
+      cand.where(expr("bit_count(fa ^ fb) <= 3"))
+        .agg(count(lit(1)).as("near_pairs"))
+    }
+
     timed("span_dedup", Seq(n, 8 * n)) {
       // p36's shape at scale: segment explode → one hash-partitioned
       // df groupBy → anti-join against the boilerplate set → per-doc
