@@ -459,7 +459,7 @@ object ScriptDdl {
           fill.cast(f.dataType).as(f.name)
         }
         val row = spark.range(1).select(defaults.toIndexedSeq: _*)
-        collapseIfDeep(applyInsert(spark, name, target, row, mode))
+        collapseIfDeep(applyInsert(spark, name, target, canonicalizeByAffinity(target, row), mode))
           .createOrReplaceTempView(name)
         return true
       }
@@ -505,7 +505,7 @@ object ScriptDdl {
           }
           filled.select(target.columns.map(col).toIndexedSeq: _*)
       }
-      collapseIfDeep(applyInsert(spark, name, target, aligned, mode))
+      collapseIfDeep(applyInsert(spark, name, target, canonicalizeByAffinity(target, aligned), mode))
         .createOrReplaceTempView(name)
       true
 
@@ -532,14 +532,24 @@ object ScriptDdl {
             // SQLite applies the column's affinity to the assigned
             // value BEFORE storage; our tables store canonicalized
             // text (Affinity scaladoc), so render the value
-            // SQLite-style and canonicalize under NUMERIC — this is
-            // what turns the double-typed `a2 * 10` back into the
-            // integer 20 that sqlite3 stores (pinned in CliSpec).
+            // SQLite-style and canonicalize under the DECLARED
+            // affinity when the column has one (TEXT columns keep
+            // '007' verbatim, sqlite3-pinned), else NUMERIC — which
+            // is what turns the double-typed `a2 * 10` back into the
+            // integer 20 that sqlite3 stores on an undeclared column
+            // (pinned in CliSpec; a string literal like '007' also
+            // canonicalizing there is the documented value-provenance
+            // deviation).
             val e = expr(exprText)
             val isBool = target.select(e).schema.head.dataType ==
               org.apache.spark.sql.types.BooleanType
             val rendered = if (isBool) e.cast("int").cast("string") else e.cast("string")
-            val assigned = Affinity.canonicalExpr(rendered, "NUMERIC")
+            val m = target.schema(c).metadata
+            val decl = if (m.contains(Affinity.DeclKey)) m.getString(Affinity.DeclKey) else ""
+            val aff = if (decl.isEmpty) "NUMERIC" else Affinity.hasAffinity(decl)
+            val assigned =
+              if (aff == "TEXT" || aff == "BLOB") rendered
+              else Affinity.canonicalExpr(rendered, aff)
             // keep the column's affinity tag through the rebind, so
             // ORDER BY after UPDATE still uses storage-class ordering
             (whereOpt match {
@@ -605,6 +615,37 @@ object ScriptDdl {
   private def requireTable(spark: SparkSession, name: String): Unit =
     if (!spark.catalog.tableExists(name))
       throw new IllegalArgumentException(s"no such table: $name")
+
+  /** SQLite applies the target COLUMN's affinity to every stored
+    * value (sqlite3-pinned: INSERT '007' into an INTEGER column
+    * stores 7, '2.50' into REAL stores 2.5, non-numeric text passes
+    * through, TEXT and undeclared columns store as-is — our string
+    * representation already renders TEXT-affinity numbers
+    * identically). Applies per-column only where a nonempty declared
+    * type exists, so untyped script tables keep their current
+    * dynamic behavior. */
+  private def canonicalizeByAffinity(
+      target: org.apache.spark.sql.DataFrame,
+      aligned: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def affOf(f: StructField): Option[String] = {
+      // only string-stored columns: a typed (long/double) column
+      // already coerces numerically through the union, and
+      // string-rendering it here would widen the stored type
+      if (f.dataType != StringType) return None
+      val decl =
+        if (f.metadata.contains(Affinity.DeclKey)) f.metadata.getString(Affinity.DeclKey) else ""
+      if (decl.isEmpty) None
+      else Some(Affinity.hasAffinity(decl)).filter(a => a != "TEXT" && a != "BLOB")
+    }
+    if (!target.schema.fields.exists(affOf(_).isDefined)) return aligned
+    aligned.select(target.schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      affOf(f) match {
+        case Some(aff) => Affinity.canonicalExpr(c.cast(StringType), aff).as(f.name)
+        case None => c
+      }
+    }.toIndexedSeq: _*)
+  }
 
   /** UPDATE-time constraint surface, only when the table declares
     * constraints and the statement assigns a constrained column

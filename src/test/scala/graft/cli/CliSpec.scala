@@ -660,6 +660,27 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("nn")
   }
 
+  test("INSERT/UPDATE apply declared-column affinity (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: INTEGER coerces '007'→7, REAL '2.50'→2.5, non-numeric
+    // text passes through; TEXT renders numbers as text (identical
+    // here); undeclared columns store as-is
+    assert(sqawk(
+      "create table ca (i INTEGER, r REAL, tx TEXT, u); " +
+        "insert into ca values ('007', '2.50', '12', '007'); " +
+        "insert into ca values ('abc', 'x', '3.7', '99'); " +
+        "select i, r, tx, u from ca", f) ==
+      (0, "7 2.5 12 007\nabc x 3.7 99\n"))
+    spark.catalog.dropTempView("ca")
+    // UPDATE uses the declared affinity too: the TEXT column keeps
+    // '007' verbatim where the INTEGER column stores 7
+    assert(sqawk(
+      "create table cu (i INTEGER, tx TEXT); insert into cu values ('1', 'a'); " +
+        "update cu set i = '007', tx = '007'; select i, tx from cu", f) ==
+      (0, "7 007\n"))
+    spark.catalog.dropTempView("cu")
+  }
+
   test("UPDATE enforces pk and NOT NULL constraints (sqlite3-pinned)") {
     val f = tempFile("x\n")
     val mk = "create table t (k INTEGER PRIMARY KEY, v TEXT NOT NULL); " +
