@@ -23,15 +23,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as
-    * a raw long (legacy conf); convert to µs TimestampType here so all
-    * consumers see a normal timestamp column. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark
+    * only reads as a raw long under the legacy conf) and as plain
+    * TIMESTAMP(MICROS) without UTC adjustment (read as TIMESTAMP_NTZ),
+    * depending on the driver's generator version. Normalize every
+    * representation to µs TimestampType carrying the same numeric
+    * value — the session timezone is pinned to UTC everywhere, so the
+    * NTZ→LTZ cast is value-preserving and all consumers keep seeing
+    * the column every prior round was verified against. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // Integral DIV: `/` would be DOUBLE division and lose sub-µs bits on
-    // ~1.7e18 nano values (VERDICT r2 "what's wrong" #6).
-    load(s, d, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        // Integral DIV: `/` would be DOUBLE division and lose sub-µs
+        // bits on ~1.7e18 nano values (VERDICT r2 "what's wrong" #6).
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -24,15 +24,7 @@ object StreamOps {
     * result — which must equal the batch answer, and is verified
     * against the DuckDB oracle exactly like any batch operator. */
   def windowedEventCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // file source wants a directory: stream the sf dir, filtered to
-    // the events file
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      // nanos → µs with integral division (same as Tables.events)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStream(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -59,12 +51,7 @@ object StreamOps {
     * watermark rule, so the driver hash-compare pins the emission
     * semantics, not just the arithmetic. */
   def appendWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStream(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -96,12 +83,7 @@ object StreamOps {
     * batch answer under the s02 emission rule, which the oracle
     * recomputes. */
   def dedupWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    def src() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src() = eventsStream(spark, sfDir)
     val deduped = src().union(src())
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -132,12 +114,7 @@ object StreamOps {
     * input the result equals the batch join exactly, which is what
     * the oracle computes. */
   def intervalJoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    def src() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src() = eventsStream(spark, sfDir)
     val a = src().withWatermark("ts", "1 hour").alias("a")
     val b = src().withWatermark("ts", "1 hour").alias("b")
     // note: StreamingJoinHelper logs a scary-but-benign
@@ -188,12 +165,7 @@ object StreamOps {
     * 10-minute range + 1-hour watermark on both sides, exactly as in
     * [[intervalJoinPairs]]. */
   def leftJoinAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    def src() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src() = eventsStream(spark, sfDir)
     // filter BEFORE the watermark: each side's watermark tracks its
     // own subset's max event time, like two genuinely distinct topics
     val a = src().where("event_id % 3 = 0").withWatermark("ts", "1 hour").alias("a")
@@ -234,12 +206,7 @@ object StreamOps {
     * with end <= max(ts) − delay, which the oracle recomputes as a
     * batch gaps-and-islands pass. */
   def sessionWindowStats(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStream(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
@@ -270,12 +237,7 @@ object StreamOps {
     * rule, so the hash compare pins the window expansion AND the
     * emission semantics. */
   def slidingWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStream(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -302,12 +264,7 @@ object StreamOps {
     * state store; the stream side never shuffles. On bounded input
     * the result is exactly the batch join. */
   def enrichedEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStream(spark, sfDir)
     val dim = broadcast(spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
     val joined = stream.join(dim, col("user_id") === col("c_custkey"))
@@ -324,6 +281,29 @@ object StreamOps {
       finally q.stop()
     }
     spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
+  }
+
+  /** The events table consumed as a bounded stream — the file source
+    * streams the sf dir filtered to the events file — with `ts`
+    * normalized to µs TimestampType across the representations the
+    * driver's generator has shipped: raw TIMESTAMP(NANOS) longs
+    * (legacy nanosAsLong read) and unadjusted TIMESTAMP(MICROS) read
+    * as TIMESTAMP_NTZ (value-preserving cast under the UTC session
+    * timezone). Same normalization as [[graft.Tables.events]]. */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Integral DIV: `/` would be DOUBLE division and lose sub-µs
+        // bits on ~1.7e18 nano values
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Temp dir for a sink/checkpoint, removed on JVM exit — the
