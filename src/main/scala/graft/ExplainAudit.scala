@@ -23,7 +23,8 @@ object ExplainAudit {
         "p15_ann_ivf", "p19_curation_funnel", "p24_decontaminate",
         "p27_bm25", "p30_dedup_connected", "p36_span_dedup",
         "p37_semantic_dedup", "p39_mixture_sample", "p42_incremental_dedup",
-        "p44_simhash_neardup", "q39_asof_join", "q40_range_join", "q43_subquery_exists")) {
+        "p44_simhash_neardup", "p45_bloom_decontaminate", "p46_cms_heavy_hitters",
+        "q39_asof_join", "q40_range_join", "q43_subquery_exists")) {
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

@@ -234,6 +234,23 @@ object Pipeline {
   // division compared against its md5-derived uniform.
   private val MixDenom = 2L // sampling budget = total DIV MixDenom
 
+  // p45: Bloom-filter decontamination. k hash functions; filter size
+  // m = BloomMPerItem × (distinct eval grams) — load factor k/16 →
+  // ~0.5% false-positive rate at k=3, populated at every SF because
+  // m tracks the eval set. The mask is m bits = m/64 longs (~2 KB at
+  // sf0.01), vs the multi-MB gram dictionary p24 broadcasts.
+  private val BloomK = 3
+  private val BloomMPerItem = 16L
+
+  // p46: count-min sketch geometry. CmsW=16 is deliberately small so
+  // counter collisions (est > exact) are populated on this corpus's
+  // ~31-token vocabulary at every SF — production 2^20 widths only
+  // change the constant; depth 4 and the min-over-rows estimate are
+  // the production shape.
+  private val CmsD = 4
+  private val CmsW = 16L
+  private val CmsTopK = 15
+
   val all: Vector[QDef] = Vector(
     // ------------------------------------------------------------------
     // p01: EXACT DEDUP — content-hash groupBy. The 500-doc corpus has no
@@ -2168,7 +2185,163 @@ object Pipeline {
               |  coalesce(a.n_cand, 0) AS n_cand,
               |  coalesce(a.n_near, 0) AS n_near,
               |  coalesce(a.min_ham, -1) AS min_ham
-              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin))
+              |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p45: BLOOM-PRUNED DECONTAMINATION — p24's eval-overlap rule
+    // re-shaped for the 100 TB corpus/eval asymmetry: instead of
+    // broadcasting the full eval gram dictionary into the first join,
+    // build a BLOOM BITMASK over the eval 8-grams (BloomK md5-derived
+    // bit positions each, in m = BloomMPerItem × |eval grams| bits)
+    // and prune the corpus gram stream with a codegen bit-test BEFORE
+    // the exact confirm join. The mask is m/64 longs (~2 KB here,
+    // ~2 MB even for a 1M-gram benchmark suite) independent of corpus
+    // size, the prune is a zero-shuffle projection over the scan, and
+    // only the ~0.5%-of-grams bloom-positive survivors reach the
+    // exact broadcast join — prune+confirm, so false positives never
+    // reach the output flag. n_cand_grams exposes the bloom
+    // arithmetic itself (true hits + false positives); the oracle
+    // recomputes the same md5 bit positions, so the hash compare pins
+    // the filter semantics, not just the exact join. The driver-side
+    // mask build is bounded by m bits — a constant of the EVAL set —
+    // never by corpus size.
+    QDef(
+      "p45_bloom_decontaminate",
+      (s, d) => {
+        val gramExpr =
+          """CASE WHEN size(toks) >= 8
+            |THEN transform(sequence(0, size(toks) - 8),
+            |               k -> array_join(slice(toks, k + 1, 8), ' '))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+        val grams = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), explode(expr(gramExpr)).as("gram"))
+          .distinct()
+        val evalGrams = grams.filter(col("doc_id") % 13 === 0)
+          .select("gram").distinct().localCheckpoint()
+        val m = BloomMPerItem * evalGrams.count()
+        def posSql(j: Int) =
+          s"CAST(conv(substr(md5(concat('bf$j:', gram)), 1, 13), 16, 10) AS BIGINT) % ${m}L"
+        val posArray =
+          (0 until BloomK).map(posSql).mkString("array(", ", ", ")")
+        val positions = evalGrams
+          .select(explode(expr(posArray)).as("pos"))
+          .distinct().collect().map(_.getLong(0))
+        val mask = new Array[Long](((m + 63) / 64).toInt)
+        positions.foreach(p => mask(p.toInt / 64) |= (1L << (p.toInt % 64)))
+        val bloomPass = (0 until BloomK)
+          .map(j => s"((shiftright(element_at(bfmask, CAST(${posSql(j)} DIV 64 AS INT) + 1)," +
+            s" CAST(${posSql(j)} % 64 AS INT)) & 1) = 1)")
+          .mkString(" AND ")
+        val cand = grams.withColumn("bfmask", typedLit(mask.toSeq))
+          .filter(expr(bloomPass)).select("doc_id", "gram")
+        val nc = cand.groupBy("doc_id").agg(count(lit(1)).as("n_cand_grams"))
+        val nh = cand.join(broadcast(evalGrams), "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+        docs(s, d).select("doc_id")
+          .join(nc, Seq("doc_id"), "left").join(nh, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"),
+            coalesce(col("n_cand_grams"), lit(0L)).as("n_cand_grams"),
+            coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksDuck AS toks FROM documents
+              |), g0 AS (
+              |  SELECT doc_id, toks,
+              |    unnest(range(0, greatest(len(toks) - 7, 0))) AS k
+              |  FROM t
+              |), g AS (
+              |  SELECT DISTINCT doc_id,
+              |    array_to_string(toks[k + 1:k + 8], ' ') AS gram
+              |  FROM g0
+              |), eg AS (
+              |  SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0
+              |), mE AS (
+              |  SELECT $BloomMPerItem * count(*) AS m FROM eg
+              |), posset AS (
+              |  SELECT DISTINCT
+              |    CAST(('0x' || substr(md5('bf' || j || ':' || gram), 1, 13)) AS BIGINT) % m AS pos
+              |  FROM eg CROSS JOIN mE CROSS JOIN range(0, $BloomK) s(j)
+              |), cand AS (
+              |  SELECT doc_id, gram FROM (
+              |    SELECT g.doc_id, g.gram,
+              |      CAST(('0x' || substr(md5('bf' || j || ':' || g.gram), 1, 13)) AS BIGINT) % m AS pos
+              |    FROM g CROSS JOIN mE CROSS JOIN range(0, $BloomK) s(j))
+              |  GROUP BY doc_id, gram
+              |  HAVING bool_and(pos IN (SELECT pos FROM posset))
+              |), nc AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1
+              |), nh AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+              |  FROM cand JOIN eg USING (gram) GROUP BY 1
+              |)
+              |SELECT d.doc_id, coalesce(nh.n_hit, 0) > 0 AS contaminated,
+              |  coalesce(nc.n_cand, 0) AS n_cand_grams,
+              |  coalesce(nh.n_hit, 0) AS n_hit_grams
+              |FROM documents d LEFT JOIN nc USING (doc_id)
+              |LEFT JOIN nh USING (doc_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p46: COUNT-MIN-SKETCH HEAVY HITTERS — token-frequency
+    // estimation with a FIXED-SIZE summary (Cormode/Muthukrishnan
+    // 2005): CmsD rows × CmsW counters, counter[r][h_r(tok)] summed
+    // over token OCCURRENCES, est(tok) = min over rows — the
+    // overestimate is exposed against the exact count riding along.
+    // The md5-derived row hashes make the sketch a deterministic
+    // function of the data, so the oracle recomputes every counter
+    // and estimate bit-identically (pure integer arithmetic — no
+    // float surface). Scale shape: the counter build is one
+    // groupBy(r, b) with map-side partials — CMS mergeability
+    // expressed as partial aggregation — whose output is d×w rows
+    // REGARDLESS of corpus size; the counters then BROADCAST back to
+    // probe the candidate vocabulary, so the token stream is only
+    // ever shuffled by the d×w counter key space, never collected.
+    QDef(
+      "p46_cms_heavy_hitters",
+      (s, d) => {
+        val toks = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(explode(col("toks")).as("tok"))
+        val bSql =
+          s"CAST(conv(substr(md5(concat('cms', r, ':', tok)), 1, 13), 16, 10) AS BIGINT) % ${CmsW}L"
+        val counters = toks
+          .select(col("tok"), explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"))
+          .withColumn("b", expr(bSql))
+          .groupBy("r", "b").agg(count(lit(1)).as("c"))
+        val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+        exact
+          .select(col("tok"), col("exact"),
+            explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"))
+          .withColumn("b", expr(bSql))
+          .join(broadcast(counters), Seq("r", "b"))
+          .groupBy("tok", "exact").agg(min("c").as("est"))
+          .orderBy(col("est").desc, col("tok"))
+          .limit(CmsTopK)
+          .select("tok", "est", "exact")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT $toksDuck AS toks FROM documents
+              |), tok AS (
+              |  SELECT unnest(toks) AS tok FROM t
+              |), ent AS (
+              |  SELECT tok,
+              |    CAST(j AS INT) AS r,
+              |    CAST(('0x' || substr(md5('cms' || j || ':' || tok), 1, 13)) AS BIGINT) % $CmsW AS b
+              |  FROM tok CROSS JOIN range(0, $CmsD) s(j)
+              |), c AS (
+              |  SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM ent GROUP BY 1, 2
+              |), e AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY 1
+              |), probe AS (
+              |  SELECT e.tok, e.exact, min(c.c) AS est
+              |  FROM e CROSS JOIN range(0, $CmsD) s(j)
+              |  JOIN c ON c.r = CAST(j AS INT)
+              |    AND c.b = CAST(('0x' || substr(md5('cms' || j || ':' || e.tok), 1, 13)) AS BIGINT) % $CmsW
+              |  GROUP BY 1, 2
+              |)
+              |SELECT tok, est, exact FROM probe
+              |ORDER BY est DESC, tok LIMIT $CmsTopK""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------

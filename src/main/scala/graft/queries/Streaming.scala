@@ -157,6 +157,34 @@ object Streaming {
              |      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE)
              |    AND a.ts + INTERVAL 10 MINUTE < wm.w
              |)
-             |SELECT * FROM m UNION ALL SELECT * FROM unmatched""".stripMargin))
+             |SELECT * FROM m UNION ALL SELECT * FROM unmatched""".stripMargin)),
+
+    // Custom-state sessionization: s05's exact semantics re-derived
+    // from the arbitrary-state primitive (flatMapGroupsWithState +
+    // event-time timeout) instead of the built-in session_window —
+    // same oracle, so the hash compare pins the hand-rolled merge /
+    // eviction / emission logic against the engine-native answer.
+    QDef(
+      "s09_stream_custom_state",
+      (s, d) => graft.streaming.StreamOps.customStateSessions(s, d),
+      Some("""WITH e AS (
+             |  SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             |         user_id, value
+             |  FROM events
+             |), m AS (
+             |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), s AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m
+             |)
+             |SELECT min(ts) AS sess_start,
+             |  max(ts) + INTERVAL 10 MINUTE AS sess_end,
+             |  user_id, count(*) AS n_events, round(sum(value), 2) AS sv
+             |FROM s GROUP BY user_id, sid
+             |HAVING sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM e)""".stripMargin))
   )
 }

@@ -283,6 +283,112 @@ object StreamOps {
     spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
   }
 
+  /** One session in flight for a user inside [[customStateSessions]]'
+    * state: event-time bounds in epoch micros plus running count/sum. */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sv: Double)
+
+  /** One emitted (closed) session from [[customStateSessions]], micros
+    * bounds; the caller converts to timestamps. */
+  case class ClosedSession(start_us: Long, end_us: Long, user_id: Long,
+      n_events: Long, sv: Double)
+
+  /** CUSTOM-STATE SESSIONIZATION — s05's 10-minute-gap sessions
+    * re-implemented on `flatMapGroupsWithState` + event-time timeout,
+    * the arbitrary-state primitive for semantics no built-in stateful
+    * operator expresses (the built-in `session_window` exists for THIS
+    * semantics, which is exactly why it's the right harness: the
+    * custom-state path is pinned against the same batch
+    * gaps-and-islands oracle as s05, so the hash compare verifies the
+    * hand-rolled merge, eviction and emission logic end to end).
+    * Per user, state is the list of open sessions (merged on overlap
+    * of [ts, ts+gap) intervals, exactly `session_window`'s rule); a
+    * session emits once the watermark passes its end — inline when a
+    * data batch observes it closed, else via the event-time timeout
+    * set to the earliest open end, which fires on the watermark-only
+    * batch after the bounded replay drains. Sessions still open at
+    * the final watermark never emit, matching the s02/s05 append
+    * rule. State per user is open sessions only — watermark-bounded,
+    * not stream-length-bounded — and the shuffle is one exchange on
+    * user_id into the state store.
+    *
+    * Timeout granularity: `GroupState` timeouts are millisecond-
+    * resolution and fire strictly below the watermark, so the timeout
+    * is set to ceil(endUs/1000)−1 clamped above the current watermark
+    * — a session whose end lands inside the single millisecond at the
+    * clamp boundary would emit one watermark-update late (never, on a
+    * drained bounded replay). The engine's own ms-floored watermark
+    * (shared with s05's session_window) makes the two paths
+    * behaviorally identical at every boundary. */
+  def customStateSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    val sessions = sessionize(ev)
+    val out = tempDir("graft-fmgws-out")
+    val ckpt = tempDir("graft-fmgws-ckpt")
+    withStatePartitions(spark) {
+      val q = sessions.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(sessions.schema))
+      .parquet(out.toString)
+      .select(timestamp_micros(col("start_us")).as("sess_start"),
+        timestamp_micros(col("end_us")).as("sess_end"),
+        col("user_id"), col("n_events"), round(col("sv"), 2).as("sv"))
+  }
+
+  /** [[customStateSessions]]' core, on any watermarked
+    * (user_id, ts, ts_us, value) stream — factored out so the spec
+    * drives it over a MemoryStream with controlled multi-batch,
+    * out-of-order arrivals (which a single-file bounded replay
+    * cannot exercise). Note the engine drops LATE input rows (event
+    * time below the batch's watermark) before the state function
+    * sees them — same contract as the built-in stateful operators;
+    * on the bounded replay everything arrives in the first batch
+    * (watermark 0), so nothing is ever late there. */
+  def sessionize(ev: Dataset[(Long, java.sql.Timestamp, Long, Double)])
+      : Dataset[ClosedSession] = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = 10L * 60 * 1000000
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[OpenSession], ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[Seq[OpenSession]]) =>
+          val incoming = batch.map(e => OpenSession(e._3, e._3, 1L, e._4)).toSeq
+          val merged = (state.getOption.getOrElse(Seq.empty) ++ incoming)
+            .sortBy(s => (s.startUs, s.lastUs))
+            .foldLeft(List.empty[OpenSession]) { (acc, cur) =>
+              acc match {
+                case h :: t if cur.startUs < h.lastUs + gapUs =>
+                  OpenSession(h.startUs, math.max(h.lastUs, cur.lastUs),
+                    h.n + cur.n, h.sv + cur.sv) :: t
+                case _ => cur :: acc
+              }
+            }.reverse
+          val wmMs = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(s => s.lastUs + gapUs <= wmMs * 1000)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // fire iff wm >= ceil(endUs/1000) <=> timeout (strict <) at
+            // ceil(endUs/1000) - 1; clamp above wm as the API requires
+            val minEndMs = open.map(s => (s.lastUs + gapUs + 999) / 1000 - 1).min
+            state.setTimeoutTimestamp(math.max(minEndMs, wmMs + 1))
+          }
+          closed.iterator.map(s =>
+            ClosedSession(s.startUs, s.lastUs + gapUs, user, s.n, s.sv))
+      }
+  }
+
   /** The events table consumed as a bounded stream — the file source
     * streams the sf dir filtered to the events file — with `ts`
     * normalized to µs TimestampType across the representations the

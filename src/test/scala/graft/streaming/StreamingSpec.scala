@@ -31,6 +31,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization merges across micro-batches") {
+    // Cross-batch semantics the bounded single-file replay can't
+    // exercise: batch 2 EXTENDS a session opened in batch 1, opens
+    // two more that merge with each other but not with it, and
+    // advances the watermark so the no-data batch's event-time
+    // timeout closes everything except the newest session.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Long, Double)] // (user, seconds, value)
+    val ev = input.toDS()
+      .select(col("_1").as("user_id"),
+        timestamp_seconds(col("_2")).as("ts"),
+        unix_micros(timestamp_seconds(col("_2"))).as("ts_us"),
+        col("_3").as("value"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    val q = StreamOps.sessionize(ev)
+      .writeStream.format("memory").queryName("g_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: max ts 10300 → watermark 6700 for batch 2, so every
+      // batch-2 event below is on time (the engine drops late rows
+      // before the state function sees them)
+      input.addData((1L, 10000L, 1.0), (1L, 10300L, 1.0), (2L, 10100L, 1.0))
+      q.processAllAvailable() // wm 0 during the batch: nothing closes
+      input.addData(
+        (1L, 10550L, 1.0), // extends batch 1's [10000,10300] session
+        (1L, 12500L, 1.0), (1L, 13099L, 1.0), // merge with each other only
+        (1L, 15000L, 1.0), // third session
+        (99L, 20000L, 1.0)) // pushes the final watermark to 16400s
+      q.processAllAvailable() // timeout batch closes everything but user 99
+      val rows = spark.table("g_fmgws")
+        .select(col("start_us") / 1000000, col("end_us") / 1000000,
+          col("user_id"), col("n_events"))
+        .as[(Double, Double, Long, Long)].collect().toSet
+      assert(rows == Set(
+        (10000.0, 11150.0, 1L, 3L), // batch-2 event 10550 merged cross-batch
+        (12500.0, 13699.0, 1L, 2L), // 13099 within the 600s gap; 15000 is not
+        (15000.0, 15600.0, 1L, 1L),
+        (10100.0, 10700.0, 2L, 1L))) // user 99 (end 20600 > wm 16400) never emits
+    } finally q.stop()
+  }
+
   test("watermark bounds windowed-agg state across micro-batches") {
     // The scale claim behind every watermark op: rows in the state
     // store plateau at (in-flight windows × keys), independent of how
