@@ -204,6 +204,12 @@ object ScriptDdl {
     * affinity tags — survives the checkpoint. */
   private val CollapseNodes = 128
 
+  /** Batch-size bound for [[applyInsert]]'s driver-resident pk fast
+    * path: below it, key probes ship as a pushed-down IN filter over
+    * the stored table; above it, the plan-safe set-based joins run
+    * instead (and their per-statement jobs amortize over the batch). */
+  private val MaxDriverProbeKeys = 1000
+
   private def collapseIfDeep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nodes = df.queryExecution.analyzed.collect { case p => p }.size
     if (nodes > CollapseNodes) df.localCheckpoint() else df
@@ -819,6 +825,7 @@ object ScriptDdl {
       }
     }
 
+    var localRows: Option[Array[Row]] = None
     val batch: DataFrame = rowid match {
       case Some(rc) =>
         // driver-side running-max walk: each NULL key takes one more
@@ -833,14 +840,21 @@ object ScriptDdl {
           case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(n.toInt)
           case _ => n.toString
         }
-        var run: Long = target.select(fMax(col(s"`$rc`").cast("long"))).first() match {
-          case r if r.isNullAt(0) => 0L
-          case r => math.max(0L, r.getLong(0))
-        }
+        // the stored-max scan is LAZY: a batch with no NULL keys (the
+        // common explicit-key INSERT) never pays the job — explicit
+        // keys only need the running max of the batch itself
+        lazy val storedMax: Long =
+          target.select(fMax(col(s"`$rc`").cast("long"))).first() match {
+            case r if r.isNullAt(0) => 0L
+            case r => math.max(0L, r.getLong(0))
+          }
+        var run: Long = -1L // max over stored (once needed) + batch keys
         val out = alignedT.collect().map { r =>
           val vals = Array.tabulate[Any](schema.length)(r.get)
           vals(rcIdx) match {
-            case null => run += 1; vals(rcIdx) = keyValue(run)
+            case null =>
+              run = math.max(run, storedMax)
+              run += 1; vals(rcIdx) = keyValue(run)
             case v =>
               val canon = Affinity.canonicalize(v.toString, "INTEGER")
               val n =
@@ -852,6 +866,7 @@ object ScriptDdl {
           }
           Row.fromSeq(vals.toIndexedSeq)
         }
+        localRows = Some(out)
         spark.createDataFrame(
           java.util.Arrays.asList(out: _*),
           StructType(schema.fields.map(f => StructField(f.name, f.dataType))))
@@ -868,6 +883,62 @@ object ScriptDdl {
     val keyNonNull = pkCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
     def cond(b: DataFrame, t: DataFrame) =
       pkCols.map(c => b(c) === t(c)).reduce(_ && _)
+
+    // Driver-resident fast path: the rowid walk above already pulled
+    // the batch onto the driver (and autoassign makes every key
+    // non-null), so pk enforcement needs no window/anti-join
+    // machinery — in-memory dup handling plus at most ONE probe of
+    // the stored table through a pushed-down IN filter — and the
+    // rebound plan stays filter+union over the previous binding
+    // instead of growing a join per statement (compounding: every
+    // later statement re-analyzes this plan). Batches past the
+    // threshold fall back to the set-based path below, whose jobs
+    // they amortize.
+    (localRows, rowid) match {
+      case (Some(rows), Some(rc))
+          if pkCols == Seq(rc) && rows.length <= MaxDriverProbeKeys =>
+        if (rows.isEmpty) return order(target)
+        val rcIdx = schema.fieldIndex(rc)
+        val rcCol = col(s"`$rc`")
+        def localDf(rs: Array[Row]): DataFrame = spark.createDataFrame(
+          java.util.Arrays.asList(rs: _*),
+          StructType(schema.fields.map(f => StructField(f.name, f.dataType))))
+        /** keep one row per key: first occurrence (ignore) or last
+          * (replace) — sqlite3's in-batch resolution order */
+        def onePerKey(keepLast: Boolean): Array[Row] = {
+          val m = scala.collection.mutable.LinkedHashMap.empty[Any, Row]
+          for (r <- rows; k = r.get(rcIdx))
+            if (keepLast || !m.contains(k)) m(k) = r
+          m.values.toArray
+        }
+        return mode match {
+          case "abort" =>
+            val seen = scala.collection.mutable.HashSet.empty[Any]
+            for (r <- rows if !seen.add(r.get(rcIdx)))
+              throw new IllegalArgumentException(
+                s"UNIQUE constraint failed: $name.$rc")
+            if (target.where(rcCol.isin(rows.map(_.get(rcIdx)).toIndexedSeq: _*))
+                .limit(1).count() > 0)
+              throw new IllegalArgumentException(
+                s"UNIQUE constraint failed: $name.$rc")
+            order(target.unionByName(batch))
+          case "ignore" =>
+            val firstPer = onePerKey(keepLast = false)
+            val existing = target
+              .where(rcCol.isin(firstPer.map(_.get(rcIdx)).toIndexedSeq: _*))
+              .select(rcCol).collect().map(_.get(0)).toSet
+            order(target.unionByName(
+              localDf(firstPer.filterNot(r => existing(r.get(rcIdx))))))
+          case "replace" =>
+            val lastPer = onePerKey(keepLast = true)
+            // stored rowid keys are never null, so the negated IN
+            // cannot null-drop a kept row
+            order(target
+              .where(!rcCol.isin(lastPer.map(_.get(rcIdx)).toIndexedSeq: _*))
+              .unionByName(localDf(lastPer)))
+        }
+      case _ => ()
+    }
 
     mode match {
       case "abort" =>
