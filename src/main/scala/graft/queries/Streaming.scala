@@ -159,6 +159,46 @@ object Streaming {
              |)
              |SELECT * FROM m UNION ALL SELECT * FROM unmatched""".stripMargin)),
 
+    // Full-outer stream-stream join: both sides' unmatched rows are
+    // state-eviction emissions with ASYMMETRIC watermark bounds
+    // derived from the time-range condition — left nulls flush when
+    // the watermark passes a.ts + 10 min (the join-window end), right
+    // nulls when it passes b.ts (a future left would need
+    // a.ts <= b.ts). The oracle reproduces both rules.
+    QDef(
+      "s10_stream_full_join",
+      (s, d) => graft.streaming.StreamOps.fullJoinAttribution(s, d),
+      Some("""WITH e AS (
+             |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id
+             |  FROM events
+             |), a AS (SELECT * FROM e WHERE event_id % 3 = 0),
+             |b AS (SELECT * FROM e WHERE event_id % 3 = 1),
+             |wm AS (
+             |  SELECT least((SELECT max(ts) FROM a), (SELECT max(ts) FROM b))
+             |           - INTERVAL 1 HOUR AS w
+             |), m AS (
+             |  SELECT a.event_id AS ida, b.event_id AS idb, a.user_id,
+             |         CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS gap_s
+             |  FROM a JOIN b ON a.user_id = b.user_id
+             |    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+             |), unmatched_a AS (
+             |  SELECT a.event_id AS ida, CAST(NULL AS BIGINT) AS idb, a.user_id,
+             |         CAST(NULL AS BIGINT) AS gap_s
+             |  FROM a, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = a.user_id
+             |      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE)
+             |    AND a.ts + INTERVAL 10 MINUTE < wm.w
+             |), unmatched_b AS (
+             |  SELECT CAST(NULL AS BIGINT) AS ida, b.event_id AS idb, b.user_id,
+             |         CAST(NULL AS BIGINT) AS gap_s
+             |  FROM b, wm
+             |  WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.user_id = b.user_id
+             |      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE)
+             |    AND b.ts < wm.w
+             |)
+             |SELECT * FROM m UNION ALL SELECT * FROM unmatched_a
+             |UNION ALL SELECT * FROM unmatched_b""".stripMargin)),
+
     // Custom-state sessionization: s05's exact semantics re-derived
     // from the arbitrary-state primitive (flatMapGroupsWithState +
     // event-time timeout) instead of the built-in session_window —

@@ -283,6 +283,43 @@ object StreamOps {
     spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
   }
 
+  /** FULL-OUTER stream-stream join — completes the join-mode matrix
+    * (s04 inner, s08 left): BOTH sides' unmatched rows emit as
+    * state-eviction events. The eviction bounds are asymmetric,
+    * derived from the time-range condition: an unmatched LEFT row's
+    * null result emits once the watermark passes its join-window end
+    * (a.ts + 10 min), an unmatched RIGHT row's once the watermark
+    * passes b.ts itself (a future left would need a.ts <= b.ts, and
+    * future rows sit at or above the watermark). The oracle
+    * reproduces both rules, so the hash compare pins the two-sided
+    * eviction semantics. State bounds as in s04/s08. */
+  def fullJoinAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    def src() = eventsStream(spark, sfDir)
+    val a = src().where("event_id % 3 = 0").withWatermark("ts", "1 hour").alias("a")
+    val b = src().where("event_id % 3 = 1").withWatermark("ts", "1 hour").alias("b")
+    val joined = a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 10 MINUTES"),
+        "full_outer")
+      .select(col("a.event_id").as("ida"), col("b.event_id").as("idb"),
+        coalesce(col("a.user_id"), col("b.user_id")).as("user_id"),
+        (col("b.ts").cast("long") - col("a.ts").cast("long")).as("gap_s"))
+    val out = tempDir("graft-sfjoin-out")
+    val ckpt = tempDir("graft-sfjoin-ckpt")
+    // the trailing no-data micro-batch advances the final watermark so
+    // both sides' expired unmatched rows flush their null results
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(joined.schema)).parquet(out.toString)
+  }
+
   /** One session in flight for a user inside [[customStateSessions]]'
     * state: event-time bounds in epoch micros plus running count/sum. */
   case class OpenSession(startUs: Long, lastUs: Long, n: Long, sv: Double)
