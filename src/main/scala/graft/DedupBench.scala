@@ -246,6 +246,72 @@ object DedupBench {
         .agg(count(lit(1)).as("docs"), sum("k").as("segs_kept"))
     }
 
+    // p45's bloom-pruned decontamination vs p24's exact shape, same
+    // corpus and 8-gram rule (eval set = doc_id % 13 = 0). Word
+    // strings are md5-derived per (seed, position), so a cross-seed
+    // 8-gram collision is a 2^-256 event — contamination is exactly
+    // "shares a seed with an eval doc", and the expected count is one
+    // driver-side integer loop. Both stages end in the same distinct
+    // gram exchange + confirm join; the bloom stage's bit-test prunes
+    // BELOW that exchange, so its shuffle carries only the ~8% bloom-
+    // positive grams while the exact stage shuffles all of them — the
+    // wall gap is the measured value of the 2.5 MB mask vs the
+    // ~90 MB eval gram dictionary the exact path must move around.
+    val evalSeedSet = {
+      val s = new java.util.HashSet[Long]()
+      var e = 0L
+      while (e < n) { s.add(if (e % 11 == 10) e - 1 else e); e += 13 }
+      s
+    }
+    val expectedContam: Long = {
+      var c = 0L; var d = 0L
+      while (d < n) {
+        if (evalSeedSet.contains(if (d % 11 == 10) d - 1 else d)) c += 1
+        d += 1
+      }
+      c
+    }
+    def rawGramsDf = corpus.withColumn("toks", expr("split(text, ' ')"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 16), k -> array_join(slice(toks, k + 1, 8), ' '))"))
+        .as("gram"))
+    def gramsDf = rawGramsDf.distinct()
+
+    timed("decontam_exact", Seq(expectedContam)) {
+      val g = gramsDf
+      val eg = g.filter(col("doc_id") % 13 === 0).select("gram").distinct()
+      g.join(eg, "gram").agg(countDistinct("doc_id").as("contaminated"))
+    }
+
+    timed("decontam_bloom", Seq(expectedContam)) {
+      val g = gramsDf
+      val eg = g.filter(col("doc_id") % 13 === 0).select("gram").distinct()
+        .localCheckpoint()
+      val m = 16L * eg.count()
+      // Kirsch–Mitzenmacher double hashing, exactly like p45: one md5
+      // per gram projected into named h1/h2 columns (codegen CSE does
+      // not span the conjunction), bit-test before the distinct
+      val h1Sql = "CAST(conv(substr(md5(concat('bf:', gram)), 1, 13), 16, 10) AS BIGINT)"
+      val h2Sql = "CAST(conv(substr(md5(concat('bf:', gram)), 14, 13), 16, 10) AS BIGINT)"
+      def posSql(j: Int, h1: String = h1Sql, h2: String = h2Sql) =
+        s"($h1 + ${j}L * $h2) % ${m}L"
+      val positions = eg.select(explode(expr(
+          (0 until 3).map(j => posSql(j)).mkString("array(", ", ", ")"))).as("pos"))
+        .distinct().collect().map(_.getLong(0))
+      val mask = new Array[Long](((m + 63) / 64).toInt)
+      positions.foreach(p => mask(p.toInt / 64) |= (1L << (p.toInt % 64)))
+      val bloomPass = (0 until 3)
+        .map(j => posSql(j, "h1", "h2"))
+        .map(p => s"((shiftright(element_at(bfmask, CAST(($p) DIV 64 AS INT) + 1)," +
+          s" CAST(($p) % 64 AS INT)) & 1) = 1)")
+        .mkString(" AND ")
+      val cand = rawGramsDf
+        .withColumn("h1", expr(h1Sql)).withColumn("h2", expr(h2Sql))
+        .withColumn("bfmask", typedLit(mask.toSeq))
+        .filter(expr(bloomPass)).select("doc_id", "gram").distinct()
+      cand.join(eg, "gram").agg(countDistinct("doc_id").as("contaminated"))
+    }
+
     timed("simhash", Seq(n)) {
       // conv bit-packing per token, exactly like p03
       val tok = corpus

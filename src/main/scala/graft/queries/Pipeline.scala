@@ -2213,28 +2213,41 @@ object Pipeline {
             |THEN transform(sequence(0, size(toks) - 8),
             |               k -> array_join(slice(toks, k + 1, 8), ' '))
             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
-        val grams = docs(s, d)
+        val rawGrams = docs(s, d)
           .withColumn("toks", expr(toksExpr))
           .select(col("doc_id"), explode(expr(gramExpr)).as("gram"))
-          .distinct()
+        val grams = rawGrams.distinct()
         val evalGrams = grams.filter(col("doc_id") % 13 === 0)
           .select("gram").distinct().localCheckpoint()
         val m = BloomMPerItem * evalGrams.count()
-        def posSql(j: Int) =
-          s"CAST(conv(substr(md5(concat('bf$j:', gram)), 1, 13), 16, 10) AS BIGINT) % ${m}L"
-        val posArray =
-          (0 until BloomK).map(posSql).mkString("array(", ", ", ")")
+        // Kirsch–Mitzenmacher double hashing: ONE md5 per gram, k
+        // positions h1 + j·h2 (mod m) from its two 52-bit halves —
+        // preserves the bloom FP guarantee at a third of the scan's
+        // hash cost. The digest halves project ONCE per row (named
+        // columns, not repeated subtrees — codegen CSE does not span
+        // the conjunction) and the bit-test filter runs on them
+        // BEFORE the distinct exchange, so the shuffle carries only
+        // bloom-positive grams.
+        val h1Sql = "CAST(conv(substr(md5(concat('bf:', gram)), 1, 13), 16, 10) AS BIGINT)"
+        val h2Sql = "CAST(conv(substr(md5(concat('bf:', gram)), 14, 13), 16, 10) AS BIGINT)"
+        def posSql(j: Int, h1: String = h1Sql, h2: String = h2Sql) =
+          s"($h1 + ${j}L * $h2) % ${m}L"
+        val posArray = (0 until BloomK).map(j => posSql(j))
+          .mkString("array(", ", ", ")")
         val positions = evalGrams
           .select(explode(expr(posArray)).as("pos"))
           .distinct().collect().map(_.getLong(0))
         val mask = new Array[Long](((m + 63) / 64).toInt)
         positions.foreach(p => mask(p.toInt / 64) |= (1L << (p.toInt % 64)))
         val bloomPass = (0 until BloomK)
-          .map(j => s"((shiftright(element_at(bfmask, CAST(${posSql(j)} DIV 64 AS INT) + 1)," +
-            s" CAST(${posSql(j)} % 64 AS INT)) & 1) = 1)")
+          .map(j => posSql(j, "h1", "h2"))
+          .map(p => s"((shiftright(element_at(bfmask, CAST(($p) DIV 64 AS INT) + 1)," +
+            s" CAST(($p) % 64 AS INT)) & 1) = 1)")
           .mkString(" AND ")
-        val cand = grams.withColumn("bfmask", typedLit(mask.toSeq))
-          .filter(expr(bloomPass)).select("doc_id", "gram")
+        val cand = rawGrams
+          .withColumn("h1", expr(h1Sql)).withColumn("h2", expr(h2Sql))
+          .withColumn("bfmask", typedLit(mask.toSeq))
+          .filter(expr(bloomPass)).select("doc_id", "gram").distinct()
         val nc = cand.groupBy("doc_id").agg(count(lit(1)).as("n_cand_grams"))
         val nh = cand.join(broadcast(evalGrams), "gram")
           .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
@@ -2261,12 +2274,14 @@ object Pipeline {
               |  SELECT $BloomMPerItem * count(*) AS m FROM eg
               |), posset AS (
               |  SELECT DISTINCT
-              |    CAST(('0x' || substr(md5('bf' || j || ':' || gram), 1, 13)) AS BIGINT) % m AS pos
+              |    (CAST(('0x' || substr(md5('bf:' || gram), 1, 13)) AS BIGINT)
+              |     + j * CAST(('0x' || substr(md5('bf:' || gram), 14, 13)) AS BIGINT)) % m AS pos
               |  FROM eg CROSS JOIN mE CROSS JOIN range(0, $BloomK) s(j)
               |), cand AS (
               |  SELECT doc_id, gram FROM (
               |    SELECT g.doc_id, g.gram,
-              |      CAST(('0x' || substr(md5('bf' || j || ':' || g.gram), 1, 13)) AS BIGINT) % m AS pos
+              |      (CAST(('0x' || substr(md5('bf:' || g.gram), 1, 13)) AS BIGINT)
+              |       + j * CAST(('0x' || substr(md5('bf:' || g.gram), 14, 13)) AS BIGINT)) % m AS pos
               |    FROM g CROSS JOIN mE CROSS JOIN range(0, $BloomK) s(j))
               |  GROUP BY doc_id, gram
               |  HAVING bool_and(pos IN (SELECT pos FROM posset))
