@@ -1,7 +1,7 @@
 package graft.cli
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.sources.Affinity
@@ -22,7 +22,13 @@ import graft.sources.Affinity
   *    union type-widening mirrors affinity's permissiveness);
   *  - `INSERT INTO t [(cols)] VALUES …|SELECT …` → union-rebind;
   *    VALUES runs through `spark.sql` directly (Spark supports
-  *    top-level VALUES), omitted columns fill with NULL;
+  *    top-level VALUES), omitted columns fill with NULL.
+  *    `… ON CONFLICT [(pk)] DO NOTHING | DO UPDATE SET … [WHERE …]`
+  *    (SQLite UPSERT) rebinds via [[applyUpsert]], and a trailing
+  *    `RETURNING expr, …` (SQLite 3.35) makes the DML statement emit
+  *    rows through the serializer — INSERT returns the inserted rows
+  *    post-autoassign, UPDATE the new values of matched rows, DELETE
+  *    the old values of deleted rows (all sqlite3-pinned in CliSpec);
   *  - `DROP TABLE [IF EXISTS] t` → drop the temp view;
   *  - `DELETE FROM t [WHERE c]` → filter-and-rebind. SQLite keeps rows
   *    whose condition is NULL (sqlite3-pinned in CliSpec), so the kept
@@ -75,6 +81,15 @@ import graft.sources.Affinity
   *    a one-line sqawk-style rejection instead of a raw Spark error.
   */
 object ScriptDdl {
+
+  /** Result of offering a statement to the DDL/DML layer: either it
+    * was not a dialect statement (pass to `spark.sql`), or it was
+    * handled — optionally producing rows (a RETURNING clause, SQLite
+    * 3.35 dialect) for the serializer. */
+  sealed trait Outcome
+  case object NotHandled extends Outcome
+  final case class Handled(rows: Option[org.apache.spark.sql.DataFrame]) extends Outcome
+  private val Done: Outcome = Handled(None)
 
   /** A transaction capture: the full local temp-view catalog (plus
     * the index registry and user_version) at one point in the script.
@@ -133,7 +148,7 @@ object ScriptDdl {
   private val CreateCols =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?table\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s*\((.+)\)\s*""".r
   private val Insert =
-    """(?is)\s*(replace|insert(?:\s+or\s+(\w+))?)\s+into\s+[`"]?(\w+)[`"]?\s*(\([^)]*\))?\s*((?:values|select|with)\b.+|default\s+values)\s*""".r
+    """(?is)\s*(replace|insert(?:\s+or\s+(\w+))?)\s+into\s+[`"]?(\w+)[`"]?\s*(\([^)]*\))?\s*((?:values|select|with|default)\b.+)\s*""".r
   private val CreateView =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?view\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+as\s+(.+)""".r
   private val Drop =
@@ -147,7 +162,7 @@ object ScriptDdl {
   private val Update =
     """(?is)\s*update\s+(?:or\s+\w+\s+)?[`"]?(\w+)[`"]?\s+set\s+(.+)""".r
   private val Delete =
-    """(?is)\s*delete\s+from\s+[`"]?(\w+)[`"]?(?:\s+where\s+(.+?))?\s*""".r
+    """(?is)\s*delete\s+from\s+[`"]?(\w+)[`"]?\b(.*)""".r
   private val AlterRenameTable =
     """(?is)\s*alter\s+table\s+[`"]?(\w+)[`"]?\s+rename\s+to\s+[`"]?(\w+)[`"]?\s*""".r
   private val AlterRenameColumn =
@@ -216,21 +231,29 @@ object ScriptDdl {
   }
 
   /** Handle `stmt` if it is a side-effecting dialect statement.
-    * Returns true when handled (no result rows to serialize); false
-    * when the statement is a plain query for `spark.sql`. */
-  def execute(spark: SparkSession, stmt: String, state: State = new State): Boolean = stmt match {
+    * Returns true when handled; false when the statement is a plain
+    * query for `spark.sql`. RETURNING rows (if any) are discarded —
+    * callers that serialize them use [[executeRows]]. */
+  def execute(spark: SparkSession, stmt: String, state: State = new State): Boolean =
+    executeRows(spark, stmt, state) != NotHandled
+
+  /** [[execute]] with the RETURNING surface: `Handled(Some(df))` when
+    * the DML statement carries a RETURNING clause whose rows the
+    * caller must pump through the serializer (evaluated against the
+    * pre-rebind plan, so consuming them later is safe). */
+  def executeRows(spark: SparkSession, stmt: String, state: State = new State): Outcome = stmt match {
     case Begin() =>
       if (state.txnActive)
         throw new IllegalArgumentException("cannot start a transaction within a transaction")
       state.explicitTxn = Some(snapshot(spark, state))
-      true
+      Done
 
     case Commit() =>
       if (!state.txnActive)
         throw new IllegalArgumentException("cannot commit - no transaction is active")
       state.explicitTxn = None
       state.savepoints.clear()
-      true
+      Done
 
     case RollbackTo(name) =>
       // restores the named savepoint's capture; the savepoint itself
@@ -241,7 +264,7 @@ object ScriptDdl {
         throw new IllegalArgumentException(s"no such savepoint: $name")
       restore(spark, state, state.savepoints(idx)._2)
       state.savepoints.remove(idx + 1, state.savepoints.length - (idx + 1))
-      true
+      Done
 
     case Rollback() =>
       // restore the outermost capture — BEGIN's, or the first
@@ -255,11 +278,11 @@ object ScriptDdl {
       restore(spark, state, outer)
       state.explicitTxn = None
       state.savepoints.clear()
-      true
+      Done
 
     case Savepoint(name) =>
       state.savepoints += (name -> snapshot(spark, state))
-      true
+      Done
 
     case Release(name) =>
       // releases the named savepoint and everything nested inside it;
@@ -269,9 +292,9 @@ object ScriptDdl {
       if (idx < 0)
         throw new IllegalArgumentException(s"no such savepoint: $name")
       state.savepoints.remove(idx, state.savepoints.length - idx)
-      true
+      Done
 
-    case Maintenance() => true // performance-only in SQLite; no-op
+    case Maintenance() => Done // performance-only in SQLite; no-op
 
     case AlterRenameTable(name, newName) =>
       requireTable(spark, name)
@@ -283,7 +306,7 @@ object ScriptDdl {
       val df = spark.table(name) // eager resolution: survives the drop below
       df.createOrReplaceTempView(newName)
       spark.catalog.dropTempView(name)
-      true
+      Done
 
     case AlterRenameColumn(name, oldCol, newCol) =>
       requireTable(spark, name)
@@ -297,7 +320,7 @@ object ScriptDdl {
         else col(s"`$c`")
       }
       target.select(proj.toIndexedSeq: _*).createOrReplaceTempView(name)
-      true
+      Done
 
     case AlterAddColumn(name, colName, rest) =>
       requireTable(spark, name)
@@ -327,7 +350,7 @@ object ScriptDdl {
       val added = lit(cd.defaultVal.orNull).cast(StringType).as(colName, metaB.build())
       target.select((target.columns.map(c => col(s"`$c`")) :+ added).toIndexedSeq: _*)
         .createOrReplaceTempView(name)
-      true
+      Done
 
     case AlterDropColumn(name, colName) =>
       requireTable(spark, name)
@@ -341,7 +364,7 @@ object ScriptDdl {
           s"""cannot drop column "$colName": no other columns exist""")
       val kept = target.columns.filterNot(_.equalsIgnoreCase(colName)).map(c => col(s"`$c`"))
       target.select(kept.toIndexedSeq: _*).createOrReplaceTempView(name)
-      true
+      Done
 
     case Rejected(kw) =>
       throw new UnsupportedOperationException(
@@ -386,7 +409,7 @@ object ScriptDdl {
         }.toIndexedSeq: _*)
         tagged.createOrReplaceTempView(name)
       }
-      true
+      Done
 
     case CreateCols(ifNotExists, name, colDefs) =>
       if (spark.catalog.tableExists(name)) {
@@ -435,9 +458,9 @@ object ScriptDdl {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           .createOrReplaceTempView(name)
       }
-      true
+      Done
 
-    case Insert(verb, orRes, name, colList, body) =>
+    case Insert(verb, orRes, name, colList, body0) =>
       if (!spark.catalog.tableExists(name))
         throw new IllegalArgumentException(s"no such table: $name")
       rejectViewDml(spark, name)
@@ -453,109 +476,104 @@ object ScriptDdl {
           case "abort" | "fail" | "rollback" => "abort"
           case other => throw new IllegalArgumentException(s"""near "$other": syntax error""")
         }
+      // SQLite 3.35 dialect tail: `… [ON CONFLICT …] [RETURNING …]`.
+      // Both clauses are split at top level (quote/paren-aware), so a
+      // SELECT body mentioning a column named `returning` inside
+      // parens is unaffected.
+      val (body1, retText) = splitAtTopLevelKeyword(body0, "returning")
+      val (body, upsertText) = splitAtTopLevelKeyword(body1, "on conflict")
+      val upsert = upsertText.map(parseUpsert)
       val target = spark.table(name)
-      // `INSERT INTO t DEFAULT VALUES` is one row where every column
-      // takes its DEFAULT (or NULL) — and the rowid walk below then
-      // autoassigns the key (sqlite3-pinned in CliSpec).
-      if ("""(?is)\s*default\s+values\s*""".r.matches(body)) {
-        val defaults = target.schema.fields.map { f =>
-          val fill =
-            if (f.metadata.contains(DefaultKey)) lit(f.metadata.getString(DefaultKey))
-            else lit(null)
-          fill.cast(f.dataType).as(f.name)
-        }
-        val row = spark.range(1).select(defaults.toIndexedSeq: _*)
-        collapseIfDeep(applyInsert(spark, name, target, canonicalizeByAffinity(target, row), mode))
-          .createOrReplaceTempView(name)
-        return true
-      }
-      val rows =
-        try spark.sql(body)
-        catch {
-          // SQLite is dynamically typed: VALUES ('x',1),(NULL,'y') is
-          // legal there but trips Spark's inline-table type
-          // unification. Our tables store canonicalized text anyway,
-          // so retry with every scalar cast to string.
-          case e: org.apache.spark.sql.AnalysisException
-              if e.getCondition != null &&
-                e.getCondition.startsWith("INVALID_INLINE_TABLE") =>
-            spark.sql(stringifyValues(body))
-        }
-      val aligned = Option(colList).map(_.trim).filter(_.nonEmpty) match {
-        case None =>
-          if (rows.columns.length != target.columns.length)
-            throw new IllegalArgumentException(
-              s"table $name has ${target.columns.length} columns but ${rows.columns.length} values were supplied")
-          rows.toDF(target.columns.toIndexedSeq: _*)
-        case Some(cl) =>
-          val names = cl.stripPrefix("(").stripSuffix(")")
-            .split(",").map(stripQuotes).toSeq
-          if (names.length != rows.columns.length)
-            throw new IllegalArgumentException(
-              s"${names.length} columns but ${rows.columns.length} values were supplied")
-          // unknown target columns error like sqlite3, instead of the
-          // value silently vanishing in the NULL-fill below
-          for (n <- names if !target.columns.exists(_.equalsIgnoreCase(n)))
-            throw new IllegalArgumentException(
-              s"table $name has no column named $n")
-          val named = rows.toDF(names: _*)
-          val filled = target.columns.foldLeft(named) { (df, c) =>
-            if (names.exists(_.equalsIgnoreCase(c))) df
-            else {
-              // a column declared with DEFAULT (CREATE TABLE def or
-              // ALTER TABLE ADD COLUMN) fills its default, not NULL
-              val m = target.schema(c).metadata
-              val fill = if (m.contains(DefaultKey)) lit(m.getString(DefaultKey)) else lit(null)
-              df.withColumn(c, fill.cast(target.schema(c).dataType))
-            }
+      val aligned: org.apache.spark.sql.DataFrame =
+        // `INSERT INTO t DEFAULT VALUES` is one row where every column
+        // takes its DEFAULT (or NULL) — and the rowid walk below then
+        // autoassigns the key (sqlite3-pinned in CliSpec).
+        if ("""(?is)\s*default\s+values\s*""".r.matches(body)) {
+          val defaults = target.schema.fields.map { f =>
+            val fill =
+              if (f.metadata.contains(DefaultKey)) lit(f.metadata.getString(DefaultKey))
+              else lit(null)
+            fill.cast(f.dataType).as(f.name)
           }
-          filled.select(target.columns.map(col).toIndexedSeq: _*)
+          spark.range(1).select(defaults.toIndexedSeq: _*)
+        } else {
+          val rows =
+            try spark.sql(body)
+            catch {
+              // SQLite is dynamically typed: VALUES ('x',1),(NULL,'y') is
+              // legal there but trips Spark's inline-table type
+              // unification. Our tables store canonicalized text anyway,
+              // so retry with every scalar cast to string.
+              case e: org.apache.spark.sql.AnalysisException
+                  if e.getCondition != null &&
+                    e.getCondition.startsWith("INVALID_INLINE_TABLE") =>
+                spark.sql(stringifyValues(body))
+            }
+          Option(colList).map(_.trim).filter(_.nonEmpty) match {
+            case None =>
+              if (rows.columns.length != target.columns.length)
+                throw new IllegalArgumentException(
+                  s"table $name has ${target.columns.length} columns but ${rows.columns.length} values were supplied")
+              rows.toDF(target.columns.toIndexedSeq: _*)
+            case Some(cl) =>
+              val names = cl.stripPrefix("(").stripSuffix(")")
+                .split(",").map(stripQuotes).toSeq
+              if (names.length != rows.columns.length)
+                throw new IllegalArgumentException(
+                  s"${names.length} columns but ${rows.columns.length} values were supplied")
+              // unknown target columns error like sqlite3, instead of the
+              // value silently vanishing in the NULL-fill below
+              for (n <- names if !target.columns.exists(_.equalsIgnoreCase(n)))
+                throw new IllegalArgumentException(
+                  s"table $name has no column named $n")
+              val named = rows.toDF(names: _*)
+              val filled = target.columns.foldLeft(named) { (df, c) =>
+                if (names.exists(_.equalsIgnoreCase(c))) df
+                else {
+                  // a column declared with DEFAULT (CREATE TABLE def or
+                  // ALTER TABLE ADD COLUMN) fills its default, not NULL
+                  val m = target.schema(c).metadata
+                  val fill = if (m.contains(DefaultKey)) lit(m.getString(DefaultKey)) else lit(null)
+                  df.withColumn(c, fill.cast(target.schema(c).dataType))
+                }
+              }
+              filled.select(target.columns.map(col).toIndexedSeq: _*)
+          }
+        }
+      val canon = canonicalizeByAffinity(target, aligned)
+      val (newTable, affected) = upsert match {
+        case Some(u) => applyUpsert(spark, name, target, canon, u, mode)
+        case None => applyInsert(spark, name, target, canon, mode)
       }
-      collapseIfDeep(applyInsert(spark, name, target, canonicalizeByAffinity(target, aligned), mode))
-        .createOrReplaceTempView(name)
-      true
+      collapseIfDeep(newTable).createOrReplaceTempView(name)
+      Handled(retText.map(returningDf(target, affected, _)))
 
     case CreateView(ifNotExists, name, select) =>
       if (spark.catalog.tableExists(name)) {
         if (ifNotExists == null)
           throw new IllegalArgumentException(s"view $name already exists")
       } else spark.sql(s"CREATE TEMPORARY VIEW `$name` AS $select")
-      true
+      Done
 
-    case Update(name, rest) =>
+    case Update(name, rest0) =>
       if (!spark.catalog.tableExists(name))
         throw new IllegalArgumentException(s"no such table: $name")
       rejectViewDml(spark, name)
+      val (rest, retText) = splitAtTopLevelKeyword(rest0, "returning")
       val (setClause, whereOpt) = splitAtTopLevelWhere(rest)
       val assigns = splitTopLevel(setClause).map(parseAssignment)
       val target = spark.table(name)
       for ((n, _) <- assigns if !target.columns.exists(_.equalsIgnoreCase(n)))
         throw new IllegalArgumentException(s"no such column: $n")
+      // rightmost assignment to a column wins (SQLite rule); the
+      // unconditional new value, shared by the rebind projection and
+      // the RETURNING row set
+      def newValue(c: String): Option[org.apache.spark.sql.Column] =
+        assigns.reverse.find(_._1.equalsIgnoreCase(c))
+          .map { case (_, exprText) => storeCanonical(target, target, c, expr(exprText)) }
       val proj = target.columns.map { c =>
-        // rightmost assignment to a column wins (SQLite rule)
-        assigns.reverse.find(_._1.equalsIgnoreCase(c)) match {
-          case Some((_, exprText)) =>
-            // SQLite applies the column's affinity to the assigned
-            // value BEFORE storage; our tables store canonicalized
-            // text (Affinity scaladoc), so render the value
-            // SQLite-style and canonicalize under the DECLARED
-            // affinity when the column has one (TEXT columns keep
-            // '007' verbatim, sqlite3-pinned), else NUMERIC — which
-            // is what turns the double-typed `a2 * 10` back into the
-            // integer 20 that sqlite3 stores on an undeclared column
-            // (pinned in CliSpec; a string literal like '007' also
-            // canonicalizing there is the documented value-provenance
-            // deviation).
-            val e = expr(exprText)
-            val isBool = target.select(e).schema.head.dataType ==
-              org.apache.spark.sql.types.BooleanType
-            val rendered = if (isBool) e.cast("int").cast("string") else e.cast("string")
-            val m = target.schema(c).metadata
-            val decl = if (m.contains(Affinity.DeclKey)) m.getString(Affinity.DeclKey) else ""
-            val aff = if (decl.isEmpty) "NUMERIC" else Affinity.hasAffinity(decl)
-            val assigned =
-              if (aff == "TEXT" || aff == "BLOB") rendered
-              else Affinity.canonicalExpr(rendered, aff)
+        newValue(c) match {
+          case Some(assigned) =>
             // keep the column's affinity tag through the rebind, so
             // ORDER BY after UPDATE still uses storage-class ordering
             (whereOpt match {
@@ -568,17 +586,40 @@ object ScriptDdl {
       val updated = target.select(proj.toIndexedSeq: _*)
       enforceUpdateConstraints(spark, name, target, updated, assigns.map(_._1))
       collapseIfDeep(updated).createOrReplaceTempView(name)
-      true
+      // RETURNING sees the NEW values of exactly the rows the WHERE
+      // matched (sqlite3-pinned)
+      Handled(retText.map { t =>
+        val base = whereOpt.map(w => target.where(expr(w))).getOrElse(target)
+        val newRows = base.select(target.columns.map(c =>
+          newValue(c).getOrElse(col(s"`$c`")).as(c, target.schema(c).metadata))
+          .toIndexedSeq: _*)
+        returningDf(target, newRows, t)
+      })
 
-    case Delete(name, cond) =>
+    case Delete(name, tail0) =>
       if (!spark.catalog.tableExists(name))
         throw new IllegalArgumentException(s"no such table: $name")
       rejectViewDml(spark, name)
-      val rebound =
-        if (cond == null) spark.table(name).limit(0)
-        else spark.sql(s"SELECT * FROM `$name` WHERE NOT coalesce(($cond), false)")
+      val (tail, retText) = splitAtTopLevelKeyword(tail0, "returning")
+      val WhereTail = """(?is)where\s+(.+)""".r
+      val condOpt = tail.trim match {
+        case "" => None
+        case WhereTail(c) => Some(c)
+        case t => throw new IllegalArgumentException(
+          s"""near "${t.split("\\s+").head}": syntax error""")
+      }
+      val target = spark.table(name)
+      val deleted = condOpt match {
+        case None => target
+        case Some(c) => spark.sql(s"SELECT * FROM `$name` WHERE coalesce(($c), false)")
+      }
+      val rebound = condOpt match {
+        case None => target.limit(0)
+        case Some(c) => spark.sql(s"SELECT * FROM `$name` WHERE NOT coalesce(($c), false)")
+      }
       collapseIfDeep(rebound).createOrReplaceTempView(name)
-      true
+      // RETURNING sees the OLD values of the deleted rows
+      Handled(retText.map(returningDf(target, deleted, _)))
 
     case CreateIndex(unique, ifNotExists, idxName, tblName) =>
       // SQLite indexes change performance, never results; Catalyst
@@ -595,7 +636,7 @@ object ScriptDdl {
         if (ifNotExists == null)
           throw new IllegalArgumentException(s"index $idxName already exists")
       } else state.indexes += (idxName -> tblName)
-      true
+      Done
 
     case DropIndex(ifExists, idxName) =>
       val idx = state.indexes.indexWhere(_._1.equalsIgnoreCase(idxName))
@@ -603,7 +644,7 @@ object ScriptDdl {
         if (ifExists == null)
           throw new IllegalArgumentException(s"no such index: $idxName")
       } else state.indexes.remove(idx)
-      true
+      Done
 
     case CreateTrigger() =>
       throw new UnsupportedOperationException(
@@ -613,9 +654,9 @@ object ScriptDdl {
       val existed = spark.catalog.dropTempView(name)
       if (!existed && ifExists == null)
         throw new IllegalArgumentException(s"no such table: $name")
-      true
+      Done
 
-    case _ => false
+    case _ => NotHandled
   }
 
   private def requireTable(spark: SparkSession, name: String): Unit =
@@ -651,6 +692,33 @@ object ScriptDdl {
         case None => c
       }
     }.toIndexedSeq: _*)
+  }
+
+  /** Render one SET assignment's value the way this engine stores it:
+    * SQLite applies the target COLUMN's affinity to the assigned
+    * value BEFORE storage; our tables store canonicalized text
+    * (Affinity scaladoc), so render the value SQLite-style (bools as
+    * 0/1) and canonicalize under the DECLARED affinity when the
+    * column has one (TEXT columns keep '007' verbatim,
+    * sqlite3-pinned), else NUMERIC — which is what turns the
+    * double-typed `a2 * 10` back into the integer 20 that sqlite3
+    * stores on an undeclared column (pinned in CliSpec; a string
+    * literal like '007' also canonicalizing there is the documented
+    * value-provenance deviation). `resolveOn` is whatever frame can
+    * resolve the expression's column references (the table for
+    * UPDATE, the upsert join for DO UPDATE's `excluded.` refs). */
+  private def storeCanonical(
+      target: org.apache.spark.sql.DataFrame,
+      resolveOn: org.apache.spark.sql.DataFrame,
+      c: String, e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val isBool = resolveOn.select(e).schema.head.dataType ==
+      org.apache.spark.sql.types.BooleanType
+    val rendered = if (isBool) e.cast("int").cast("string") else e.cast("string")
+    val m = target.schema(c).metadata
+    val decl = if (m.contains(Affinity.DeclKey)) m.getString(Affinity.DeclKey) else ""
+    val aff = if (decl.isEmpty) "NUMERIC" else Affinity.hasAffinity(decl)
+    if (aff == "TEXT" || aff == "BLOB") rendered
+    else Affinity.canonicalExpr(rendered, aff)
   }
 
   /** UPDATE-time constraint surface, only when the table declares
@@ -794,13 +862,20 @@ object ScriptDdl {
     * Constraint checks and autoassign run driver-side on the batch —
     * the script DML surface is CLI-scoped (ScriptRunner already pumps
     * every result through the driver), so the batch is bounded; tables
-    * with no declared constraints keep the pure-union fast path. */
+    * with no declared constraints keep the pure-union fast path.
+    *
+    * Returns (new table plan, inserted rows — what a RETURNING clause
+    * reports: the full batch for plain INSERT and REPLACE — sqlite3
+    * emits every proposed row under REPLACE even when a later
+    * duplicate displaces it — but only actually-inserted rows under
+    * OR IGNORE, both pinned). */
   private def applyInsert(
       spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
-      aligned: org.apache.spark.sql.DataFrame, mode: String): org.apache.spark.sql.DataFrame = {
+      aligned: org.apache.spark.sql.DataFrame, mode: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{count => fCount, max => fMax, monotonically_increasing_id, row_number}
+    import org.apache.spark.sql.functions.{count => fCount, monotonically_increasing_id, row_number}
 
     val schema = target.schema
     val pkCols = schema.fields.filter(_.metadata.contains(Affinity.PkKey)).map(_.name).toSeq
@@ -808,69 +883,25 @@ object ScriptDdl {
       .find(f => f.metadata.contains(Affinity.PkKey) && f.metadata.getString(Affinity.PkKey) == "rowid")
       .map(_.name)
     val notNullCols = schema.fields.filter(_.metadata.contains(Affinity.NotNullKey)).map(_.name).toSeq
-    if (pkCols.isEmpty && notNullCols.isEmpty) return target.unionByName(aligned)
+    if (pkCols.isEmpty && notNullCols.isEmpty)
+      return (target.unionByName(aligned), aligned)
 
     // align the batch to the stored schema's types so driver-side
     // assignment and key comparison see the canonical stored text
     val alignedT = aligned.select(
       schema.fields.map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
-    val nnCheck = notNullCols.filterNot(rowid.contains) // rowid NULLs autoassign instead
-    if (nnCheck.nonEmpty) {
-      val bad = alignedT
-        .where(nnCheck.map(c => col(s"`$c`").isNull).reduce(_ || _)).limit(1).collect()
-      if (bad.nonEmpty) {
-        val c = nnCheck.find(c => bad(0).isNullAt(alignedT.columns.indexOf(c))).get
-        throw new IllegalArgumentException(s"NOT NULL constraint failed: $name.$c")
-      }
-    }
+    // rowid NULLs autoassign instead of NN-checking
+    val alignedNN = applyNotNullPolicy(
+      name, schema, alignedT, notNullCols.filterNot(rowid.contains), mode)
 
     var localRows: Option[Array[Row]] = None
     val batch: DataFrame = rowid match {
       case Some(rc) =>
-        // driver-side running-max walk: each NULL key takes one more
-        // than the largest key seen so far (stored or earlier in the
-        // batch — sqlite3-pinned); explicit keys are canonicalized
-        // ("2.0" stores as 2) and validated integral
-        val rcIdx = schema.fieldIndex(rc)
-        // the rowid column is LongType on ingest tables (anr) and
-        // StringType on script-created ones — store back in kind
-        def keyValue(n: Long): Any = schema(rcIdx).dataType match {
-          case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(n)
-          case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(n.toInt)
-          case _ => n.toString
-        }
-        // the stored-max scan is LAZY: a batch with no NULL keys (the
-        // common explicit-key INSERT) never pays the job — explicit
-        // keys only need the running max of the batch itself
-        lazy val storedMax: Long =
-          target.select(fMax(col(s"`$rc`").cast("long"))).first() match {
-            case r if r.isNullAt(0) => 0L
-            case r => math.max(0L, r.getLong(0))
-          }
-        var run: Long = -1L // max over stored (once needed) + batch keys
-        val out = alignedT.collect().map { r =>
-          val vals = Array.tabulate[Any](schema.length)(r.get)
-          vals(rcIdx) match {
-            case null =>
-              run = math.max(run, storedMax)
-              run += 1; vals(rcIdx) = keyValue(run)
-            case v =>
-              val canon = Affinity.canonicalize(v.toString, "INTEGER")
-              val n =
-                try java.lang.Long.parseLong(canon)
-                catch { case _: NumberFormatException =>
-                  throw new IllegalArgumentException("datatype mismatch") }
-              vals(rcIdx) = keyValue(n)
-              if (n > run) run = n
-          }
-          Row.fromSeq(vals.toIndexedSeq)
-        }
-        localRows = Some(out)
-        spark.createDataFrame(
-          java.util.Arrays.asList(out: _*),
-          StructType(schema.fields.map(f => StructField(f.name, f.dataType))))
-      case _ => alignedT
+        val (df, rows) = autoassignRowid(spark, target, schema, rc, alignedNN)
+        localRows = Some(rows)
+        df
+      case _ => alignedNN
     }
 
     def order(df: DataFrame): DataFrame = rowid match {
@@ -878,7 +909,7 @@ object ScriptDdl {
       case None => df
     }
 
-    if (pkCols.isEmpty) return order(target.unionByName(batch))
+    if (pkCols.isEmpty) return (order(target.unionByName(batch)), batch)
 
     val keyNonNull = pkCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
     def cond(b: DataFrame, t: DataFrame) =
@@ -897,7 +928,7 @@ object ScriptDdl {
     (localRows, rowid) match {
       case (Some(rows), Some(rc))
           if pkCols == Seq(rc) && rows.length <= MaxDriverProbeKeys =>
-        if (rows.isEmpty) return order(target)
+        if (rows.isEmpty) return (order(target), batch.limit(0))
         val rcIdx = schema.fieldIndex(rc)
         val rcCol = col(s"`$rc`")
         def localDf(rs: Array[Row]): DataFrame = spark.createDataFrame(
@@ -921,21 +952,21 @@ object ScriptDdl {
                 .limit(1).count() > 0)
               throw new IllegalArgumentException(
                 s"UNIQUE constraint failed: $name.$rc")
-            order(target.unionByName(batch))
+            (order(target.unionByName(batch)), batch)
           case "ignore" =>
             val firstPer = onePerKey(keepLast = false)
             val existing = target
               .where(rcCol.isin(firstPer.map(_.get(rcIdx)).toIndexedSeq: _*))
               .select(rcCol).collect().map(_.get(0)).toSet
-            order(target.unionByName(
-              localDf(firstPer.filterNot(r => existing(r.get(rcIdx))))))
+            val ins = localDf(firstPer.filterNot(r => existing(r.get(rcIdx))))
+            (order(target.unionByName(ins)), ins)
           case "replace" =>
             val lastPer = onePerKey(keepLast = true)
             // stored rowid keys are never null, so the negated IN
             // cannot null-drop a kept row
-            order(target
+            (order(target
               .where(!rcCol.isin(lastPer.map(_.get(rcIdx)).toIndexedSeq: _*))
-              .unionByName(localDf(lastPer)))
+              .unionByName(localDf(lastPer))), batch)
         }
       case _ => ()
     }
@@ -950,7 +981,7 @@ object ScriptDdl {
         if (dupExisting || dupInternal)
           throw new IllegalArgumentException(
             "UNIQUE constraint failed: " + pkCols.map(c => s"$name.$c").mkString(", "))
-        order(target.unionByName(batch))
+        (order(target.unionByName(batch)), batch)
 
       case "ignore" =>
         val withRid = batch.withColumn("__gr_rid", monotonically_increasing_id())
@@ -961,7 +992,8 @@ object ScriptDdl {
         val fresh = firstPer.join(target, cond(firstPer, target), "left_anti")
           .drop("__gr_rid")
         val nullKeyed = withRid.where(!keyNonNull).drop("__gr_rid")
-        order(target.unionByName(fresh).unionByName(nullKeyed))
+        (order(target.unionByName(fresh).unionByName(nullKeyed)),
+          fresh.unionByName(nullKeyed))
 
       case "replace" =>
         val withRid = batch.withColumn("__gr_rid", monotonically_increasing_id())
@@ -972,8 +1004,239 @@ object ScriptDdl {
           .drop("__gr_rn", "__gr_rid")
         val nullKeyed = withRid.where(!keyNonNull).drop("__gr_rid")
         val kept = target.join(lastPer, cond(target, lastPer), "left_anti")
-        order(kept.unionByName(lastPer).unionByName(nullKeyed))
+        (order(kept.unionByName(lastPer).unionByName(nullKeyed)), batch)
     }
+  }
+
+  /** Bind one `INSERT … ON CONFLICT` batch (SQLite UPSERT, 3.24+
+    * dialect). The conflict target must name the table's PRIMARY KEY
+    * — UNIQUE indexes are rejected at creation, so the pk is the only
+    * uniqueness constraint a target could name; anything else gets
+    * sqlite3's "does not match any PRIMARY KEY or UNIQUE constraint".
+    *
+    *  - `DO NOTHING` drops conflicting proposed rows;
+    *  - `DO UPDATE SET …` rewrites the stored row: assignments see
+    *    the stored row as bare columns and the proposed row as
+    *    `excluded.col` (sqlite3-pinned), optionally gated by a
+    *    conflict WHERE (NULL ⇒ no update, proposed row discarded);
+    *  - NOT NULL is checked on the PROPOSED row before conflict
+    *    resolution, and on the UPDATED row after (both pinned);
+    *  - batches with duplicate keys apply row-at-a-time (pinned:
+    *    VALUES (1,'x'),(1,'y') upserting `v = v || excluded.v` over
+    *    'a' yields 'axy') via OCCURRENCE ROUNDS: the k-th occurrence
+    *    of each key upserts set-based against the result of round
+    *    k-1; round count = max key multiplicity, 1 for real batches.
+    *
+    * `nnMode` carries the statement's OR-action ("INSERT OR IGNORE …
+    * ON CONFLICT …" is legal SQLite): the upsert clause resolves pk
+    * conflicts, the OR-action keeps governing NOT NULL.
+    * Returns (new table plan, RETURNING rows: fresh inserts plus
+    * conflict rows actually updated — DO-NOTHING skips excluded,
+    * sqlite3-pinned). */
+  private def applyUpsert(
+      spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
+      aligned: org.apache.spark.sql.DataFrame, up: UpsertSpec, nnMode: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max => fMax, monotonically_increasing_id, row_number}
+
+    val schema = target.schema
+    val pkCols = schema.fields.filter(_.metadata.contains(Affinity.PkKey)).map(_.name).toSeq
+    def noPkMatch: Nothing = throw new IllegalArgumentException(
+      "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint")
+    if (pkCols.isEmpty) noPkMatch
+    up.targetCols.foreach { tc =>
+      if (tc.map(_.toLowerCase).toSet != pkCols.map(_.toLowerCase).toSet) noPkMatch
+    }
+    val rowid = schema.fields
+      .find(f => f.metadata.contains(Affinity.PkKey) && f.metadata.getString(Affinity.PkKey) == "rowid")
+      .map(_.name)
+    val alignedT = aligned.select(
+      schema.fields.map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val alignedNN = applyNotNullPolicy(
+      name, schema, alignedT,
+      schema.fields.filter(_.metadata.contains(Affinity.NotNullKey)).map(_.name).toSeq
+        .filterNot(rowid.contains),
+      nnMode)
+    val batch: DataFrame = rowid match {
+      case Some(rc) => autoassignRowid(spark, target, schema, rc, alignedNN)._1
+      case _ => alignedNN
+    }
+    def order(df: DataFrame): DataFrame = rowid match {
+      case Some(rc) => df.orderBy(col(s"`$rc`").cast("long"))
+      case None => df
+    }
+    val keyNonNull = pkCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
+    // NULL pks never conflict (SQLite treats NULLs as distinct) —
+    // those rows always insert fresh
+    val withRid = batch.withColumn("__gr_rid", monotonically_increasing_id())
+    val nullKeyed = withRid.where(!keyNonNull).drop("__gr_rid")
+    val keyed = withRid.where(keyNonNull)
+    val w = Window.partitionBy(pkCols.map(c => col(s"`$c`")): _*).orderBy(col("__gr_rid"))
+    val withOcc = keyed.withColumn("__gr_occ", row_number().over(w))
+    // one small driver-side agg per statement — CLI-scoped, like the
+    // rest of the DML constraint surface
+    val maxOcc: Int = withOcc.agg(fMax(col("__gr_occ"))).first() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    var cur = target
+    val retParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (round <- 1 to maxOcc) {
+      val p = withOcc.where(col("__gr_occ") === round).drop("__gr_occ", "__gr_rid")
+      val (next, freshRows, updRows) = upsertRound(name, cur, p, up, schema, pkCols)
+      cur = next
+      retParts += freshRows
+      updRows.foreach(retParts += _)
+    }
+    cur = cur.unionByName(nullKeyed)
+    retParts += nullKeyed
+    // post-assignment constraint surface: NN on updated rows, and
+    // final-state pk uniqueness when DO UPDATE reassigns the key
+    // (sqlite3 allows `do update set k = …`; a duplicate final state
+    // errors)
+    up.set.foreach { case (setText, _) =>
+      enforceUpdateConstraints(spark, name, target, cur,
+        splitTopLevel(setText).map(parseAssignment).map(_._1))
+    }
+    (order(cur), retParts.reduce(_ unionByName _))
+  }
+
+  /** One set-based upsert round over unique-keyed proposed rows:
+    * stored rows left-join the proposed batch on the pk and either
+    * keep their values or take the DO UPDATE assignment; proposed
+    * rows missing from storage insert. Returns (new plan, fresh
+    * inserts, updated rows if DO UPDATE). */
+  private def upsertRound(
+      name: String, cur: org.apache.spark.sql.DataFrame,
+      p: org.apache.spark.sql.DataFrame, up: UpsertSpec,
+      schema: StructType, pkCols: Seq[String])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         Option[org.apache.spark.sql.DataFrame]) = {
+    def joinCond(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      pkCols.map(c => a(c) === b(c)).reduce(_ && _)
+    val fresh = p.join(cur, joinCond(p, cur), "left_anti")
+    up.set match {
+      case None => // DO NOTHING: conflicting proposed rows drop
+        (cur.unionByName(fresh), fresh, None)
+      case Some((setText, whereText)) =>
+        val assigns = splitTopLevel(setText).map(parseAssignment)
+        for ((n, _) <- assigns if !schema.fields.exists(_.name.equalsIgnoreCase(n)))
+          throw new IllegalArgumentException(s"no such column: $n")
+        // the proposed row joins in under `excluded.`-prefixed names;
+        // bare column references keep resolving to the stored row,
+        // exactly SQLite's scoping
+        val pRen = p.select((schema.fields.map(f =>
+          col(s"`${f.name}`").as(ExcPrefix + f.name)).toSeq :+ lit(1).as("__gr_hit"))
+          .toIndexedSeq: _*)
+        val cond = pkCols.map(c => col(s"$name.`$c`") === col(s"`$ExcPrefix$c`")).reduce(_ && _)
+        val joined = cur.as(name).join(pRen, cond, "left")
+        val matched = col("__gr_hit").isNotNull
+        val updCond = whereText match {
+          case Some(wt) => matched && expr(rewriteExcluded(wt))
+          case None => matched
+        }
+        def newVal(c: String): Option[org.apache.spark.sql.Column] =
+          assigns.reverse.find(_._1.equalsIgnoreCase(c)).map { case (_, t) =>
+            storeCanonical(cur, joined, c, expr(rewriteExcluded(t)))
+          }
+        val proj = schema.fields.map { f =>
+          (newVal(f.name) match {
+            case Some(v) => when(updCond, v).otherwise(col(s"$name.`${f.name}`"))
+            case None => col(s"$name.`${f.name}`")
+          }).as(f.name, f.metadata)
+        }
+        val updatedStored = joined.select(proj.toIndexedSeq: _*)
+        val updRet = joined.where(updCond).select(schema.fields.map { f =>
+          newVal(f.name).getOrElse(col(s"$name.`${f.name}`")).as(f.name, f.metadata)
+        }.toIndexedSeq: _*)
+        (updatedStored.unionByName(fresh), fresh, Some(updRet))
+    }
+  }
+
+  /** Per-mode NOT NULL policy over an incoming batch (sqlite3-pinned):
+    * plain INSERT aborts on a NULL in a NOT NULL column; OR IGNORE
+    * silently drops the violating row; OR REPLACE substitutes the
+    * column's DEFAULT and aborts only when the column has none. The
+    * check runs on the PROPOSED row before any conflict handling
+    * (also pinned: an upsert errors even when the row's pk conflict
+    * would have been resolved by DO NOTHING). */
+  private def applyNotNullPolicy(
+      name: String, schema: StructType, alignedT: org.apache.spark.sql.DataFrame,
+      nnCheck: Seq[String], mode: String): org.apache.spark.sql.DataFrame = {
+    if (nnCheck.isEmpty) return alignedT
+    def abortOnNull(cols: Seq[String]): Unit = if (cols.nonEmpty) {
+      val bad = alignedT
+        .where(cols.map(c => col(s"`$c`").isNull).reduce(_ || _)).limit(1).collect()
+      if (bad.nonEmpty) {
+        val c = cols.find(c => bad(0).isNullAt(alignedT.columns.indexOf(c))).get
+        throw new IllegalArgumentException(s"NOT NULL constraint failed: $name.$c")
+      }
+    }
+    mode match {
+      case "ignore" =>
+        alignedT.where(nnCheck.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
+      case "replace" =>
+        val (withDflt, noDflt) =
+          nnCheck.partition(c => schema(c).metadata.contains(DefaultKey))
+        abortOnNull(noDflt)
+        withDflt.foldLeft(alignedT)((df, c) => df.withColumn(c,
+          coalesce(col(s"`$c`"),
+            lit(schema(c).metadata.getString(DefaultKey)).cast(schema(c).dataType))))
+      case _ =>
+        abortOnNull(nnCheck)
+        alignedT
+    }
+  }
+
+  /** The rowid-alias autoassign walk, shared by INSERT and UPSERT
+    * binding: each NULL key takes one more than the largest key seen
+    * so far (stored or earlier in the batch — sqlite3-pinned);
+    * explicit keys are canonicalized ("2.0" stores as 2) and
+    * validated integral ("datatype mismatch" otherwise, under EVERY
+    * conflict mode — pinned). The stored-max scan is lazy: a batch
+    * with no NULL keys never pays the job. Driver-side by design —
+    * the script DML surface is CLI-scoped. */
+  private def autoassignRowid(
+      spark: SparkSession, target: org.apache.spark.sql.DataFrame,
+      schema: StructType, rc: String, alignedNN: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Array[Row]) = {
+    import org.apache.spark.sql.functions.{max => fMax}
+    val rcIdx = schema.fieldIndex(rc)
+    // the rowid column is LongType on ingest tables (anr) and
+    // StringType on script-created ones — store back in kind
+    def keyValue(n: Long): Any = schema(rcIdx).dataType match {
+      case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(n)
+      case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(n.toInt)
+      case _ => n.toString
+    }
+    lazy val storedMax: Long =
+      target.select(fMax(col(s"`$rc`").cast("long"))).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => math.max(0L, r.getLong(0))
+      }
+    var run: Long = -1L // max over stored (once needed) + batch keys
+    val out = alignedNN.collect().map { r =>
+      val vals = Array.tabulate[Any](schema.length)(r.get)
+      vals(rcIdx) match {
+        case null =>
+          run = math.max(run, storedMax)
+          run += 1; vals(rcIdx) = keyValue(run)
+        case v =>
+          val canon = Affinity.canonicalize(v.toString, "INTEGER")
+          val n =
+            try java.lang.Long.parseLong(canon)
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException("datatype mismatch") }
+          vals(rcIdx) = keyValue(n)
+          if (n > run) run = n
+      }
+      Row.fromSeq(vals.toIndexedSeq)
+    }
+    (spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(schema.fields.map(f => StructField(f.name, f.dataType)))), out)
   }
 
   /** Rewrite an inline `VALUES (…),(…)` body with every scalar cast
@@ -1066,30 +1329,153 @@ object ScriptDdl {
     }
   }
 
-  /** Split an UPDATE tail `SET-list [WHERE cond]` at the first
-    * top-level WHERE keyword — outside quotes and parentheses, so a
-    * `'where'` string literal or a subquery's WHERE never splits. */
-  private def splitAtTopLevelWhere(s: String): (String, Option[String]) = {
+  /** Split `s` at the first top-level occurrence of a keyword phrase
+    * (words separated by whitespace) — outside quotes and parentheses,
+    * on word boundaries — so a `'where'` string literal, a subquery's
+    * WHERE, or a column named `returning` inside parens never splits.
+    * Returns (before, Some(after-the-phrase)) or (s, None). */
+  private def splitAtTopLevelKeyword(s: String, phrase: String): (String, Option[String]) = {
+    val words = phrase.split(" ")
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     var depth = 0
     var quote: Char = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
       else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case 'w' | 'W' if depth == 0 &&
-            i + 5 <= s.length && s.substring(i, i + 5).equalsIgnoreCase("where") &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
-            (i + 5 == s.length || !Character.isLetterOrDigit(s.charAt(i + 5)) && s.charAt(i + 5) != '_') =>
-          return (s.substring(0, i), Some(s.substring(i + 5)))
-        case _ =>
+        case '\'' | '"' | '`' => quote = c; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && Character.isLetter(c) &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) =>
+          var j = i
+          var ok = true
+          for ((w, wi) <- words.zipWithIndex if ok) {
+            if (wi > 0) {
+              val start = j
+              while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+              if (j == start) ok = false
+            }
+            if (ok && j + w.length <= s.length &&
+                s.regionMatches(true, j, w, 0, w.length)) j += w.length
+            else ok = false
+          }
+          if (ok && (j == s.length || !isWordChar(s.charAt(j))))
+            return (s.substring(0, i), Some(s.substring(j)))
+          i += 1
+        case _ => i += 1
       }
-      i += 1
     }
     (s, None)
+  }
+
+  /** Split an UPDATE tail `SET-list [WHERE cond]` at the first
+    * top-level WHERE keyword. */
+  private def splitAtTopLevelWhere(s: String): (String, Option[String]) =
+    splitAtTopLevelKeyword(s, "where")
+
+  /** A parsed `ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET …
+    * [WHERE …]` clause. `set` is None for DO NOTHING, else the SET
+    * list text plus the optional conflict-update WHERE text (both may
+    * reference `excluded.col`). */
+  private final case class UpsertSpec(
+      targetCols: Option[Seq[String]], set: Option[(String, Option[String])])
+
+  private val UpsertClause =
+    """(?is)\s*(?:\(([^)]*)\)\s*)?do\s+(nothing\s*|update\s+set\s+(.+))""".r
+
+  private def parseUpsert(clause: String): UpsertSpec = clause match {
+    case UpsertClause(cols, action, setTail) =>
+      val target = Option(cols).map(_.split(",").map(s => stripQuotes(s.trim)).toSeq)
+      if (setTail == null) UpsertSpec(target, None)
+      else {
+        val (setC, w) = splitAtTopLevelWhere(setTail)
+        UpsertSpec(target, Some((setC, w)))
+      }
+    case _ => throw new IllegalArgumentException("""near "ON": syntax error""")
+  }
+
+  /** Rewrite `excluded.col` references (the UPSERT proposed-row
+    * pseudo-table, SQLite dialect) to the prefixed column names the
+    * upsert join exposes the batch row under. Quote-aware: an
+    * `'excluded.x'` string literal is untouched. */
+  private def rewriteExcluded(s: String): String = {
+    val out = new StringBuilder
+    val Ref = """(?is)^excluded\s*\.\s*([A-Za-z_]\w*|"[^"]+"|`[^`]+`)""".r
+    var quote: Char = 0
+    var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { out.append(c); if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c); i += 1 }
+      else if ((c == 'e' || c == 'E') && (i == 0 || !isWordChar(s.charAt(i - 1)))) {
+        Ref.findFirstMatchIn(s.substring(i)) match {
+          case Some(m) =>
+            out.append(s"`$ExcPrefix${stripQuotes(m.group(1))}`")
+            i += m.end
+          case None => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Column-name prefix the upsert join exposes the proposed
+    * (`excluded`) row's values under. */
+  private val ExcPrefix = "__gr_exc_"
+
+  /** Rewrite bare `rowid` / `_rowid_` / `oid` tokens to the table's
+    * INTEGER PRIMARY KEY alias column (SQLite exposes the alias both
+    * ways; RETURNING clauses commonly use `rowid`). Quote-aware and
+    * boundary-checked; qualified references (`t.rowid`) also map. */
+  private def rewriteRowidTokens(s: String, alias: String): String = {
+    val out = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val names = Seq("_rowid_", "rowid", "oid")
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { out.append(c); if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; out.append(c); i += 1 }
+      else if ((Character.isLetter(c) || c == '_') && (i == 0 || !isWordChar(s.charAt(i - 1)))) {
+        names.find(n => s.regionMatches(true, i, n, 0, n.length) &&
+            (i + n.length == s.length || !isWordChar(s.charAt(i + n.length)))) match {
+          case Some(n) => out.append(s"`$alias`"); i += n.length
+          case None => out.append(c); i += 1
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Evaluate a RETURNING clause over the affected-row set. Each item
+    * is `*` (all table columns) or an expression with an optional
+    * alias; unaliased items are named by their verbatim text, matching
+    * sqlite3's .headers output. */
+  private def returningDf(
+      target: org.apache.spark.sql.DataFrame,
+      rows: org.apache.spark.sql.DataFrame,
+      text: String): org.apache.spark.sql.DataFrame = {
+    val rowidAlias = target.schema.fields
+      .find(f => f.metadata.contains(Affinity.PkKey) &&
+        f.metadata.getString(Affinity.PkKey) == "rowid").map(_.name)
+    val AsRe = """(?is)^(.+?)\s+as\s+[`"]?(\w+)[`"]?\s*$""".r
+    val cols = splitTopLevel(text).map(_.trim).filter(_.nonEmpty).flatMap {
+      case "*" => target.columns.toSeq.map(c => col(s"`$c`"))
+      case item =>
+        val (exprText, alias) = item match {
+          case AsRe(e, a) => (e, a)
+          case _ => (item, item)
+        }
+        val mapped = rowidAlias.map(rewriteRowidTokens(exprText, _)).getOrElse(exprText)
+        Seq(expr(mapped).as(alias))
+    }
+    if (cols.isEmpty)
+      throw new IllegalArgumentException("""near "RETURNING": syntax error""")
+    rows.select(cols.toIndexedSeq: _*)
   }
 
   private val Assignment = """(?s)\s*[`"]?(\w+)[`"]?\s*=(.+)""".r

@@ -134,9 +134,15 @@ object ScriptRunner {
           case Some(df) =>
             if (df.schema.nonEmpty) pump(df, serializer)
           case None =>
-            if (!ScriptDdl.execute(spark, sql, ddlState)) {
-              val df: DataFrame = spark.sql(sql)
-              if (df.schema.nonEmpty) pump(df, serializer)
+            ScriptDdl.executeRows(spark, sql, ddlState) match {
+              case ScriptDdl.NotHandled =>
+                val df: DataFrame = spark.sql(sql)
+                if (df.schema.nonEmpty) pump(df, serializer)
+              case ScriptDdl.Handled(Some(rows)) =>
+                // a RETURNING clause: the DML statement emits rows
+                // through the one serializer like any query statement
+                pump(rows, serializer)
+              case ScriptDdl.Handled(None) => ()
             }
         }
       }

@@ -712,6 +712,53 @@ object Ingest {
              |  (5, '4 a2 REAL 0  0'),
              |  (6, '0 gp_idx 0 c 0'),
              |  (7, '9'),
-             |  (8, 'memory')) t(ln, line)""".stripMargin))
+             |  (8, 'memory')) t(ln, line)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i26: UPSERT + RETURNING mid-script (SQLite 3.24/3.35 dialect the
+    // reference forwards verbatim, lib/classes/sqawk.tcl:216). A batch
+    // whose keys half-overlap storage runs ON CONFLICT DO UPDATE with
+    // `excluded.` references and a conflict-WHERE gate, then a DELETE
+    // … RETURNING trims the tail; the oracle recomputes the post-state
+    // as a left join + CASE (updates), an anti-join (fresh inserts)
+    // and a filter (delete). RETURNING row emission itself is pinned
+    // byte-for-byte against sqlite3 in CliSpec.
+    QDef(
+      "i26_upsert",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("g_nat_up")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """CREATE TABLE up_i26 (k INTEGER PRIMARY KEY, nm, cnt INTEGER DEFAULT 0);
+            |INSERT INTO up_i26 SELECT n_nationkey, n_name, 1 FROM g_nat_up;
+            |INSERT INTO up_i26 SELECT n_nationkey + 20, lower(n_name), 7 FROM g_nat_up
+            |  ON CONFLICT (k) DO UPDATE SET nm = excluded.nm, cnt = cnt + excluded.cnt
+            |  WHERE k % 2 = 0;
+            |DELETE FROM up_i26 WHERE k > 40 RETURNING k""".stripMargin,
+          new AwkSerializer(sw))
+        val out = s.table("up_i26")
+          .select(col("k").cast("long").as("k"), col("nm"),
+            col("cnt").cast("long").as("cnt"))
+          .orderBy("k")
+        s.catalog.dropTempView("up_i26")
+        s.catalog.dropTempView("g_nat_up")
+        out
+      },
+      Some("""WITH base AS (
+             |  SELECT n_nationkey AS k, n_name AS nm, 1 AS cnt FROM nation
+             |), prop AS (
+             |  SELECT n_nationkey + 20 AS k, lower(n_name) AS nm, 7 AS cnt FROM nation
+             |), upd AS (
+             |  SELECT b.k,
+             |    CASE WHEN p.k IS NOT NULL AND b.k % 2 = 0 THEN p.nm ELSE b.nm END AS nm,
+             |    CASE WHEN p.k IS NOT NULL AND b.k % 2 = 0 THEN b.cnt + p.cnt ELSE b.cnt END AS cnt
+             |  FROM base b LEFT JOIN prop p USING (k)
+             |), fresh AS (
+             |  SELECT k, nm, cnt FROM prop WHERE k NOT IN (SELECT k FROM base)
+             |), merged AS (
+             |  SELECT * FROM upd UNION ALL SELECT * FROM fresh
+             |)
+             |SELECT CAST(k AS BIGINT) AS k, nm, CAST(cnt AS BIGINT) AS cnt
+             |FROM merged WHERE NOT coalesce(k > 40, false) ORDER BY k""".stripMargin))
   )
 }

@@ -537,6 +537,139 @@ class CliSpec extends SparkSpec {
     assert(sqawk("delete from never_there", f)._1 == 1)
   }
 
+  test("RETURNING on INSERT/UPDATE/DELETE emits rows (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3 3.51: 1|20 2|40 / 1|11 / 2|20 / final|1|11
+    val (c, o) = sqawk(
+      "create table rt (a, b); " +
+        "insert into rt values (1, 10), (2, 20) returning a, b*2; " +
+        "update rt set b = b + 1 where a = 1 returning a, b; " +
+        "delete from rt where a = 2 returning *; " +
+        "select 'final', a, b from rt",
+      f)
+    assert((c, o) == (0, "1 20\n2 40\n1 11\n2 20\nfinal 1 11\n"))
+  }
+
+  test("RETURNING reports autoassigned keys; rowid maps to the alias (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    val (c, o) = sqawk(
+      "create table rk (k integer primary key, v); " +
+        "insert into rk (v) values ('a'), ('b') returning k, v; " +
+        "insert into rk values (100, 'c') returning rowid, v",
+      f)
+    assert((c, o) == (0, "1 a\n2 b\n100 c\n"))
+  }
+
+  test("UPSERT: DO UPDATE sees stored row bare and proposed row as excluded (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: 1|A|6  2|b|5  3|c|7
+    val (c, o) = sqawk(
+      "create table up1 (k integer primary key, v, n integer default 0); " +
+        "insert into up1 values (1, 'a', 5), (2, 'b', 5); " +
+        "insert into up1 values (1, 'A', 9) on conflict (k) do update set v = excluded.v, n = n + 1; " +
+        "insert into up1 values (2, 'B', 9) on conflict (k) do nothing; " +
+        "insert into up1 values (3, 'c', 7) on conflict (k) do update set v = 'never'; " +
+        "select k, v, n from up1 order by k",
+      f)
+    assert((c, o) == (0, "1 A 6\n2 b 5\n3 c 7\n"))
+  }
+
+  test("UPSERT applies in-batch duplicate keys row-at-a-time (sqlite3-pinned 'axy')") {
+    val f = tempFile("x\n")
+    val (c, o) = sqawk(
+      "create table up2 (k integer primary key, v); " +
+        "insert into up2 values (1, 'a'); " +
+        "insert into up2 values (1, 'x'), (1, 'y') on conflict do update set v = v || excluded.v; " +
+        "select k, v from up2",
+      f)
+    assert((c, o) == (0, "1 axy\n"))
+  }
+
+  test("UPSERT conflict WHERE gates the update; upsert may reassign the pk (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // unmatched conflict WHERE: stored row unchanged, proposed row discarded
+    assert(sqawk(
+      "create table up3 (k integer primary key, v); " +
+        "insert into up3 values (1, 'a'), (2, 'b'); " +
+        "insert into up3 values (1, 'X') on conflict (k) do update set v = excluded.v where up3.v = 'zzz'; " +
+        "select k, v from up3 order by k",
+      f) == (0, "1 a\n2 b\n"))
+    // sqlite3: do update set k = 99 moves the key
+    assert(sqawk(
+      "create table up4 (k integer primary key, v); " +
+        "insert into up4 values (1, 'a'); " +
+        "insert into up4 values (1, 'b') on conflict do update set k = 99; " +
+        "select k, v from up4 order by k",
+      f) == (0, "99 a\n"))
+  }
+
+  test("UPSERT + RETURNING reports the updated row (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    val (c, o) = sqawk(
+      "create table up5 (k text primary key, v); " +
+        "insert into up5 values ('a', 1), ('b', 2); " +
+        "insert into up5 values ('a', 9) on conflict do update set v = excluded.v returning k, v; " +
+        "select '-', k, v from up5 order by k",
+      f)
+    assert((c, o) == (0, "a 9\n- a 9\n- b 2\n"))
+  }
+
+  test("UPSERT error surface matches sqlite3") {
+    val f = tempFile("x\n")
+    // conflict target must name the pk
+    assert(sqawk(
+      "create table ue1 (k integer primary key, v); " +
+        "insert into ue1 values (1,'a') on conflict (v) do nothing", f)._1 == 1)
+    // a table with no pk has no uniqueness constraint to target
+    assert(sqawk(
+      "create table ue2 (k, v); " +
+        "insert into ue2 values (1,'a') on conflict (k) do nothing", f)._1 == 1)
+    // NOT NULL is checked on the PROPOSED row even when the pk
+    // conflict would have been resolved by DO NOTHING (sqlite3-pinned)
+    assert(sqawk(
+      "create table ue3 (k integer primary key, v not null); " +
+        "insert into ue3 values (5, 'x'); " +
+        "insert into ue3 values (5, null) on conflict do nothing", f)._1 == 1)
+  }
+
+  test("OR IGNORE skips NOT NULL rows; OR REPLACE fills the DEFAULT (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: (2,null) is silently dropped
+    assert(sqawk(
+      "create table nn1 (k integer primary key, v not null default 9); " +
+        "insert or ignore into nn1 values (1,'a'),(2,null),(3,'c'); " +
+        "select k, v from nn1 order by k",
+      f) == (0, "1 a\n3 c\n"))
+    // sqlite3: REPLACE substitutes the DEFAULT for the NULL
+    assert(sqawk(
+      "create table nn2 (k integer primary key, v not null default 9); " +
+        "insert or replace into nn2 values (1, null); select k, v from nn2",
+      f) == (0, "1 9\n"))
+    // without a DEFAULT, REPLACE aborts like plain INSERT
+    assert(sqawk(
+      "create table nn3 (k integer primary key, v not null); " +
+        "insert or replace into nn3 values (1, null)", f)._1 == 1)
+  }
+
+  test("RETURNING under OR REPLACE/OR IGNORE reports per-row outcomes (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // REPLACE: every proposed row inserts (a later in-batch duplicate
+    // displaces the earlier), so both rows return
+    assert(sqawk(
+      "create table rr1 (k integer primary key, v); " +
+        "insert into rr1 values (1, 'a'); " +
+        "insert or replace into rr1 values (1,'x'),(1,'y') returning k, v; " +
+        "select '-', k, v from rr1",
+      f) == (0, "1 x\n1 y\n- 1 y\n"))
+    // IGNORE: only actually-inserted rows return — (1,'x') conflicts
+    // with storage, (2,'z') with the first batch occurrence
+    assert(sqawk(
+      "create table rr2 (k integer primary key, v); " +
+        "insert into rr2 values (1, 'a'); " +
+        "insert or ignore into rr2 values (1,'x'),(2,'y'),(2,'z') returning k, v",
+      f) == (0, "2 y\n"))
+  }
+
   test("CREATE/DROP INDEX are no-ops; UNIQUE index and TRIGGER reject") {
     val f = tempFile("foo 1\nbar 2\n")
     // sqlite3 runs the same script with identical output — the index
