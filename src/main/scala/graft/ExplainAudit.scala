@@ -24,6 +24,7 @@ object ExplainAudit {
         "p27_bm25", "p30_dedup_connected", "p36_span_dedup",
         "p37_semantic_dedup", "p39_mixture_sample", "p42_incremental_dedup",
         "p44_simhash_neardup", "p45_bloom_decontaminate", "p46_cms_heavy_hitters",
+        "p47_hll_distinct", "p48_quantile_sample", "p49_source_overlap",
         "q39_asof_join", "q40_range_join", "q43_subquery_exists")) {
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, d)

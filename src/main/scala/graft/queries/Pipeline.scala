@@ -80,6 +80,37 @@ object Pipeline {
     * distinct bigrams per language, comfortably above k. */
   private[queries] val KmvK = 64
 
+  /** Adjacent-token bigrams over [[toksExpr]]'s output, as a Spark
+    * expression (shared by p43/p47/p49; empty array below 2 tokens). */
+  private val bigramExpr =
+    """CASE WHEN size(toks) >= 2 THEN
+      |  transform(sequence(0, size(toks) - 2),
+      |    k -> concat(toks[k], ' ', toks[k + 1]))
+      |ELSE array() END""".stripMargin
+
+  /** p47: HLL register count (m = 64, p = 6 index bits). The raw
+    * harmonic-mean estimate is valid when n >> 2.5·m; every SF's
+    * per-language bigram cardinality (~890+) clears that, so the
+    * small-range linear-counting branch — whose ln() is libm-flavored
+    * and NOT bit-reproducible across engines — is never taken. */
+  private val HllM = 64
+
+  /** p47: alpha_m·m²·2^47 (Flajolet et al. 2007, §4 for m = 64) as a
+    * single double literal embedded identically in both engines; the
+    * estimate is then ONE IEEE division by an exactly-representable
+    * integer sum, so the oracle reproduces it bit-identically. */
+  private val HllC: Double =
+    (0.7213 / (1 + 1.079 / 64.0)) * 64.0 * 64.0 * 140737488355328.0
+
+  /** p48: deterministic-Bernoulli keep threshold — hashes below 2^50
+    * of the 2^52 space = rate 1/4. The 100 TB knob: T ≈ target_sample
+    * · 2^52 / n keeps the sampled-sort size constant as n grows. */
+  private val QsT = 1L << 50
+
+  /** p49: MinHash components per source signature; the match-fraction
+    * estimator's std-err is sqrt(J(1-J)/k) ≈ 0.06 at J = 0.5. */
+  private val OvK = 64
+
   // MinHash parameters: 32 permutations in 8 bands of 4 rows.
   // P(candidate | J=0.97) ≈ 1-(1-0.97^4)^8 ≈ .9996; J=0.1 pairs leak at
   // ~8e-4 and are removed by the exact-Jaccard verify stage.
@@ -2143,15 +2174,30 @@ object Pipeline {
         val bands = sim.select(col("doc_id"), col("simhash"),
             explode(expr("sequence(0, 3)")).as("b"))
           .withColumn("bkey", expr("(simhash >> (8 * b)) & 255"))
+        // Pair dedup WITHOUT a distinct exchange: a pair sharing
+        // several blocks is emitted only from the SMALLEST shared
+        // block — "all lower blocks differ" is bit arithmetic on the
+        // fingerprints already on the joined row, so the (quadratic-
+        // in-bucket-occupancy) candidate stream flows straight into
+        // the per-doc partial aggregation instead of being shuffled
+        // once more to dedupe. Equivalent to DISTINCT over (ida, idb)
+        // because block-agreement is a function of (sa, sb, b).
         val cand = bands.as("x").join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
+          .filter(expr(
+            """(`x`.b < 1 OR ((`x`.simhash ^ `y`.simhash) & 255) != 0)
+              |AND (`x`.b < 2 OR (shiftright(`x`.simhash ^ `y`.simhash, 8) & 255) != 0)
+              |AND (`x`.b < 3 OR (shiftright(`x`.simhash ^ `y`.simhash, 16) & 255) != 0)""".stripMargin))
           .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
-            col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-          .distinct()
-          .withColumn("ham", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-        val sym = cand.select(col("ida").as("doc_id"), col("ham"))
-          .unionByName(cand.select(col("idb").as("doc_id"), col("ham")))
+            expr("CAST(bit_count(`x`.simhash ^ `y`.simhash) AS BIGINT)").as("ham"))
+        // symmetrize INLINE (explode to both endpoints) rather than a
+        // self-union — a union of two selects over the join would run
+        // the candidate generation twice
+        val sym = cand.select(explode(expr(
+            """array(named_struct('doc_id', ida, 'ham', ham),
+              |      named_struct('doc_id', idb, 'ham', ham))""".stripMargin)).as("e"))
+          .select(col("e.doc_id").as("doc_id"), col("e.ham").as("ham"))
         val agg = sym.groupBy("doc_id").agg(
           count(lit(1)).as("n_cand"),
           sum(when(col("ham") <= 6, 1L).otherwise(0L)).as("n_near"),
@@ -2356,7 +2402,244 @@ object Pipeline {
               |  GROUP BY 1, 2
               |)
               |SELECT tok, est, exact FROM probe
-              |ORDER BY est DESC, tok LIMIT $CmsTopK""".stripMargin))
+              |ORDER BY est DESC, tok LIMIT $CmsTopK""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p47: HYPERLOGLOG CARDINALITY SKETCH — per-language distinct
+    // bigrams via the canonical HLL register scheme (Flajolet/Fusy/
+    // Gandouet/Meunier 2007), complementing p43's KMV: register j =
+    // low 6 bits of the 52-bit md5 hash, rho = leading-zero count of
+    // the remaining 46 bits + 1, M[j] = max rho. Unlike KMV, max-per-
+    // register ABSORBS duplicates, so there is no distinct exchange
+    // and no rank window anywhere in the sketch path: the plan is
+    // scan → projection → groupBy(lang, j) max with map-side partials,
+    // and the only shuffle carries ≤ langs × 64 partial rows per map
+    // task regardless of corpus size — the best possible 100 TB
+    // distinct-count shape, and HLL mergeability (elementwise register
+    // max) expressed directly as partial aggregation. Everything is
+    // integer arithmetic (rho via length(bin(w)); the harmonic-mean
+    // denominator as an exact sum of 2^(47-M[j]) ≤ 2^53) except ONE
+    // final IEEE division by a double constant, so the oracle
+    // recomputes registers AND estimate bit-identically. Exact count
+    // rides along to expose the ~13% (1.04/sqrt(64)) expected error.
+    // Output: one row per (lang, register) — the sketch itself is the
+    // verified object, not just the estimate.
+    QDef(
+      "p47_hll_distinct",
+      (s, d) => {
+        val grams = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("lang"), explode(expr(bigramExpr)).as("g"))
+          .select(col("lang"), expr(
+            "CAST(conv(substr(md5(concat('hll:', g)), 1, 13), 16, 10) AS BIGINT)")
+            .as("h"))
+        val regs = grams
+          .select(col("lang"), expr(s"CAST(h % $HllM AS INT)").as("j"),
+            expr(s"h div $HllM").as("w"))
+          .select(col("lang"), col("j"),
+            expr("IF(w = 0, 47, 47 - length(bin(w)))").as("rho"))
+          .groupBy("lang", "j").agg(max("rho").as("mj"))
+        // empty registers must contribute 2^47 to the denominator:
+        // scaffold every (lang, j) cell and fill with rho = 0
+        val scaffold = docs(s, d).select("lang").distinct()
+          .select(col("lang"), explode(expr(s"sequence(0, ${HllM - 1})")).as("j"))
+        val full = scaffold.join(regs, Seq("lang", "j"), "left")
+          .select(col("lang"), col("j"), coalesce(col("mj"), lit(0)).as("mj"))
+        val sums = full.groupBy("lang").agg(
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 47 - mj)")).as("ssum"))
+        val exact = grams.distinct().groupBy("lang").agg(count(lit(1)).as("n_distinct"))
+        full.join(broadcast(sums), "lang").join(broadcast(exact), "lang")
+          .select(col("lang"), col("j"), col("mj"), col("n_distinct"),
+            (lit(HllC) / col("ssum").cast("double")).as("est"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT lang, $toksDuck AS toks FROM documents
+              |), g0 AS (
+              |  SELECT lang, toks, unnest(range(1, len(toks))) AS k FROM t
+              |), h AS (
+              |  SELECT lang,
+              |    CAST(('0x' || substr(md5('hll:' || (toks[k] || ' ' || toks[k + 1])), 1, 13))
+              |      AS BIGINT) AS h
+              |  FROM g0
+              |), rr AS (
+              |  SELECT lang, CAST(h % $HllM AS INT) AS j,
+              |    CASE WHEN h // $HllM = 0 THEN 47
+              |         ELSE 47 - length(bin(h // $HllM)) END AS rho
+              |  FROM h
+              |), regs AS (
+              |  SELECT lang, j, max(rho) AS mj FROM rr GROUP BY 1, 2
+              |), scaffold AS (
+              |  SELECT lang, CAST(jj AS INT) AS j
+              |  FROM (SELECT DISTINCT lang FROM documents) CROSS JOIN range(0, $HllM) s(jj)
+              |), f AS (
+              |  SELECT s.lang, s.j, coalesce(regs.mj, 0) AS mj
+              |  FROM scaffold s LEFT JOIN regs USING (lang, j)
+              |), sums AS (
+              |  SELECT lang,
+              |    CAST(sum(CAST(1 AS BIGINT) << CAST(47 - mj AS INT)) AS BIGINT) AS ssum
+              |  FROM f GROUP BY 1
+              |), ex AS (
+              |  SELECT lang, CAST(count(DISTINCT h) AS BIGINT) AS n_distinct FROM h GROUP BY 1
+              |)
+              |SELECT f.lang, f.j, f.mj, ex.n_distinct,
+              |  $HllC / CAST(sums.ssum AS DOUBLE) AS est
+              |FROM f JOIN sums USING (lang) JOIN ex USING (lang)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p48: SAMPLE-QUANTILE ESTIMATION — per-language n_chars quantiles
+    // (p50/p90/p99) from a DETERMINISTIC-HASH Bernoulli sample, the
+    // sketch-side complement to p32's exact two-phase rank scan. The
+    // 100 TB shape: the md5 keep-gate is a zero-shuffle scan
+    // projection (the corpus is never sorted or shuffled), and only
+    // the sample — whose absolute size is pinned by the threshold
+    // knob, not by corpus size — reaches the per-group rank sort; the
+    // quantile is then an exact rank pick (ceil(q·n), ties broken by
+    // doc_id) on the sample. Hash-Bernoulli beats rand() sampling for
+    // this engine's contract: inclusion is a pure function of the
+    // row, so the estimate is reproducible run-to-run, AND the oracle
+    // can recompute the exact same sample. The full-population rank
+    // pick rides along to expose the sampling error — its per-lang
+    // window is the verification path only; at scale the exact answer
+    // is p32's range-partition + rank-offset scan, not a one-task-
+    // per-language window.
+    QDef(
+      "p48_quantile_sample",
+      (s, d) => {
+        val base = docs(s, d).select(col("lang"), col("n_chars"), col("doc_id"))
+        val samp = base.filter(expr(
+          s"CAST(conv(substr(md5(concat('qs:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT) < ${QsT}L"))
+        val sc = samp.groupBy("lang").agg(count(lit(1)).as("n_sample"))
+        val fc = base.groupBy("lang").agg(count(lit(1)).as("n_full"))
+        val targets = sc.join(fc, "lang")
+          .select(col("lang"), col("n_sample"), col("n_full"),
+            explode(expr("array(0.5D, 0.9D, 0.99D)")).as("q"))
+          .withColumn("rk_s",
+            expr("greatest(CAST(ceil(q * n_sample) AS BIGINT), CAST(1 AS BIGINT))"))
+          .withColumn("rk_f",
+            expr("greatest(CAST(ceil(q * n_full) AS BIGINT), CAST(1 AS BIGINT))"))
+        val rs = samp.withColumn("rk_s", row_number().over(
+            Window.partitionBy("lang").orderBy("n_chars", "doc_id")).cast("long"))
+          .select(col("lang"), col("rk_s"), col("n_chars").as("est_q"))
+        val rf = base.withColumn("rk_f", row_number().over(
+            Window.partitionBy("lang").orderBy("n_chars", "doc_id")).cast("long"))
+          .select(col("lang"), col("rk_f"), col("n_chars").as("exact_q"))
+        targets.join(rs, Seq("lang", "rk_s")).join(rf, Seq("lang", "rk_f"))
+          .select("lang", "q", "n_sample", "est_q", "exact_q")
+      },
+      // q literals are CAST to DOUBLE: a bare 0.9 is DECIMAL in DuckDB
+      // and 0.9·480 = 432 exactly in decimal but 432.00000000000006 in
+      // IEEE double — the ceil would disagree with Spark's double path
+      Some(s"""WITH b AS (
+              |  SELECT lang, n_chars, doc_id FROM documents
+              |), samp AS (
+              |  SELECT * FROM b
+              |  WHERE CAST(('0x' || substr(md5('qs:' || doc_id), 1, 13)) AS BIGINT) < $QsT
+              |), sc AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_sample FROM samp GROUP BY 1
+              |), fc AS (
+              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_full FROM b GROUP BY 1
+              |), tg AS (
+              |  SELECT lang, n_sample, n_full, q,
+              |    greatest(CAST(ceil(q * n_sample) AS BIGINT), 1) AS rk_s,
+              |    greatest(CAST(ceil(q * n_full) AS BIGINT), 1) AS rk_f
+              |  FROM sc JOIN fc USING (lang)
+              |  CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+              |                             CAST(0.99 AS DOUBLE)]) AS q)
+              |), rs AS (
+              |  SELECT lang,
+              |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk_s,
+              |    n_chars AS est_q
+              |  FROM samp
+              |), rf AS (
+              |  SELECT lang,
+              |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk_f,
+              |    n_chars AS exact_q
+              |  FROM b
+              |)
+              |SELECT lang, q, n_sample, est_q, exact_q
+              |FROM tg JOIN rs USING (lang, rk_s) JOIN rf USING (lang, rk_f)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p49: SOURCE-OVERLAP MATRIX — dataset-level containment
+    // diagnostics (is CC dump A a superset of dump B? how much does
+    // src7 overlap src12?) via per-SOURCE MinHash signatures:
+    // 64 components, each the min 52-bit md5 over the source's
+    // DISTINCT bigram set, estimated Jaccard(a, b) = fraction of
+    // agreeing components. The 100 TB posture: the only corpus-scale
+    // stages are the (source, gram) distinct and a 64-way min
+    // aggregation — both map-side-partial — after which the problem
+    // collapses to |sources| × 64 signature rows; the pairwise
+    // compare is a self-join on that collapsed set (sources number
+    // thousands at most, never corpus-scale). Exact gram-set Jaccard
+    // rides along to expose the estimator error — at 100 TB you keep
+    // only the signature path. All arithmetic is integer except the
+    // two single-division ratios, so the oracle is bit-identical.
+    QDef(
+      "p49_source_overlap",
+      (s, d) => {
+        val grams = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("source"), explode(expr(bigramExpr)).as("g"))
+          .distinct()
+        val sig = grams
+          .select(col("source"), col("g"),
+            explode(expr(s"sequence(0, ${OvK - 1})")).as("i"))
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(concat('ov', i, ':', g)), 1, 13), 16, 10) AS BIGINT)"))
+          .groupBy("source", "i").agg(min("h").as("minh"))
+        val est = sig.as("a").join(sig.as("b"),
+            col("a.i") === col("b.i") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg((sum(when(col("a.minh") === col("b.minh"), 1L).otherwise(0L))
+            .cast("double") / lit(OvK.toDouble)).as("est_j"))
+        val counts = grams.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = grams.as("x").join(grams.as("y"),
+            col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        est.join(inter, Seq("source_a", "source_b"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("n_a"))),
+            "source_a")
+          .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_b"))),
+            "source_b")
+          .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+            col("n_inter"), col("est_j"),
+            (col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("exact_j"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source, $toksDuck AS toks FROM documents
+              |), g0 AS (
+              |  SELECT source, toks, unnest(range(1, len(toks))) AS k FROM t
+              |), g AS (
+              |  SELECT DISTINCT source, (toks[k] || ' ' || toks[k + 1]) AS gram FROM g0
+              |), sig AS (
+              |  SELECT source, CAST(i AS INT) AS i,
+              |    min(CAST(('0x' || substr(md5('ov' || i || ':' || gram), 1, 13)) AS BIGINT)) AS minh
+              |  FROM g CROSS JOIN range(0, $OvK) s(i) GROUP BY source, i
+              |), est AS (
+              |  SELECT a.source AS source_a, b.source AS source_b,
+              |    CAST(sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS DOUBLE)
+              |      / CAST($OvK AS DOUBLE) AS est_j
+              |  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+              |  GROUP BY 1, 2
+              |), c AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1
+              |), inter AS (
+              |  SELECT x.source AS source_a, y.source AS source_b,
+              |    CAST(count(*) AS BIGINT) AS n_inter
+              |  FROM g x JOIN g y ON x.gram = y.gram AND x.source < y.source
+              |  GROUP BY 1, 2
+              |)
+              |SELECT est.source_a, est.source_b, ca.n AS n_a, cb.n AS n_b,
+              |  coalesce(inter.n_inter, 0) AS n_inter, est.est_j,
+              |  CAST(coalesce(inter.n_inter, 0) AS DOUBLE)
+              |    / CAST(ca.n + cb.n - coalesce(inter.n_inter, 0) AS DOUBLE) AS exact_j
+              |FROM est
+              |LEFT JOIN inter USING (source_a, source_b)
+              |JOIN c ca ON ca.source = est.source_a
+              |JOIN c cb ON cb.source = est.source_b""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
