@@ -25,6 +25,7 @@ object ExplainAudit {
         "p37_semantic_dedup", "p39_mixture_sample", "p42_incremental_dedup",
         "p44_simhash_neardup", "p45_bloom_decontaminate", "p46_cms_heavy_hitters",
         "p47_hll_distinct", "p48_quantile_sample", "p49_source_overlap",
+        "p50_substring_dedup", "p51_kmeans_cluster",
         "q39_asof_join", "q40_range_join", "q43_subquery_exists")) {
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, d)

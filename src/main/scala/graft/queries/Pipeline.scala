@@ -282,6 +282,24 @@ object Pipeline {
   private val CmsW = 16L
   private val CmsTopK = 15
 
+  // p50: sliding-window exact substring dedup — window width in
+  // tokens. Unlike p36 (fixed non-overlapping segments), windows sit
+  // at EVERY token offset, so duplicated regions are found at their
+  // exact boundaries and merged into maximal spans. W=4 keeps both
+  // classes populated on this corpus (sf0.01: 2,982 of 25,665 windows
+  // duplicated across 368 of 500 docs; production ~50-token windows
+  // only change the constant).
+  private val SubW = 4
+
+  // p51: k-means geometry — K clusters, Iters assignment passes
+  // (Lloyd), embedding components quantized to integers at
+  // floor(x · KmScale) so every centroid statistic is an exact
+  // integer. Probed offline: clusters stay balanced and non-empty at
+  // every SF (e.g. sf0.01: 121/111/145/123).
+  private val KmK = 4
+  private val KmIters = 3
+  private val KmScale = 1024L
+
   val all: Vector[QDef] = Vector(
     // ------------------------------------------------------------------
     // p01: EXACT DEDUP — content-hash groupBy. The 500-doc corpus has no
@@ -2639,7 +2657,274 @@ object Pipeline {
               |FROM est
               |LEFT JOIN inter USING (source_a, source_b)
               |JOIN c ca ON ca.source = est.source_a
-              |JOIN c cb ON cb.source = est.source_b""".stripMargin))
+              |JOIN c cb ON cb.source = est.source_b""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p50: SLIDING-WINDOW EXACT SUBSTRING DEDUP — the Lee et al. 2022
+    // ("Deduplicating Training Data Makes Language Models Better")
+    // operator family: find text REGIONS duplicated across documents
+    // and cut them at exact boundaries, where p36 can only scrub
+    // fixed segment-grid cells. A width-SubW window sits at EVERY
+    // token offset; a window is duplicated iff its text occurs in >= 2
+    // distinct docs; per doc, overlapping/contiguous duplicated
+    // windows merge into MAXIMAL removed spans (gaps-and-islands over
+    // window starts: a new island iff pos > prev + SubW), and the doc
+    // is rebuilt from the uncovered positions. 100 TB shape: the
+    // window explode is a zero-shuffle projection; corpus-wide window
+    // df is ONE hash-partitioned groupBy (map-side partial distinct),
+    // the same shape as p36's segment df; the island merge is a
+    // per-doc window over only the doc's OWN duplicated windows
+    // (bounded by doc length, never corpus-wide); reconstruction is a
+    // per-row HOF over a spans array bounded by doc length. The suffix
+    // array Lee et al. build exists to find windows of ANY length in
+    // one pass; at a fixed W the window-hash formulation is
+    // equivalent on >= W-token duplicates and needs no global sort.
+    // Everything is integer/string arithmetic, so the oracle verifies
+    // span boundaries AND the rebuilt text byte-for-byte.
+    QDef(
+      "p50_substring_dedup",
+      (s, d) => {
+        val wdoc = Window.partitionBy("doc_id").orderBy("pos")
+        val t = docs(s, d).withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), col("toks"))
+        val w = t.filter(size(col("toks")) >= SubW)
+          .select(col("doc_id"), explode(expr(
+            s"""transform(sequence(1, size(toks) - ${SubW - 1}),
+               |  p -> named_struct('pos', CAST(p AS BIGINT),
+               |    'ws', array_join(slice(toks, p, $SubW), ' ')))""".stripMargin))
+            .as("t"))
+          .select(col("doc_id"), col("t.pos").as("pos"), col("t.ws").as("ws"))
+        val dupSet = w.groupBy("ws").agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2).select("ws")
+        val dup = w.join(dupSet, "ws").select("doc_id", "pos")
+        val spans = dup
+          .withColumn("prev", lag("pos", 1).over(wdoc))
+          .withColumn("brk", when(col("prev").isNull ||
+            col("pos") > col("prev") + SubW, 1L).otherwise(0L))
+          .withColumn("island", sum("brk").over(
+            wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "island")
+          .agg(min("pos").as("st"), (max("pos") + lit(SubW - 1).cast("long")).as("en"))
+        val perDoc = spans.groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st") + 1).as("n_removed"),
+          collect_list(struct(col("st"), col("en"))).as("spans"))
+        val nDup = dup.groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+        t.join(perDoc, Seq("doc_id"), "left").join(nDup, Seq("doc_id"), "left")
+          .withColumn("spans_c", coalesce(col("spans"),
+            expr("CAST(array() AS ARRAY<STRUCT<st: BIGINT, en: BIGINT>>)")))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            expr("""CASE WHEN size(toks) = 0 THEN '' ELSE
+                   |  array_join(transform(
+                   |    filter(sequence(1, size(toks)),
+                   |      p -> NOT exists(spans_c, iv -> p >= iv.st AND p <= iv.en)),
+                   |    p -> toks[p - 1]), ' ')
+                   |END""".stripMargin).as("text_clean"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, $toksDuck AS toks FROM documents
+              |), w AS (
+              |  SELECT doc_id, CAST(k AS BIGINT) AS pos,
+              |    array_to_string(toks[CAST(k AS INT):CAST(k + ${SubW - 1} AS INT)], ' ') AS ws
+              |  FROM t, LATERAL unnest(range(1, len(toks) - ${SubW - 2})) u(k)
+              |  WHERE len(toks) >= $SubW
+              |), dupset AS (
+              |  SELECT ws FROM w GROUP BY ws HAVING count(DISTINCT doc_id) >= 2
+              |), dup AS (
+              |  SELECT doc_id, pos FROM w JOIN dupset USING (ws)
+              |), m AS (
+              |  SELECT doc_id, pos,
+              |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              |  FROM dup
+              |), isl AS (
+              |  SELECT doc_id, pos,
+              |    sum(CASE WHEN prev IS NULL OR pos > prev + $SubW THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+              |  FROM m
+              |), sp AS (
+              |  SELECT doc_id, island, min(pos) AS st,
+              |    max(pos) + ${SubW - 1} AS en
+              |  FROM isl GROUP BY 1, 2
+              |), perdoc AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+              |    CAST(sum(en - st + 1) AS BIGINT) AS n_removed
+              |  FROM sp GROUP BY 1
+              |), ndup AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+              |  FROM dup GROUP BY 1
+              |), pos AS (
+              |  SELECT t.doc_id, CAST(p AS BIGINT) AS p, toks[CAST(p AS INT)] AS tok
+              |  FROM t, LATERAL unnest(range(1, len(toks) + 1)) u(p)
+              |), keep AS (
+              |  SELECT doc_id, p, tok FROM pos
+              |  WHERE NOT EXISTS (SELECT 1 FROM sp
+              |    WHERE sp.doc_id = pos.doc_id AND pos.p BETWEEN sp.st AND sp.en)
+              |), clean AS (
+              |  SELECT t.doc_id,
+              |    coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_clean
+              |  FROM t LEFT JOIN keep k ON t.doc_id = k.doc_id
+              |  GROUP BY t.doc_id
+              |)
+              |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+              |  coalesce(ndup.n_dup_windows, 0) AS n_dup_windows,
+              |  coalesce(perdoc.n_spans, 0) AS n_spans,
+              |  coalesce(perdoc.n_removed, 0) AS n_removed,
+              |  clean.text_clean
+              |FROM t
+              |LEFT JOIN ndup USING (doc_id)
+              |LEFT JOIN perdoc USING (doc_id)
+              |JOIN clean USING (doc_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p51: DISTRIBUTED K-MEANS (Lloyd) — the clustering stage the
+    // curation ops above ASSUME: p15/p37's IVF cells "come from a
+    // sampled k-means at scale" — this operator is that k-means,
+    // expressed in Spark's canonical shape (the same loop structure as
+    // MLlib's KMeans): per iteration the K×dim centroid table lives on
+    // the DRIVER and broadcasts into a zero-shuffle assignment
+    // projection, and the update is one posexplode + groupBy(cluster,
+    // dim) with map-side partial INTEGER sums — the only shuffle
+    // carries ≤ K·dim partial rows per map task regardless of corpus
+    // size, and the driver materializes exactly K·dim rows per
+    // iteration (corpus-independent, the legitimate driver-side
+    // state of every k-means implementation). Determinism: components
+    // quantize to floor(x·2^10) ONCE, so centroid sums/counts are
+    // exact integers (order-independent — no float-summation
+    // nondeterminism), and the assignment distance is
+    // ||v·cnt − s||² — an exact int64 (≤ 2^48 here) — divided by
+    // cnt² in ONE IEEE division, bit-identical in both engines; ties
+    // break by cluster id. Init = the K lowest vec_ids (a fixed seed;
+    // k-means‖ sampling is an init-stage swap). The oracle re-runs
+    // all three Lloyd iterations in SQL, so the hash compare verifies
+    // every assignment AND its integer distance, not just counts.
+    QDef(
+      "p51_kmeans_cluster",
+      (s, d) => {
+        val el = emb(s, d).select(col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale) AS BIGINT))")
+            .as("qv"))
+        // init: seed centroids = the K lowest vec_ids, cnt = 1
+        var cents: Array[(Array[Long], Long)] = el.filter(col("vec_id") < KmK)
+          .orderBy("vec_id").collect()
+          .map(r => (r.getSeq[Long](1).toArray, 1L))
+        def assign(): DataFrame = {
+          val centLit = typedlit(cents.map(_._1.toSeq).toSeq)
+          val cntLit = typedlit(cents.map(_._2).toSeq)
+          el.withColumn("cents", centLit).withColumn("cnts", cntLit)
+            .withColumn("pick", expr(
+              s"""array_min(transform(
+                 |  filter(transform(sequence(0, ${KmK - 1}),
+                 |      k -> named_struct('dd',
+                 |        aggregate(zip_with(qv, cents[k],
+                 |            (a, b) -> (a * cnts[k] - b) * (a * cnts[k] - b)),
+                 |          CAST(0 AS BIGINT), (acc, x) -> acc + x),
+                 |        'k', k)),
+                 |    s -> cnts[s.k] > 0),
+                 |  s -> named_struct(
+                 |    'd', CAST(s.dd AS DOUBLE) / CAST(cnts[s.k] * cnts[s.k] AS DOUBLE),
+                 |    'k', s.k, 'dd', s.dd)))""".stripMargin))
+            .select(col("vec_id"), col("qv"),
+              col("pick.k").as("cluster"), col("pick.dd").as("dd"))
+        }
+        for (_ <- 1 until KmIters) {
+          val upd = assign()
+            .select(col("cluster"), posexplode(col("qv")).as(Seq("i", "v")))
+            .groupBy("cluster", "i")
+            .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+            .collect()
+          val next = Array.fill(KmK)((Array.fill(AnnDim)(0L), 0L))
+          upd.foreach { r =>
+            val k = r.getInt(0)
+            next(k)._1(r.getInt(1)) = r.getLong(2)
+            next(k) = (next(k)._1, r.getLong(3))
+          }
+          cents = next
+        }
+        val fin = assign().select("vec_id", "cluster", "dd")
+        val sizes = fin.groupBy("cluster").agg(count(lit(1)).as("n_cluster"))
+        fin.join(broadcast(sizes), "cluster")
+          .select("vec_id", "cluster", "dd", "n_cluster")
+      },
+      Some {
+        val iter = (n: Int) => {
+          val p = n - 1
+          s"""a$n AS (
+             |  SELECT vec_id, k, dd FROM (
+             |    SELECT el.vec_id, c.k,
+             |      CAST(sum((el.v * c.cnt - c.s) * (el.v * c.cnt - c.s)) AS BIGINT) AS dd,
+             |      row_number() OVER (PARTITION BY el.vec_id ORDER BY
+             |        CAST(sum((el.v * c.cnt - c.s) * (el.v * c.cnt - c.s)) AS DOUBLE)
+             |          / CAST(any_value(c.cnt) * any_value(c.cnt) AS DOUBLE), c.k) AS rn
+             |    FROM el JOIN c$p c USING (i) GROUP BY el.vec_id, c.k)
+             |  WHERE rn = 1),
+             |c$n AS (
+             |  SELECT k, i, sum(v) AS s, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM el JOIN a$n USING (vec_id) GROUP BY k, i)""".stripMargin
+        }
+        s"""WITH el AS (
+           |  SELECT vec_id, CAST(i AS INT) AS i,
+           |    CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * $KmScale) AS BIGINT) AS v
+           |  FROM embeddings, range(1, ${AnnDim + 1}) t(i)
+           |), c0 AS (
+           |  SELECT CAST(vec_id AS INT) AS k, i, v AS s, CAST(1 AS BIGINT) AS cnt
+           |  FROM el WHERE vec_id < $KmK
+           |),
+           |${(1 to KmIters).map(iter).mkString(",\n")},
+           |sizes AS (SELECT k, CAST(count(*) AS BIGINT) AS n_cluster
+           |          FROM a$KmIters GROUP BY 1)
+           |SELECT a.vec_id, a.k AS cluster, a.dd, sizes.n_cluster
+           |FROM a$KmIters a JOIN sizes USING (k)""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // p52: TOKEN FREQUENCY SPECTRUM — corpus-level Zipf diagnostics
+    // (how many types occur k times; what coverage the top
+    // frequencies buy), the standard pre-tokenizer-training corpus
+    // summary. Two-level aggregation, both map-side-partial: token →
+    // count, then count → type count. The final cumulative-coverage
+    // window runs over the COLLAPSED spectrum, whose row count is
+    // bounded by the number of distinct frequency values ≤
+    // O(sqrt(total occurrences)) (distinct positive integers summing
+    // to N), so the single-partition window is corpus-size-safe.
+    // Integers throughout + one IEEE division per row.
+    QDef(
+      "p52_freq_spectrum",
+      (s, d) => {
+        val tf = docs(s, d)
+          .select(explode(expr(toksExpr)).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val spec = tf.groupBy("c").agg(count(lit(1)).as("n_types"))
+          .withColumn("n_occ", col("c") * col("n_types"))
+        val totals = spec.agg(sum(col("n_occ")).as("tot_occ"))
+        val w = Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spec.crossJoin(broadcast(totals))
+          .withColumn("cum_occ", sum("n_occ").over(w))
+          .select(col("c").as("occurrences"), col("n_types"), col("n_occ"),
+            (col("cum_occ").cast("double") / col("tot_occ").cast("double"))
+              .as("cov"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT $toksDuck AS toks FROM documents
+              |), tok AS (
+              |  SELECT unnest(toks) AS tok FROM t
+              |), tf AS (
+              |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+              |), spec AS (
+              |  SELECT c, CAST(count(*) AS BIGINT) AS n_types,
+              |    c * CAST(count(*) AS BIGINT) AS n_occ
+              |  FROM tf GROUP BY 1
+              |), tot AS (
+              |  SELECT sum(n_occ) AS tot_occ FROM spec
+              |)
+              |SELECT spec.c AS occurrences, spec.n_types, spec.n_occ,
+              |  CAST(sum(spec.n_occ) OVER (ORDER BY spec.c DESC
+              |         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+              |    / CAST(tot.tot_occ AS DOUBLE) AS cov
+              |FROM spec, tot""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
