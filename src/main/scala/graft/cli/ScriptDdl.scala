@@ -48,9 +48,13 @@ import graft.sources.Affinity
   *    change performance, never results, and Catalyst plans
   *    declaratively. They still register in the run's index registry
   *    (PRAGMA index_list, name reservation, DROP INDEX errors — all
-  *    like sqlite3). `CREATE UNIQUE INDEX` is rejected (its
-  *    uniqueness constraint on later INSERTs would silently not be
-  *    enforced);
+  *    like sqlite3). `CREATE UNIQUE INDEX` (and UNIQUE column/table
+  *    constraints in CREATE TABLE, registered as auto-indexes) is a
+  *    real enforced constraint: creation checks the existing rows,
+  *    and INSERT / UPDATE / UPSERT honor it with sqlite3's
+  *    statement-order conflict semantics (see [[applyInsertRowwise]]).
+  *    Expression / COLLATE / partial UNIQUE indexes are rejected
+  *    rather than half-enforced;
   *  - `PRAGMA` → answered from the declared-column metadata and the
   *    run state ([[pragmaRows]]): table_info / database_list /
   *    index_list / journal_mode / user_version and friends;
@@ -91,6 +95,18 @@ object ScriptDdl {
   final case class Handled(rows: Option[org.apache.spark.sql.DataFrame]) extends Outcome
   private val Done: Outcome = Handled(None)
 
+  /** One registered index. Plain indexes are planning no-ops
+    * (Catalyst plans declaratively); UNIQUE indexes additionally
+    * carry an enforced uniqueness constraint over `cols` (in index
+    * order — the order sqlite3's error message lists). `cols` is
+    * empty for plain indexes whose column list is an expression we
+    * do not parse (they stay pure no-ops). `origin` is what PRAGMA
+    * index_list reports: "c" for CREATE INDEX, "u" for a UNIQUE
+    * column/table constraint's auto-index. */
+  private[cli] final case class IdxDef(
+      name: String, table: String, cols: Seq[String],
+      unique: Boolean, origin: String = "c")
+
   /** A transaction capture: the full local temp-view catalog (plus
     * the index registry and user_version) at one point in the script.
     * Plans are lazy logical trees, so this is O(tables) driver-side
@@ -98,7 +114,7 @@ object ScriptDdl {
     * without touching any data. */
   private[cli] final case class Snapshot(
       views: Map[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation],
-      indexes: Vector[(String, String)],
+      indexes: Vector[IdxDef],
       userVersion: Long)
 
   /** Per-script-run mutable state: the transaction/savepoint surface
@@ -110,12 +126,20 @@ object ScriptDdl {
     private[ScriptDdl] val savepoints =
       scala.collection.mutable.ArrayBuffer.empty[(String, Snapshot)]
     private[ScriptDdl] def txnActive: Boolean = explicitTxn.isDefined || savepoints.nonEmpty
-    /** CREATE INDEX registry, (index name, table name): indexes are
-      * planning no-ops here, but PRAGMA index_list and DROP INDEX
-      * still see them like sqlite3 does. */
-    private[ScriptDdl] val indexes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    /** CREATE INDEX / UNIQUE-constraint registry: PRAGMA index_list,
+      * DROP INDEX and the UNIQUE-enforcement surface all read it, and
+      * rollback restores it (an index created inside a rolled-back
+      * transaction loses its constraint, like sqlite3). */
+    private[ScriptDdl] val indexes = scala.collection.mutable.ArrayBuffer.empty[IdxDef]
     private[ScriptDdl] var userVersion: Long = 0L
   }
+
+  /** The enforced uniqueness keysets of `table` beyond its PRIMARY
+    * KEY: one column list per UNIQUE index / constraint. */
+  private def uniqueKeysFor(state: State, table: String): Seq[Seq[String]] =
+    state.indexes.toSeq
+      .filter(i => i.unique && i.table.equalsIgnoreCase(table))
+      .map(_.cols)
 
   private def snapshot(spark: SparkSession, state: State): Snapshot = {
     val cat = spark.sessionState.catalog
@@ -154,7 +178,7 @@ object ScriptDdl {
   private val Drop =
     """(?is)\s*drop\s+(?:table|view)\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val CreateIndex =
-    """(?is)\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+on\s+[`"]?(\w+)[`"]?\s*\(.+""".r
+    """(?is)\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+on\s+[`"]?(\w+)[`"]?\s*\(([^)]*)\)\s*(.*?)\s*""".r
   private val DropIndex =
     """(?is)\s*drop\s+index\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val CreateTrigger =
@@ -306,6 +330,9 @@ object ScriptDdl {
       val df = spark.table(name) // eager resolution: survives the drop below
       df.createOrReplaceTempView(newName)
       spark.catalog.dropTempView(name)
+      // indexes follow the renamed table (SQLite rule)
+      state.indexes.mapInPlace(i =>
+        if (i.table.equalsIgnoreCase(name)) i.copy(table = newName) else i)
       Done
 
     case AlterRenameColumn(name, oldCol, newCol) =>
@@ -320,6 +347,12 @@ object ScriptDdl {
         else col(s"`$c`")
       }
       target.select(proj.toIndexedSeq: _*).createOrReplaceTempView(name)
+      // index definitions follow the renamed column (SQLite rule —
+      // a later violation reports the NEW name)
+      state.indexes.mapInPlace(i =>
+        if (i.table.equalsIgnoreCase(name))
+          i.copy(cols = i.cols.map(c => if (c.equalsIgnoreCase(oldCol)) newCol else c))
+        else i)
       Done
 
     case AlterAddColumn(name, colName, rest) =>
@@ -362,6 +395,12 @@ object ScriptDdl {
       if (target.columns.length == 1)
         throw new IllegalArgumentException(
           s"""cannot drop column "$colName": no other columns exist""")
+      // sqlite3 refuses to drop a column an index references
+      state.indexes.find(i => i.table.equalsIgnoreCase(name) &&
+          i.cols.exists(_.equalsIgnoreCase(colName))).foreach { i =>
+        throw new IllegalArgumentException(
+          s"error in index ${i.name} after drop column: no such column: $colName")
+      }
       val kept = target.columns.filterNot(_.equalsIgnoreCase(colName)).map(c => col(s"`$c`"))
       target.select(kept.toIndexedSeq: _*).createOrReplaceTempView(name)
       Done
@@ -457,6 +496,23 @@ object ScriptDdl {
         })
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
           .createOrReplaceTempView(name)
+        // UNIQUE column / table constraints register as enforced
+        // auto-indexes (sqlite3's sqlite_autoindex_* naming, origin
+        // "u" in index_list); a pk keyset is already enforced via
+        // column metadata, so it is not duplicated here.
+        val tableUniques: Seq[Seq[String]] = tableCons.flatMap { d =>
+          """(?is)^\s*(?:constraint\s+[`"]?\w+[`"]?\s+)?unique\s*\(([^)]*)\)\s*$""".r
+            .findFirstMatchIn(d)
+            .map(_.group(1).split(",").map(s => stripQuotes(s.trim)).toSeq)
+        }
+        val colUniques = parsed.filter(cd => cd.unique && !cd.pk).map(cd => Seq(cd.name))
+        (colUniques ++ tableUniques).zipWithIndex.foreach { case (cols, i) =>
+          val resolved = cols.map(c => parsed.map(_.name)
+            .find(_.equalsIgnoreCase(c))
+            .getOrElse(throw new IllegalArgumentException(s"no such column: $c")))
+          state.indexes += IdxDef(s"sqlite_autoindex_${name}_${i + 1}", name,
+            resolved, unique = true, origin = "u")
+        }
       }
       Done
 
@@ -542,8 +598,8 @@ object ScriptDdl {
         }
       val canon = canonicalizeByAffinity(target, aligned)
       val (newTable, affected) = upsert match {
-        case Some(u) => applyUpsert(spark, name, target, canon, u, mode)
-        case None => applyInsert(spark, name, target, canon, mode)
+        case Some(u) => applyUpsert(spark, name, target, canon, u, mode, state)
+        case None => applyInsert(spark, name, target, canon, mode, state)
       }
       collapseIfDeep(newTable).createOrReplaceTempView(name)
       Handled(retText.map(returningDf(target, affected, _)))
@@ -584,7 +640,7 @@ object ScriptDdl {
         }
       }
       val updated = target.select(proj.toIndexedSeq: _*)
-      enforceUpdateConstraints(spark, name, target, updated, assigns.map(_._1))
+      enforceUpdateConstraints(spark, name, target, updated, assigns.map(_._1), state)
       collapseIfDeep(updated).createOrReplaceTempView(name)
       // RETURNING sees the NEW values of exactly the rows the WHERE
       // matched (sqlite3-pinned)
@@ -621,25 +677,59 @@ object ScriptDdl {
       // RETURNING sees the OLD values of the deleted rows
       Handled(retText.map(returningDf(target, deleted, _)))
 
-    case CreateIndex(unique, ifNotExists, idxName, tblName) =>
+    case CreateIndex(unique, ifNotExists, idxName, tblName, colText, tail) =>
       // SQLite indexes change performance, never results; Catalyst
       // plans declaratively, so a plain CREATE INDEX is a planning
       // no-op — but it still registers (PRAGMA index_list and DROP
       // INDEX see it, and its name is reserved, like sqlite3). A
-      // UNIQUE index also enforces a constraint on later INSERTs —
-      // silently ignoring that would diverge, so reject.
-      if (unique != null)
-        throw new UnsupportedOperationException(
-          "CREATE UNIQUE INDEX is not supported by this engine (uniqueness would not be enforced)")
+      // UNIQUE index is different: it constrains every later INSERT /
+      // UPDATE, so it parses its column list, checks the EXISTING
+      // rows, and registers as an enforced keyset (read by
+      // applyInsert / applyUpsert / enforceUpdateConstraints).
+      // Expression, COLLATE and partial (WHERE) UNIQUE indexes are
+      // rejected rather than half-enforced; plain indexes keep
+      // accepting any column-list text as a pure no-op.
       requireTable(spark, tblName)
-      if (state.indexes.exists(_._1.equalsIgnoreCase(idxName))) {
+      if (spark.catalog.tableExists(idxName))
+        throw new IllegalArgumentException(s"there is already a table named $idxName")
+      if (state.indexes.exists(_.name.equalsIgnoreCase(idxName))) {
         if (ifNotExists == null)
           throw new IllegalArgumentException(s"index $idxName already exists")
-      } else state.indexes += (idxName -> tblName)
-      Done
+        Done
+      } else {
+        val IdxCol = """(?is)\s*[`"]?(\w+)[`"]?(?:\s+(?:asc|desc))?\s*""".r
+        val items = splitTopLevel(colText).map(_.trim)
+        val plainCols: Option[Seq[String]] =
+          if (items.forall(IdxCol.matches)) Some(items.map {
+            case IdxCol(c) => c
+          }) else None
+        if (unique != null) {
+          if (tail.nonEmpty)
+            throw new UnsupportedOperationException(
+              "partial (WHERE) UNIQUE indexes are not supported by this engine")
+          val cols = plainCols.getOrElse(throw new UnsupportedOperationException(
+            "UNIQUE indexes over expressions or COLLATE are not supported by this engine"))
+          val target = spark.table(tblName)
+          val resolved = cols.map(c => target.columns
+            .find(_.equalsIgnoreCase(c))
+            .getOrElse(throw new IllegalArgumentException(s"no such column: $c")))
+          checkExistingUnique(target, tblName, resolved)
+          state.indexes += IdxDef(idxName, tblName, resolved, unique = true)
+        } else {
+          // validate plain identifier lists like sqlite3; expression
+          // index text stays unvalidated (registered no-op)
+          plainCols.foreach(_.foreach { c =>
+            if (!spark.table(tblName).columns.exists(_.equalsIgnoreCase(c)))
+              throw new IllegalArgumentException(s"no such column: $c")
+          })
+          state.indexes += IdxDef(idxName, tblName,
+            plainCols.getOrElse(Nil), unique = false)
+        }
+        Done
+      }
 
     case DropIndex(ifExists, idxName) =>
-      val idx = state.indexes.indexWhere(_._1.equalsIgnoreCase(idxName))
+      val idx = state.indexes.indexWhere(_.name.equalsIgnoreCase(idxName))
       if (idx < 0) {
         if (ifExists == null)
           throw new IllegalArgumentException(s"no such index: $idxName")
@@ -654,6 +744,9 @@ object ScriptDdl {
       val existed = spark.catalog.dropTempView(name)
       if (!existed && ifExists == null)
         throw new IllegalArgumentException(s"no such table: $name")
+      // DROP TABLE drops the table's indexes with it (SQLite rule)
+      if (existed)
+        state.indexes.filterInPlace(!_.table.equalsIgnoreCase(name))
       Done
 
     case _ => NotHandled
@@ -662,6 +755,24 @@ object ScriptDdl {
   private def requireTable(spark: SparkSession, name: String): Unit =
     if (!spark.catalog.tableExists(name))
       throw new IllegalArgumentException(s"no such table: $name")
+
+  /** sqlite3's UNIQUE-violation error, listing the keyset's columns
+    * in index order. */
+  private def uniqueErr(table: String, cols: Seq[String]): Nothing =
+    throw new IllegalArgumentException(
+      "UNIQUE constraint failed: " + cols.map(c => s"$table.$c").mkString(", "))
+
+  /** Error unless `target`'s rows are unique on `cols`. Rows with a
+    * NULL in any keyset column never conflict (SQLite treats index
+    * NULLs as distinct). One bounded driver-side probe. */
+  private def checkExistingUnique(
+      target: org.apache.spark.sql.DataFrame, table: String, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{count => fCount}
+    val nonNull = cols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
+    val dup = target.where(nonNull).groupBy(cols.map(c => col(s"`$c`")): _*)
+      .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count() > 0
+    if (dup) uniqueErr(table, cols)
+  }
 
   /** SQLite applies the target COLUMN's affinity to every stored
     * value (sqlite3-pinned: INSERT '007' into an INTEGER column
@@ -734,8 +845,8 @@ object ScriptDdl {
     * honest choice. */
   private def enforceUpdateConstraints(
       spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
-      updated: org.apache.spark.sql.DataFrame, assigned: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{count => fCount}
+      updated: org.apache.spark.sql.DataFrame, assigned: Seq[String],
+      state: State): Unit = {
     val schema = target.schema
     def isAssigned(c: String) = assigned.exists(_.equalsIgnoreCase(c))
     val nn = schema.fields
@@ -751,13 +862,12 @@ object ScriptDdl {
         if (updated.where(col(s"`$rc`").isNull ||
             !col(s"`$rc`").cast("string").rlike("^[+-]?\\d+$")).limit(1).count() > 0)
           throw new IllegalArgumentException("datatype mismatch")
-      val keyed = updated.where(pkCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _))
-      val dup = keyed.groupBy(pkCols.map(c => col(s"`$c`")): _*)
-        .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count() > 0
-      if (dup)
-        throw new IllegalArgumentException(
-          "UNIQUE constraint failed: " + pkCols.map(c => s"$name.$c").mkString(", "))
+      checkExistingUnique(updated, name, pkCols)
     }
+    // UNIQUE indexes whose keyset an assignment touches: final-state
+    // dup check, same set-based transient-dup permissiveness as pk
+    for (ks <- uniqueKeysFor(state, name) if ks.exists(isAssigned))
+      checkExistingUnique(updated, name, ks)
   }
 
   /** The PRAGMA surface (reference forwards PRAGMA statements to
@@ -774,8 +884,9 @@ object ScriptDdl {
     *    never report notnull/dflt/pk;
     *  - `database_list`: one row — seq 0, name main, the `-dbfile`
     *    path or "" (in-memory);
-    *  - `index_list(t)`: this run's CREATE INDEX registry, origin "c",
-    *    never unique (UNIQUE indexes are rejected at creation);
+    *  - `index_list(t)`: this run's CREATE INDEX registry (origin "c")
+    *    plus UNIQUE-constraint auto-indexes (origin "u"), with the
+    *    unique flag;
     *  - `journal_mode` reads AND assignments answer "memory" (an
     *    in-memory SQLite ignores journal-mode changes the same way);
     *    `synchronous` → 2, `foreign_keys` → 0; `user_version` is
@@ -797,8 +908,10 @@ object ScriptDdl {
         case "database_list" =>
           Seq((0L, "main", state.dbFile.getOrElse(""))).toDF("seq", "name", "file")
         case "index_list" if arg != null =>
-          state.indexes.toSeq.filter(_._2.equalsIgnoreCase(arg)).zipWithIndex
-            .map { case ((idx, _), i) => (i.toLong, idx, 0L, "c", 0L) }
+          // sqlite3 lists a table's indexes most-recent-first
+          state.indexes.toSeq.reverse.filter(_.table.equalsIgnoreCase(arg)).zipWithIndex
+            .map { case (idx, i) =>
+              (i.toLong, idx.name, if (idx.unique) 1L else 0L, idx.origin, 0L) }
             .toDF("seq", "name", "unique", "origin", "partial")
         case "journal_mode" => one("journal_mode", "memory")
         case "synchronous" if assign == null => one("synchronous", 2L)
@@ -871,7 +984,8 @@ object ScriptDdl {
     * OR IGNORE, both pinned). */
   private def applyInsert(
       spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
-      aligned: org.apache.spark.sql.DataFrame, mode: String)
+      aligned: org.apache.spark.sql.DataFrame, mode: String, state: State,
+      nnOverride: Option[String] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
@@ -883,7 +997,10 @@ object ScriptDdl {
       .find(f => f.metadata.contains(Affinity.PkKey) && f.metadata.getString(Affinity.PkKey) == "rowid")
       .map(_.name)
     val notNullCols = schema.fields.filter(_.metadata.contains(Affinity.NotNullKey)).map(_.name).toSeq
-    if (pkCols.isEmpty && notNullCols.isEmpty)
+    // UNIQUE-index keysets, resolved to the schema's field case
+    val uniqueKeys: Seq[Seq[String]] = uniqueKeysFor(state, name).map(_.map(c =>
+      schema.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(c)))
+    if (pkCols.isEmpty && notNullCols.isEmpty && uniqueKeys.isEmpty)
       return (target.unionByName(aligned), aligned)
 
     // align the batch to the stored schema's types so driver-side
@@ -893,7 +1010,8 @@ object ScriptDdl {
 
     // rowid NULLs autoassign instead of NN-checking
     val alignedNN = applyNotNullPolicy(
-      name, schema, alignedT, notNullCols.filterNot(rowid.contains), mode)
+      name, schema, alignedT, notNullCols.filterNot(rowid.contains),
+      nnOverride.getOrElse(mode))
 
     var localRows: Option[Array[Row]] = None
     val batch: DataFrame = rowid match {
@@ -908,6 +1026,13 @@ object ScriptDdl {
       case Some(rc) => df.orderBy(col(s"`$rc`").cast("long"))
       case None => df
     }
+
+    // UNIQUE indexes demand SQLite's statement-order semantics (a row
+    // skipped by one constraint never blocks a later row on another),
+    // which per-keyset set passes cannot reproduce — walk the batch
+    if (uniqueKeys.nonEmpty)
+      return applyInsertRowwise(spark, name, target, schema, batch,
+        (if (pkCols.nonEmpty) Seq(pkCols) else Nil) ++ uniqueKeys, mode, order)
 
     if (pkCols.isEmpty) return (order(target.unionByName(batch)), batch)
 
@@ -1008,10 +1133,115 @@ object ScriptDdl {
     }
   }
 
+  /** Row-at-a-time INSERT enforcement for tables with UNIQUE indexes
+    * (plus their pk as one more keyset): exact SQLite semantics are
+    * statement-ordered — under OR IGNORE a row skipped by one
+    * constraint never enters any index, so it cannot block a later
+    * row on a different constraint, and under REPLACE every proposed
+    * row displaces stored/earlier rows on EVERY keyset at its turn —
+    * orderings that per-keyset set passes cannot reproduce. The batch
+    * is driver-resident (CLI-scoped like the rest of the DML
+    * constraint surface); storage is touched by ONE bounded key probe
+    * per keyset (single-column keys as a pushed-down IN filter,
+    * multi-column as a broadcast semi-join) plus, under REPLACE, one
+    * broadcast anti-join per keyset displacing stored conflictors.
+    * NULL keys never conflict (SQLite treats index NULLs as
+    * distinct). RETURNING rows: the inserted subset under OR IGNORE,
+    * the full proposed batch under REPLACE (both sqlite3-pinned). */
+  private def applyInsertRowwise(
+      spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
+      schema: StructType, batchDf: org.apache.spark.sql.DataFrame,
+      keysets: Seq[Seq[String]], mode: String,
+      order: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.broadcast
+    val rows = batchDf.collect()
+    if (rows.isEmpty) return (order(target), batchDf.limit(0))
+    val idxs: Seq[Seq[Int]] = keysets.map(_.map(schema.fieldIndex))
+    def keyOf(r: Row, ki: Seq[Int]): Option[Seq[Any]] = {
+      val vs = ki.map(r.get)
+      if (vs.contains(null)) None else Some(vs)
+    }
+    def localDf(rs: Seq[Row]): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(rs: _*),
+      StructType(schema.fields.map(f => StructField(f.name, f.dataType))))
+    def keysDf(ks: Seq[String], keys: Seq[Seq[Any]]): DataFrame = {
+      val kSchema = StructType(ks.map(c =>
+        StructField(c, schema(schema.fieldIndex(c)).dataType)))
+      spark.createDataFrame(
+        java.util.Arrays.asList(keys.map(Row.fromSeq): _*), kSchema)
+    }
+    /** batch keys already present in storage, one probe per keyset */
+    def storedHits(ks: Seq[String], ki: Seq[Int]): collection.mutable.Set[Seq[Any]] = {
+      val keys = rows.toSeq.flatMap(r => keyOf(r, ki)).distinct
+      val out = collection.mutable.HashSet.empty[Seq[Any]]
+      if (keys.isEmpty) return out
+      val hits =
+        if (ks.lengthCompare(1) == 0)
+          target.where(col(s"`${ks.head}`").isin(keys.map(_.head).toIndexedSeq: _*))
+            .select(col(s"`${ks.head}`")).collect().map(r => Seq(r.get(0)))
+        else {
+          val kdf = keysDf(ks, keys)
+          target.join(broadcast(kdf),
+              ks.map(c => target(c) === kdf(c)).reduce(_ && _), "left_semi")
+            .select(ks.map(c => col(s"`$c`")).toIndexedSeq: _*)
+            .collect().map(_.toSeq.toSeq)
+        }
+      out ++= hits
+      out
+    }
+    mode match {
+      case "abort" =>
+        val seen = keysets.zip(idxs).map { case (ks, ki) => (ks, ki, storedHits(ks, ki)) }
+        for (r <- rows; (ks, ki, s) <- seen; k <- keyOf(r, ki)) {
+          if (s.contains(k)) uniqueErr(name, ks)
+          s += k
+        }
+        (order(target.unionByName(batchDf)), batchDf)
+      case "ignore" =>
+        val seen = keysets.zip(idxs).map { case (ks, ki) => ki -> storedHits(ks, ki) }
+        val kept = collection.mutable.ArrayBuffer.empty[Row]
+        for (r <- rows) {
+          val keys = seen.map { case (ki, s) => (keyOf(r, ki), s) }
+          if (!keys.exists { case (k, s) => k.exists(s.contains) }) {
+            kept += r
+            for ((k, s) <- keys; kk <- k) s += kk
+          }
+        }
+        val ins = localDf(kept.toSeq)
+        (order(target.unionByName(ins)), ins)
+      case "replace" =>
+        // every proposed row inserts at its turn; later rows displace
+        // earlier batch inserts sharing a key on any keyset …
+        val kept = collection.mutable.ArrayBuffer.empty[Row]
+        for (r <- rows) {
+          val keys = idxs.map(ki => keyOf(r, ki))
+          kept.filterInPlace(p => !keys.zip(idxs).exists {
+            case (Some(k), ki) => keyOf(p, ki).contains(k)
+            case _ => false
+          })
+          kept += r
+        }
+        // … and stored rows conflicting with ANY proposed row were
+        // displaced at that row's turn (even when the proposed row
+        // was itself displaced later in the batch)
+        var stored = target
+        for ((ks, ki) <- keysets.zip(idxs)) {
+          val keys = rows.toSeq.flatMap(r => keyOf(r, ki)).distinct
+          if (keys.nonEmpty) {
+            val kdf = keysDf(ks, keys)
+            stored = stored.join(broadcast(kdf),
+              ks.map(c => stored(c) === kdf(c)).reduce(_ && _), "left_anti")
+          }
+        }
+        (order(stored.unionByName(localDf(kept.toSeq))), batchDf)
+    }
+  }
+
   /** Bind one `INSERT … ON CONFLICT` batch (SQLite UPSERT, 3.24+
     * dialect). The conflict target must name the table's PRIMARY KEY
-    * — UNIQUE indexes are rejected at creation, so the pk is the only
-    * uniqueness constraint a target could name; anything else gets
+    * or a UNIQUE index's keyset; anything else gets
     * sqlite3's "does not match any PRIMARY KEY or UNIQUE constraint".
     *
     *  - `DO NOTHING` drops conflicting proposed rows;
@@ -1035,19 +1265,37 @@ object ScriptDdl {
     * sqlite3-pinned). */
   private def applyUpsert(
       spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
-      aligned: org.apache.spark.sql.DataFrame, up: UpsertSpec, nnMode: String)
+      aligned: org.apache.spark.sql.DataFrame, up: UpsertSpec, nnMode: String,
+      state: State)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{max => fMax, monotonically_increasing_id, row_number}
 
     val schema = target.schema
-    val pkCols = schema.fields.filter(_.metadata.contains(Affinity.PkKey)).map(_.name).toSeq
+    val pkColsAll = schema.fields.filter(_.metadata.contains(Affinity.PkKey)).map(_.name).toSeq
+    val uniqueKeys: Seq[Seq[String]] = uniqueKeysFor(state, name).map(_.map(c =>
+      schema.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(c)))
+    val allKs = (if (pkColsAll.nonEmpty) Seq(pkColsAll) else Nil) ++ uniqueKeys
     def noPkMatch: Nothing = throw new IllegalArgumentException(
       "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint")
-    if (pkCols.isEmpty) noPkMatch
-    up.targetCols.foreach { tc =>
-      if (tc.map(_.toLowerCase).toSet != pkCols.map(_.toLowerCase).toSet) noPkMatch
+    if (allKs.isEmpty) noPkMatch
+    // resolve the conflict target to ONE uniqueness keyset; with no
+    // target, sqlite3 handles any constraint — exact when only one
+    // exists; multi-constraint DO NOTHING ≡ OR-IGNORE uniqueness
+    // (routed to the row-at-a-time walk), multi-constraint DO UPDATE
+    // is rejected (which stored row to update is per-row ambiguous)
+    val pkCols: Seq[String] = up.targetCols match {
+      case Some(tc) =>
+        allKs.find(ks => tc.map(_.toLowerCase).toSet == ks.map(_.toLowerCase).toSet)
+          .getOrElse(noPkMatch)
+      case None if allKs.lengthCompare(1) == 0 => allKs.head
+      case None if up.set.isEmpty =>
+        return applyInsert(spark, name, target, aligned, "ignore", state,
+          nnOverride = Some(nnMode))
+      case None => throw new UnsupportedOperationException(
+        "ON CONFLICT DO UPDATE without a conflict target is not supported " +
+          "when multiple uniqueness constraints exist")
     }
     val rowid = schema.fields
       .find(f => f.metadata.contains(Affinity.PkKey) && f.metadata.getString(Affinity.PkKey) == "rowid")
@@ -1098,8 +1346,12 @@ object ScriptDdl {
     // errors)
     up.set.foreach { case (setText, _) =>
       enforceUpdateConstraints(spark, name, target, cur,
-        splitTopLevel(setText).map(parseAssignment).map(_._1))
+        splitTopLevel(setText).map(parseAssignment).map(_._1), state)
     }
+    // the upsert clause only absorbs conflicts on ITS keyset: a fresh
+    // insert (or DO-UPDATE result) violating a different uniqueness
+    // constraint still errors, like sqlite3
+    for (ks <- allKs if ks != pkCols) checkExistingUnique(cur, name, ks)
     (order(cur), retParts.reduce(_ unionByName _))
   }
 
@@ -1256,7 +1508,7 @@ object ScriptDdl {
 
   private final case class ColDef(
       name: String, declType: String, pk: Boolean, notNull: Boolean,
-      defaultSql: Option[String], defaultVal: Option[String])
+      unique: Boolean, defaultSql: Option[String], defaultVal: Option[String])
 
   /** Parse one CREATE TABLE column definition: the name token, then
     * declared-type tokens up to the first constraint keyword (so
@@ -1277,6 +1529,7 @@ object ScriptDdl {
       typeTokens.mkString(" "),
       pk = """(?is).*\bprimary\s+key\b.*""".r.matches(d),
       notNull = """(?is).*\bnot\s+null\b.*""".r.matches(d),
+      unique = """(?is).*\bunique\b.*""".r.matches(d),
       defaultSql = dfltText,
       defaultVal = dfltText.flatMap(parseConstantDefault))
   }

@@ -759,6 +759,47 @@ object Ingest {
              |  SELECT * FROM upd UNION ALL SELECT * FROM fresh
              |)
              |SELECT CAST(k AS BIGINT) AS k, nm, CAST(cnt AS BIGINT) AS cnt
-             |FROM merged WHERE NOT coalesce(k > 40, false) ORDER BY k""".stripMargin))
+             |FROM merged WHERE NOT coalesce(k > 40, false) ORDER BY k""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i27: UNIQUE-index enforcement mid-script (SQLite dialect the
+    // reference forwards verbatim, lib/classes/sqawk.tcl:216): a
+    // CREATE UNIQUE INDEX over a populated table, an OR IGNORE batch
+    // whose first row collides on the indexed column (skipped) while
+    // the second inserts, a REPLACE that displaces the stored row
+    // through the index rather than the pk, and an UPDATE re-keying a
+    // row under the constraint. The oracle recomputes the surviving
+    // row set declaratively; row-at-a-time conflict ORDER semantics
+    // are pinned separately in CliSpec.
+    QDef(
+      "i27_unique_index",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("g_nat_uq")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """CREATE TABLE uq27 (k INTEGER PRIMARY KEY, nm TEXT, tag);
+            |INSERT INTO uq27
+            |  SELECT n_nationkey, n_name, n_regionkey || ':' || n_nationkey FROM g_nat_uq;
+            |CREATE UNIQUE INDEX uq27_nm ON uq27(nm);
+            |INSERT OR IGNORE INTO uq27 VALUES
+            |  (100, 'NATION_3', 'dup-skipped'), (101, 'ATLANTIS', 'fresh');
+            |REPLACE INTO uq27 VALUES (102, 'NATION_6', 'displaced-via-nm');
+            |UPDATE uq27 SET nm = 'UTOPIA' WHERE k = 101""".stripMargin,
+          new AwkSerializer(sw))
+        val out = s.table("uq27")
+          .select(col("k").cast("long").as("k"), col("nm"), col("tag"))
+        s.catalog.dropTempView("uq27")
+        s.catalog.dropTempView("g_nat_uq")
+        out
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+             |         n_regionkey || ':' || n_nationkey AS tag
+             |  FROM nation
+             |  WHERE n_name <> 'NATION_6' -- displaced through the unique index
+             |)
+             |SELECT k, nm, tag FROM base
+             |UNION ALL VALUES (101, 'UTOPIA', 'fresh'),
+             |                 (102, 'NATION_6', 'displaced-via-nm')""".stripMargin))
   )
 }

@@ -670,14 +670,117 @@ class CliSpec extends SparkSpec {
       f) == (0, "2 y\n"))
   }
 
-  test("CREATE/DROP INDEX are no-ops; UNIQUE index and TRIGGER reject") {
+  test("CREATE/DROP INDEX are no-ops; TRIGGER rejects") {
     val f = tempFile("foo 1\nbar 2\n")
     // sqlite3 runs the same script with identical output — the index
     // only changes its access path, which Catalyst handles declaratively
     assert(sqawk("create index idx on a (a1); select a1 from a where a1 = 'bar'; " +
       "drop index idx", f) == (0, "bar\n"))
-    assert(sqawk("create unique index u on a (a1)", f)._1 == 1)
     assert(sqawk("create trigger tr after insert on a begin select 1; end", f)._1 == 1)
+  }
+
+  test("CREATE UNIQUE INDEX enforces uniqueness (sqlite3-pinned)") {
+    // creation over existing duplicates fails (UNIQUE constraint
+    // failed: t.a); distinct rows pass
+    assert(sqawk("-noinput", "create table u1 (a, b); " +
+      "insert into u1 values (1,1),(1,2); create unique index iu on u1(a)")._1 == 1)
+    spark.catalog.dropTempView("u1")
+    // plain INSERT conflict errors, message keyset = the index columns
+    assert(sqawk("-noinput", "create table u2 (a, b); " +
+      "create unique index iu on u2(a, b); insert into u2 values (1,1); " +
+      "insert into u2 values (1,1)")._1 == 1)
+    spark.catalog.dropTempView("u2")
+    // NULL keys never conflict (SQLite treats index NULLs as distinct)
+    assert(sqawk("-noinput", "create table u3 (a, b); " +
+      "create unique index iu on u3(a); insert into u3 values (NULL,1); " +
+      "insert into u3 values (NULL,2); select count(*) from u3") == (0, "2\n"))
+    spark.catalog.dropTempView("u3")
+    // REPLACE displaces the conflicting stored row on EVERY unique
+    // index: (1,2) evicts (1,1) via ia AND (2,2) via ib
+    assert(sqawk("-noinput", "create table u4 (a, b); " +
+      "create unique index ia on u4(a); create unique index ib on u4(b); " +
+      "insert into u4 values (1,1),(2,2); replace into u4 values (1,2); " +
+      "select * from u4") == (0, "1 2\n"))
+    spark.catalog.dropTempView("u4")
+    // OR IGNORE is row-at-a-time: (2,1) skips on b=1, so its a=2 never
+    // enters the index and (2,3) still inserts
+    assert(sqawk("-noinput", "create table u5 (a, b); " +
+      "create unique index ia on u5(a); create unique index ib on u5(b); " +
+      "insert or ignore into u5 values (1,1),(2,1),(2,3); " +
+      "select * from u5") == (0, "1 1\n2 3\n"))
+    spark.catalog.dropTempView("u5")
+    // UPDATE into a duplicate final state errors
+    assert(sqawk("-noinput", "create table u6 (a, b); " +
+      "create unique index ia on u6(a); insert into u6 values (1,1),(2,2); " +
+      "update u6 set a = 1 where b = 2")._1 == 1)
+    spark.catalog.dropTempView("u6")
+    // UPSERT may target a unique index's keyset; assignments see the
+    // stored row bare and the proposed row as excluded.*
+    assert(sqawk("-noinput", "create table u7 (a, b); " +
+      "create unique index ia on u7(a); insert into u7 values (1,5); " +
+      "insert into u7 values (1,9) on conflict(a) do update set b = excluded.b + b; " +
+      "select * from u7") == (0, "1 14\n"))
+    spark.catalog.dropTempView("u7")
+    // DROP INDEX lifts the constraint
+    assert(sqawk("-noinput", "create table u8 (a); " +
+      "create unique index ia on u8(a); drop index ia; " +
+      "insert into u8 values (1),(1); select count(*) from u8") == (0, "2\n"))
+    spark.catalog.dropTempView("u8")
+    // an index created inside a rolled-back transaction loses its
+    // constraint (the registry is part of the binding snapshot)
+    assert(sqawk("-noinput", "create table u9 (a); begin; " +
+      "create unique index ia on u9(a); rollback; " +
+      "insert into u9 values (1),(1); select count(*) from u9") == (0, "2\n"))
+    spark.catalog.dropTempView("u9")
+  }
+
+  test("UNIQUE column/table constraints and index DDL edges (sqlite3-pinned)") {
+    // a UNIQUE column constraint enforces like an index and registers
+    // as sqlite_autoindex_* with origin u
+    assert(sqawk("-noinput", "create table v1 (a unique, b); " +
+      "insert into v1 values (1,1); insert into v1 values (1,2)")._1 == 1)
+    spark.catalog.dropTempView("v1")
+    // sqlite3 lists indexes most-recent-first
+    assert(sqawk("-noinput", "create table v2 (a unique, b, unique (b, a)); " +
+      "pragma index_list(v2)") ==
+      (0, "0 sqlite_autoindex_v2_2 1 u 0\n1 sqlite_autoindex_v2_1 1 u 0\n"))
+    spark.catalog.dropTempView("v2")
+    // index_list reports the unique flag for CREATE UNIQUE INDEX
+    assert(sqawk("-noinput", "create table v3 (a); " +
+      "create unique index ia on v3(a); pragma index_list(v3)") ==
+      (0, "0 ia 1 c 0\n"))
+    spark.catalog.dropTempView("v3")
+    // RENAME COLUMN carries the index keyset to the new name
+    assert(sqawk("-noinput", "create table v4 (a, b); " +
+      "create unique index ia on v4(a); alter table v4 rename column a to z; " +
+      "insert into v4 values (1,1); insert into v4 values (1,2)")._1 == 1)
+    spark.catalog.dropTempView("v4")
+    // dropping an indexed column refuses, like sqlite3
+    assert(sqawk("-noinput", "create table v5 (a, b); " +
+      "create unique index ia on v5(a); alter table v5 drop column a")._1 == 1)
+    spark.catalog.dropTempView("v5")
+    // CREATE INDEX validates plain column lists
+    assert(sqawk("-noinput", "create table v6 (a); " +
+      "create unique index ia on v6(nope)")._1 == 1)
+    spark.catalog.dropTempView("v6")
+    // engine scope: expression / partial UNIQUE indexes reject
+    // (sqlite3 supports them; enforcing half of one would diverge)
+    assert(sqawk("-noinput", "create table v7 (a, b); " +
+      "create unique index ia on v7(a + 1)")._1 == 1)
+    assert(sqawk("-noinput", "create unique index ia on v7(a) where b > 0")._1 == 1)
+    spark.catalog.dropTempView("v7")
+    // no-target DO NOTHING spans every uniqueness constraint
+    assert(sqawk("-noinput", "create table v8 (k integer primary key, a); " +
+      "create unique index ia on v8(a); insert into v8 values (1,'x'),(2,'y'); " +
+      "insert into v8 values (3,'x') on conflict do nothing; " +
+      "select count(*) from v8") == (0, "2\n"))
+    spark.catalog.dropTempView("v8")
+    // an upsert only absorbs conflicts on ITS target keyset — a fresh
+    // insert violating a different constraint still errors
+    assert(sqawk("-noinput", "create table v9 (k integer primary key, a); " +
+      "create unique index ia on v9(a); insert into v9 values (1,'x'); " +
+      "insert into v9 values (2,'x') on conflict(k) do nothing")._1 == 1)
+    spark.catalog.dropTempView("v9")
   }
 
   test("transaction control: no-ops with sqlite3's error surface") {
