@@ -225,6 +225,37 @@ object Streaming {
              |  max(ts) + INTERVAL 10 MINUTE AS sess_end,
              |  user_id, count(*) AS n_events, round(sum(value), 2) AS sv
              |FROM s GROUP BY user_id, sid
+             |HAVING sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM e)""".stripMargin)),
+
+    // Arbitrary-state v2: the same pinned session semantics a THIRD
+    // time, on Spark 4's transformWithState / StatefulProcessor API
+    // (typed ListState + explicit event-time timers + lifecycle
+    // hooks, RocksDB state store). One oracle, three independent
+    // stateful implementations — s05 session_window, s09
+    // flatMapGroupsWithState, s11 this — so any divergence in merge /
+    // eviction / emission semantics across the engine's three state
+    // APIs fails a hash gate.
+    QDef(
+      "s11_stream_tws_session",
+      (s, d) => graft.streaming.StreamOps.twsSessions(s, d),
+      Some("""WITH e AS (
+             |  SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             |         user_id, value
+             |  FROM events
+             |), m AS (
+             |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts >= lag(ts) OVER w + INTERVAL 10 MINUTE
+             |    THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), s AS (
+             |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m
+             |)
+             |SELECT min(ts) AS sess_start,
+             |  max(ts) + INTERVAL 10 MINUTE AS sess_end,
+             |  user_id, count(*) AS n_events, round(sum(value), 2) AS sv
+             |FROM s GROUP BY user_id, sid
              |HAVING sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM e)""".stripMargin))
   )
 }

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, ListState,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Structured Streaming surface (builder brief: `readStream` →
   * transforms → `writeStream`, watermarks + windowed aggregations,
@@ -424,6 +425,130 @@ object StreamOps {
           closed.iterator.map(s =>
             ClosedSession(s.startUs, s.lastUs + gapUs, user, s.n, s.sv))
       }
+  }
+
+  /** s11's state machine: [[sessionize]]'s exact semantics re-derived
+    * a THIRD time on `transformWithState` — Spark 4's arbitrary-state
+    * v2 (`StatefulProcessor`) API — so one oracle now pins three
+    * independent implementations (s05 built-in `session_window`, s09
+    * `flatMapGroupsWithState`, s11 this): a divergence in any of the
+    * merge / eviction / emission rules fails a hash gate. What v2
+    * changes, exercised here: typed named state primitives (the open
+    * sessions live in a `ListState[OpenSession]`, not one opaque
+    * value), EXPLICIT per-key timers (registerTimer/deleteTimer/
+    * listTimers, vs GroupState's single implicit timeout), and the
+    * init/handleInputRows/handleExpiredTimer lifecycle. Timer
+    * boundary: v2 expires timers with `expiry < watermark` — the
+    * same strictly-below rule as GroupState timeouts — so the
+    * ceil(endUs/1000)−1 arithmetic carries over unchanged. */
+  class SessionProcessor
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Double),
+        ClosedSession] {
+    private val gapUs = 10L * 60 * 1000000
+    @transient private var open: ListState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getListState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    /** session_window's merge rule over the combined open+incoming
+      * list — identical fold to [[sessionize]]. */
+    private def merge(sessions: Seq[OpenSession]): List[OpenSession] =
+      sessions.sortBy(s => (s.startUs, s.lastUs))
+        .foldLeft(List.empty[OpenSession]) { (acc, cur) =>
+          acc match {
+            case h :: t if cur.startUs < h.lastUs + gapUs =>
+              OpenSession(h.startUs, math.max(h.lastUs, cur.lastUs),
+                h.n + cur.n, h.sv + cur.sv) :: t
+            case _ => cur :: acc
+          }
+        }.reverse
+
+    /** Emit watermark-closed sessions, persist the rest, and re-arm
+      * the single per-key timer at the earliest open end. */
+    private def flush(user: Long, merged: List[OpenSession], wmMs: Long)
+        : Iterator[ClosedSession] = {
+      val (closed, stillOpen) = merged.partition(s => s.lastUs + gapUs <= wmMs * 1000)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (stillOpen.isEmpty) open.clear()
+      else {
+        open.put(stillOpen.toArray)
+        val minEndMs = stillOpen.map(s => (s.lastUs + gapUs + 999) / 1000 - 1).min
+        getHandle.registerTimer(math.max(minEndMs, wmMs + 1))
+      }
+      closed.iterator.map(s =>
+        ClosedSession(s.startUs, s.lastUs + gapUs, user, s.n, s.sv))
+    }
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val incoming = rows.map(e => OpenSession(e._3, e._3, 1L, e._4)).toSeq
+      flush(user, merge(open.get().toSeq ++ incoming), tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        user: Long, tv: TimerValues, info: ExpiredTimerInfo)
+        : Iterator[ClosedSession] =
+      flush(user, open.get().toList, tv.getCurrentWatermarkInMs())
+  }
+
+  /** [[SessionProcessor]] over any watermarked stream — factored out
+    * like [[sessionize]] so the spec can drive it over a MemoryStream
+    * with controlled multi-batch arrivals. */
+  def twsSessionize(ev: Dataset[(Long, java.sql.Timestamp, Long, Double)])
+      : Dataset[ClosedSession] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_._1)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** CUSTOM-STATE SESSIONIZATION on the v2 API — the s11 driver: the
+    * same bounded replay, sink and output shape as
+    * [[customStateSessions]], answered by the same oracle. The
+    * engine requires the RocksDB state store provider for
+    * `transformWithState` (virtual-column-family state layout), so
+    * the conf is scoped to this query and restored after. */
+  def twsSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    val sessions = twsSessionize(ev)
+    val out = tempDir("graft-tws-out")
+    val ckpt = tempDir("graft-tws-ckpt")
+    withStatePartitions(spark) {
+      withRocksDb(spark) {
+        val q = sessions.writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(sessions.schema))
+      .parquet(out.toString)
+      .select(timestamp_micros(col("start_us")).as("sess_start"),
+        timestamp_micros(col("end_us")).as("sess_end"),
+        col("user_id"), col("n_events"), round(col("sv"), 2).as("sv"))
+  }
+
+  /** Scope the RocksDB state store provider (a transformWithState
+    * requirement) to `body`, restoring the session default after. */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** The events table consumed as a bounded stream — the file source

@@ -75,6 +75,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionization matches the v1 path cross-batch") {
+    // The SAME multi-batch scenario as the flatMapGroupsWithState test
+    // above, driven through the StatefulProcessor (arbitrary-state v2)
+    // implementation: cross-batch session extension, in-batch merge,
+    // timer-driven close on the watermark-only batch, and the
+    // never-emits-while-open rule must all reproduce identically.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Long, Double)] // (user, seconds, value)
+    val ev = input.toDS()
+      .select(col("_1").as("user_id"),
+        timestamp_seconds(col("_2")).as("ts"),
+        unix_micros(timestamp_seconds(col("_2"))).as("ts_us"),
+        col("_3").as("value"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = StreamOps.twsSessionize(ev)
+        .writeStream.format("memory").queryName("g_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L, 10000L, 1.0), (1L, 10300L, 1.0), (2L, 10100L, 1.0))
+        q.processAllAvailable()
+        input.addData(
+          (1L, 10550L, 1.0),
+          (1L, 12500L, 1.0), (1L, 13099L, 1.0),
+          (1L, 15000L, 1.0),
+          (99L, 20000L, 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("g_tws")
+          .select(col("start_us") / 1000000, col("end_us") / 1000000,
+            col("user_id"), col("n_events"))
+          .as[(Double, Double, Long, Long)].collect().toSet
+        assert(rows == Set(
+          (10000.0, 11150.0, 1L, 3L),
+          (12500.0, 13699.0, 1L, 2L),
+          (15000.0, 15600.0, 1L, 1L),
+          (10100.0, 10700.0, 2L, 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("watermark bounds windowed-agg state across micro-batches") {
     // The scale claim behind every watermark op: rows in the state
     // store plateau at (in-flight windows × keys), independent of how
