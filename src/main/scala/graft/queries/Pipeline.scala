@@ -2924,7 +2924,138 @@ object Pipeline {
               |  CAST(sum(spec.n_occ) OVER (ORDER BY spec.c DESC
               |         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
               |    / CAST(tot.tot_occ AS DOUBLE) AS cov
-              |FROM spec, tot""".stripMargin))
+              |FROM spec, tot""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p53: LUHN-VALIDATED CARD SCRUB — the checksum-gated tier of PII
+    // redaction (what Presidio-class scrubbers do): a 16-digit run is
+    // redacted only when its Luhn check digit VERIFIES, because
+    // redacting every 16-digit number destroys ids/timestamps that
+    // merely look card-shaped. p21's regex tier can't express this —
+    // the gate is arithmetic on the match, not a pattern. The corpus
+    // has no card numbers, so doc_id-derived 16-digit strings are
+    // injected first (half with a correct Luhn check digit, half
+    // broken), then the operator re-finds candidates generically
+    // (regexp_extract_all), validates each with the Luhn fold
+    // (codegen `aggregate` HOF, exact integers) and scrubs only the
+    // valid ones via a fold over the candidate list. Zero shuffle;
+    // the oracle derives the expected scrubbed text independently
+    // from the construction (not by mirroring the fold), so the hash
+    // compare proves the extraction + checksum + replacement pipeline
+    // end to end.
+    QDef(
+      "p53_luhn_scrub",
+      (s, d) => {
+        // Luhn over a full 16-digit candidate c: doubling hits the
+        // digits in even positions from the RIGHT = odd i from the
+        // left at length 16
+        val luhnOk =
+          """aggregate(sequence(1, 16), 0, (acc, i) ->
+            |  acc + (CASE WHEN i % 2 = 1
+            |    THEN IF(2 * CAST(substr(c, i, 1) AS INT) > 9,
+            |            2 * CAST(substr(c, i, 1) AS INT) - 9,
+            |            2 * CAST(substr(c, i, 1) AS INT))
+            |    ELSE CAST(substr(c, i, 1) AS INT) END)) % 10 = 0""".stripMargin
+        docs(s, d)
+          .withColumn("b15", expr(
+            "lpad(CAST((doc_id * 48271 + 12345) % 1000000000000000 AS STRING), 15, '0')"))
+          // check digit: doubling pattern of the 15 digits as they sit
+          // in the final 16-digit number (position i from the left of
+          // b15 = even position from the right of the full number)
+          .withColumn("cd", expr(
+            """(10 - aggregate(sequence(1, 15), 0, (acc, i) ->
+              |  acc + (CASE WHEN i % 2 = 1
+              |    THEN IF(2 * CAST(substr(b15, i, 1) AS INT) > 9,
+              |            2 * CAST(substr(b15, i, 1) AS INT) - 9,
+              |            2 * CAST(substr(b15, i, 1) AS INT))
+              |    ELSE CAST(substr(b15, i, 1) AS INT) END)) % 10) % 10""".stripMargin))
+          .withColumn("card", expr(
+            "concat(b15, CAST(IF(doc_id % 2 = 0, cd, (cd + 5) % 10) AS STRING))"))
+          .withColumn("aug", expr(
+            "IF(doc_id % 3 = 0, concat(text, ' card ', card), text)"))
+          .withColumn("cands", expr("regexp_extract_all(aug, '([0-9]{16})', 1)"))
+          .withColumn("valids", expr(s"filter(cands, c -> $luhnOk)"))
+          .select(col("doc_id"),
+            size(col("cands")).cast("long").as("n_cand"),
+            size(col("valids")).cast("long").as("n_valid"),
+            expr("aggregate(valids, aug, (acc, c) -> replace(acc, c, '[CARD]'))")
+              .as("scrubbed"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    lpad(CAST((doc_id * 48271 + 12345) % 1000000000000000 AS VARCHAR),
+             |         15, '0') AS b15
+             |  FROM documents
+             |), digs AS (
+             |  SELECT doc_id, CAST(i AS INT) AS i,
+             |    CAST(substr(b15, CAST(i AS INT), 1) AS INT) AS dd
+             |  FROM base, range(1, 16) t(i)
+             |), ls AS (
+             |  SELECT doc_id, sum(CASE WHEN i % 2 = 1
+             |    THEN CASE WHEN 2 * dd > 9 THEN 2 * dd - 9 ELSE 2 * dd END
+             |    ELSE dd END) AS s
+             |  FROM digs GROUP BY doc_id
+             |), built AS (
+             |  SELECT b.doc_id, b.text, b.b15,
+             |    b.b15 || CAST(CASE WHEN b.doc_id % 2 = 0
+             |      THEN (10 - ls.s % 10) % 10
+             |      ELSE ((10 - ls.s % 10) % 10 + 5) % 10 END AS VARCHAR) AS card
+             |  FROM base b JOIN ls USING (doc_id)
+             |)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_cand,
+             |  CAST(CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS n_valid,
+             |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+             |         THEN text || ' card [CARD]'
+             |       WHEN doc_id % 3 = 0 THEN text || ' card ' || card
+             |       ELSE text END AS scrubbed
+             |FROM built""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p54: NEAR-DUP GRAPH DEGREE PROFILE — the diagnostic a dedup
+    // campaign reads before choosing a survivor rule: the degree
+    // distribution of the verified near-duplicate graph (p02's
+    // band-bucketed MinHash pairs). Heavy right tails mean hub
+    // documents (templates/boilerplate) where a greedy min-id rule
+    // over-drops and clustering (p30) is warranted; a near-diagonal
+    // histogram means pairwise rules suffice. Scale shape: the pair
+    // set is already bucket-local (p02), endpoints explode into one
+    // hash-partitioned count per doc, and the histogram collapses to
+    // <= max-degree rows; the only non-map-side stages are two
+    // two-level groupBys. The 1-row totals frame broadcasts into the
+    // share division (exact integers, one IEEE division).
+    QDef(
+      "p54_dup_graph_degree",
+      (s, d) => {
+        val pairs = minhashPairs(s, d)
+        val ends = pairs.select(col("ida").as("id"))
+          .unionByName(pairs.select(col("idb").as("id")))
+        val deg = docs(s, d).select(col("doc_id"))
+          .join(ends, col("doc_id") === col("id"), "left")
+          .groupBy("doc_id").agg(count(col("id")).as("degree"))
+        val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        val tot = docs(s, d).agg(count(lit(1)).as("n"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("degree"), col("n_docs"),
+            (col("n_docs").cast("double") / col("n").cast("double")).as("share"))
+      },
+      Some(s"""WITH $minhashCtes, dv AS (
+              |  SELECT ida AS id FROM pairs
+              |  UNION ALL SELECT idb AS id FROM pairs
+              |), deg AS (
+              |  SELECT d.doc_id, CAST(count(dv.id) AS BIGINT) AS degree
+              |  FROM documents d LEFT JOIN dv ON dv.id = d.doc_id
+              |  GROUP BY d.doc_id
+              |), hist AS (
+              |  SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+              |  FROM deg GROUP BY 1
+              |), tot AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+              |)
+              |SELECT degree, n_docs,
+              |  CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
+              |FROM hist, tot""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------

@@ -99,6 +99,45 @@ class ClusterDedupOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"))
   }
 
+  test("p53 scrubs exactly the Luhn-valid candidates") {
+    val rows = graft.SparkEntry.queries("p53_luhn_scrub")(spark, d).collect()
+    assert(rows.length == 500)
+    def luhnOk(s: String): Boolean = {
+      val sum = s.zipWithIndex.map { case (ch, i0) =>
+        val dd = ch - '0'
+        if ((i0 + 1) % 2 == 1) { val t = 2 * dd; if (t > 9) t - 9 else t } else dd
+      }.sum
+      sum % 10 == 0
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nc = r.getAs[Long]("n_cand")
+      val nv = r.getAs[Long]("n_valid")
+      val out = r.getAs[String]("scrubbed")
+      assert(nc == (if (id % 3 == 0) 1L else 0L))
+      assert(nv == (if (id % 3 == 0 && id % 2 == 0) 1L else 0L))
+      // post-condition of checksum-gated scrubbing: no Luhn-valid
+      // 16-digit run survives, and invalid runs are left alone
+      val left = "[0-9]{16}".r.findAllIn(out).toSeq
+      assert(left.forall(c => !luhnOk(c)))
+      assert((nv == 1) == out.contains("[CARD]"))
+      assert(left.nonEmpty == (nc == 1 && nv == 0))
+    }
+  }
+
+  test("p54 degree histogram conserves docs and pair endpoints") {
+    val hist = graft.SparkEntry.queries("p54_dup_graph_degree")(spark, d).collect()
+    val nDocs = hist.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == 500L)
+    val endpoints = hist.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    val nPairs = graft.SparkEntry.queries("p02_dedup_minhash_lsh")(spark, d).count()
+    assert(endpoints == 2L * nPairs)
+    val shares = hist.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-9)
+    // the corpus's planted duplicates populate the non-zero bins
+    assert(hist.exists(r => r.getAs[Long]("degree") > 0 && r.getAs[Long]("n_docs") > 0))
+  }
+
   test("p52 spectrum conserves tokens and coverage is monotone to 1.0") {
     val rows = graft.SparkEntry.queries("p52_freq_spectrum")(spark, d)
       .orderBy(org.apache.spark.sql.functions.col("occurrences").desc)
