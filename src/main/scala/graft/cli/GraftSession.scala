@@ -183,6 +183,17 @@ object GraftSession {
     else Some(parts.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
+  /** The persisted tables of a `-dbfile` store (its `PATH.d/` dir) —
+    * the ATTACH surface reads another invocation's store through
+    * this. Returns (table name, lazy plan) per table; empty when no
+    * store exists at the path. */
+  private[cli] def readDbTables(spark: SparkSession, dbPath: String): Seq[(String, DataFrame)] = {
+    val dir = Paths.get(dbPath + ".d")
+    if (!Files.isDirectory(dir)) return Nil
+    listDir(dir)(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
+      .flatMap(sub => readPersisted(spark, sub).map(sub.getFileName.toString -> _))
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)

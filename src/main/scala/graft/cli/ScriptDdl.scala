@@ -81,6 +81,16 @@ import graft.sources.Affinity
   *    ROLLBACK TO an unknown savepoint) is sqlite3-pinned verbatim;
   *  - `VACUUM` / `ANALYZE` / `REINDEX` → no-ops (performance-only in
   *    SQLite; they never change results);
+  *  - `ATTACH 'path' AS name` / `DETACH name` → the attached database
+  *    is another engine `-dbfile` store (its `path.d/` parquet
+  *    generations); its tables register as temp views behind a
+  *    qualified-name rewrite ([[rewriteAttached]]) with sqlite3's
+  *    unqualified search order, error surface ("database X is
+  *    already in use", "no such database", no ATTACH/DETACH inside a
+  *    transaction, "cannot detach database main") and
+  *    `PRAGMA database_list` rows. DML against attached tables
+  *    rebinds in-memory for the run (not persisted back — the engine
+  *    persists only loaded-file rows);
   *  - the rest of SQLite's statement surface (triggers included) gets
   *    a one-line sqawk-style rejection instead of a raw Spark error.
   */
@@ -132,6 +142,63 @@ object ScriptDdl {
       * transaction loses its constraint, like sqlite3). */
     private[ScriptDdl] val indexes = scala.collection.mutable.ArrayBuffer.empty[IdxDef]
     private[ScriptDdl] var userVersion: Long = 0L
+    /** ATTACH registry, insertion-ordered like sqlite3's search
+      * order. One VIEW backs each attached table, so the bare and
+      * `schema.`-qualified spellings hit the same binding (DML
+      * through either is visible through both, as in sqlite3). */
+    private[ScriptDdl] val attached =
+      scala.collection.mutable.LinkedHashMap.empty[String, AttachedDb]
+  }
+
+  /** One attached database: the path text as given, the lowercase
+    * table name → backing view name map the qualified-name rewrite
+    * resolves through, and the views this attach created (dropped on
+    * DETACH). A table whose bare name was free at attach time is
+    * backed by the bare view itself — sqlite3's unqualified search
+    * order (main first, then attached) falls out of that. */
+  private[cli] final case class AttachedDb(
+      path: String, views: Map[String, String], owned: Seq[String])
+
+  private def attViewName(schema: String, tbl: String): String =
+    s"graft_att_${schema.toLowerCase}_$tbl"
+
+  /** Rewrite schema-qualified names of ATTACHed databases —
+    * `aux.t[.col]` → the registered `graft_att_aux_t` view — and
+    * `main.t` → bare `t`, token-aware (strings, quoted identifiers
+    * and comments are never touched; a name mid-chain after another
+    * dot is a column reference and stays). PRAGMA statements are left
+    * alone: there the dotted prefix qualifies the pragma name.
+    * Caveat (documented deviation): a TABLE ALIAS spelled like an
+    * attached schema name would be rewritten too — avoid aliasing
+    * tables with attached schema names. */
+  def rewriteAttached(sql: String, state: State): String = {
+    if (state.attached.isEmpty) return sql
+    if ("""(?is)\s*pragma\b.*""".r.matches(sql)) return sql
+    val toks = SqliteOperators.tokenize(sql).filterNot(_.kind == ' ')
+    def text(t: SqliteOperators.Tok) = sql.substring(t.start, t.end)
+    var i = 0
+    while (i + 2 < toks.length) {
+      val (a, dot, b) = (toks(i), toks(i + 1), toks(i + 2))
+      if (a.kind == 'w' && dot.kind == 'p' && text(dot) == "." &&
+          (b.kind == 'w' || b.kind == 'q') &&
+          !(i > 0 && toks(i - 1).kind == 'p' && text(toks(i - 1)) == ".")) {
+        val an = text(a)
+        if (an.equalsIgnoreCase("main"))
+          return rewriteAttached(
+            sql.substring(0, a.start) + sql.substring(b.start), state)
+        state.attached.keys.find(_.equalsIgnoreCase(an)) match {
+          case Some(k) =>
+            val tbl = stripQuotes(text(b))
+            val view = state.attached(k).views
+              .getOrElse(tbl.toLowerCase, attViewName(k, tbl))
+            return rewriteAttached(sql.substring(0, a.start) +
+              s"`$view`" + sql.substring(b.end), state)
+          case None => ()
+        }
+      }
+      i += 1
+    }
+    sql
   }
 
   /** The enforced uniqueness keysets of `table` beyond its PRIMARY
@@ -209,6 +276,10 @@ object ScriptDdl {
     """(?is)\s*release\s+(?:savepoint\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val Maintenance =
     """(?is)\s*(?:vacuum|analyze|reindex)\b.*""".r
+  private val Attach =
+    """(?is)\s*attach\s+(?:database\s+)?(.+?)\s+as\s+[`"]?(\w+)[`"]?\s*""".r
+  private val Detach =
+    """(?is)\s*detach\s+(?:database\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val Rejected =
     """(?is)\s*(alter|attach|detach)\b.*""".r
   private val Pragma =
@@ -403,6 +474,63 @@ object ScriptDdl {
       }
       val kept = target.columns.filterNot(_.equalsIgnoreCase(colName)).map(c => col(s"`$c`"))
       target.select(kept.toIndexedSeq: _*).createOrReplaceTempView(name)
+      Done
+
+    case Attach(pathText, name) =>
+      // sqlite3 forbids ATTACH inside a transaction, which keeps the
+      // registry out of the snapshot machinery
+      if (state.txnActive)
+        throw new IllegalArgumentException("cannot ATTACH database within transaction")
+      if (name.equalsIgnoreCase("main") || name.equalsIgnoreCase("temp") ||
+          state.attached.keys.exists(_.equalsIgnoreCase(name)))
+        throw new IllegalArgumentException(s"database $name is already in use")
+      val path = {
+        // path literals are usually single-quoted; unescape doubled quotes
+        val t = pathText.trim
+        if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+          t.substring(1, t.length - 1)
+            .replace(s"${t.head}${t.head}", t.head.toString)
+        else t
+      }
+      // the attached database is another engine `-dbfile` store
+      // (PATH.d/ of parquet generations); a path with no store
+      // attaches as an empty schema, like sqlite3 attaching a file
+      // that does not exist yet. Attached tables are readable and
+      // DML against them rebinds in-memory for this run; they are
+      // NOT persisted back on detach (the engine persists only
+      // loaded-file rows — GraftSession scaladoc).
+      val tables = GraftSession.readDbTables(spark, path)
+      val views = Map.newBuilder[String, String]
+      val owned = scala.collection.mutable.ArrayBuffer.empty[String]
+      for ((tbl, df) <- tables) {
+        // sqlite3 resolves UNQUALIFIED names through main, temp, then
+        // attached databases in order — when the bare name is free,
+        // it IS the backing view (one binding for both spellings);
+        // a shadowed table gets a schema-mangled view reachable only
+        // through the qualified name
+        val view =
+          if (!spark.catalog.tableExists(tbl)) tbl
+          else attViewName(name, tbl)
+        df.createOrReplaceTempView(view)
+        views += tbl.toLowerCase -> view
+        owned += view
+      }
+      state.attached += name -> AttachedDb(path, views.result(), owned.toSeq)
+      Done
+
+    case Detach(name) =>
+      if (state.txnActive)
+        throw new IllegalArgumentException("cannot DETACH database within transaction")
+      if (name.equalsIgnoreCase("main") || name.equalsIgnoreCase("temp"))
+        throw new IllegalArgumentException(
+          s"cannot detach database ${name.toLowerCase}")
+      state.attached.keys.find(_.equalsIgnoreCase(name)) match {
+        case None =>
+          throw new IllegalArgumentException(s"no such database: $name")
+        case Some(k) =>
+          state.attached(k).owned.foreach(spark.catalog.dropTempView(_))
+          state.attached -= k
+      }
       Done
 
     case Rejected(kw) =>
@@ -906,7 +1034,10 @@ object ScriptDdl {
       case Pragma(name, arg, assign) => Some(name.toLowerCase match {
         case "table_info" if arg != null => tableInfo(spark, arg)
         case "database_list" =>
-          Seq((0L, "main", state.dbFile.getOrElse(""))).toDF("seq", "name", "file")
+          (Seq((0L, "main", state.dbFile.getOrElse(""))) ++
+            state.attached.zipWithIndex.map { case ((n, db), i) =>
+              ((i + 1).toLong, n, db.path) })
+            .toDF("seq", "name", "file")
         case "index_list" if arg != null =>
           // sqlite3 lists a table's indexes most-recent-first
           state.indexes.toSeq.reverse.filter(_.table.equalsIgnoreCase(arg)).zipWithIndex

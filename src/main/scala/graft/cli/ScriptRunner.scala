@@ -125,8 +125,10 @@ object ScriptRunner {
     try graft.functions.GraftFunctions.withSqliteAggregates(spark) {
       for (stmt <- splitStatements(script)) {
         // SQLite operator spellings (A GLOB B / A REGEXP B) become the
-        // registered function calls before Spark parses the statement.
-        val sql = SqliteOperators.rewrite(stmt)
+        // registered function calls, and ATTACHed-schema qualified
+        // names resolve to their registered views, before Spark
+        // parses the statement.
+        val sql = ScriptDdl.rewriteAttached(SqliteOperators.rewrite(stmt), ddlState)
         // PRAGMAs answer rows of their own; the side-effecting dialect
         // statements (CREATE TABLE/INSERT/DROP/transactions) bind temp
         // views and emit none; everything else is a query for spark.sql.

@@ -19,7 +19,7 @@ package graft.cli
   */
 object SqliteOperators {
 
-  private case class Tok(kind: Char, start: Int, end: Int) // kind: 'w'ord,'s'tring,'q'uoted,'n'um,'p'unct,' 'ws
+  private[cli] case class Tok(kind: Char, start: Int, end: Int) // kind: 'w'ord,'s'tring,'q'uoted,'n'um,'p'unct,' 'ws
   private val Keywords = Set(
     "select", "from", "where", "and", "or", "not", "on", "join", "when",
     "then", "else", "case", "end", "by", "having", "like", "ilike", "in",
@@ -27,7 +27,7 @@ object SqliteOperators {
     "offset", "order", "group", "set", "values", "between", "escape",
     "insert", "into", "update", "delete", "create", "table", "view")
 
-  private def tokenize(s: String): Vector[Tok] = {
+  private[cli] def tokenize(s: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = s.length

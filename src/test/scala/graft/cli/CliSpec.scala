@@ -360,6 +360,47 @@ class CliSpec extends SparkSpec {
     assert(sqawk("-dbfile", db, "-noinput", "select count(*) from a") == (0, "3\n"))
   }
 
+  test("ATTACH/DETACH another -dbfile store (sqlite3-pinned semantics)") {
+    val db = Files.createTempDirectory("graft-att").resolve("attdb").toString
+    val f1 = tempFile("x 10\nx 20\n")
+    // build the store to attach: table attsrc persisted under <db>.d/
+    assert(sqawk("-dbfile", db, "select a2 from attsrc", "table=attsrc", "prefix=a", f1)
+      == (0, "10\n20\n"))
+    spark.catalog.dropTempView("attsrc")
+    // qualified reads resolve through the attached schema, and
+    // database_list reports the attachment
+    assert(sqawk("-noinput",
+      s"attach database '$db' as aux; select a2 from aux.attsrc order by a2 + 0; " +
+        "pragma database_list")
+      == (0, s"10\n20\n0 main \n1 aux $db\n"))
+    spark.catalog.dropTempView("attsrc")
+    // unqualified names resolve into attached schemas when main has
+    // no such table (sqlite3's search order); the bare and qualified
+    // spellings are ONE binding, so DML through one shows through the
+    // other (sqlite3 semantics — in-memory for the run)
+    assert(sqawk("-noinput",
+      s"attach '$db' as aux; insert into attsrc (a1, a2) values ('x', '30'); " +
+        "select count(*) from aux.attsrc; select a2 from main.attsrc where a2 = '30'")
+      == (0, "3\n30\n"))
+    spark.catalog.dropTempView("attsrc")
+    // detach removes both the qualified and the bare binding
+    assert(sqawk("-noinput",
+      s"attach '$db' as aux; detach aux; select count(*) from aux.attsrc")._1 == 1)
+    assert(sqawk("-noinput",
+      s"attach '$db' as aux; detach database aux; select count(*) from attsrc")._1 == 1)
+    // sqlite3-pinned error surface
+    assert(sqawk("-noinput",
+      s"attach '$db' as aux; attach '$db' as aux")._1 == 1) // already in use
+    assert(sqawk("-noinput", "detach nope")._1 == 1) // no such database
+    assert(sqawk("-noinput", "detach main")._1 == 1) // cannot detach main
+    assert(sqawk("-noinput",
+      s"begin; attach '$db' as aux")._1 == 1) // no ATTACH inside a txn
+    // attaching a store that does not exist yet = an empty schema
+    assert(sqawk("-noinput",
+      "attach '/tmp/graft-no-such-store' as e2; pragma database_list")
+      == (0, "0 main \n1 e2 /tmp/graft-no-such-store\n"))
+  }
+
   test("-dbfile generations compact past the threshold; content survives") {
     import java.nio.file.{Files => F, Paths}
     import scala.jdk.CollectionConverters._
