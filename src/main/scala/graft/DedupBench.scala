@@ -246,6 +246,68 @@ object DedupBench {
         .agg(count(lit(1)).as("docs"), sum("k").as("segs_kept"))
     }
 
+    // p50's shape at scale: width-4 windows at EVERY offset → one
+    // hash-partitioned window-df groupBy → per-doc gaps-and-islands
+    // merge into maximal spans. The corpus adds a CONSTANT 6-word run
+    // at a doc-dependent offset to every 4th non-pair doc (3 interior
+    // windows duplicated corpus-wide → exactly one 6-token span), and
+    // the %11 seed pairs are full duplicates (every window dup → one
+    // 24-token span), so total spans and removed tokens are exact
+    // integers and a wrong df cut, island break or boundary
+    // off-by-one fails the bench. Words here are 16 hex chars (64
+    // bits), not the 8 the other stages use: a boundary window mixes
+    // ONE random word with three constant run words, so its collision
+    // domain is a single word — 32-bit words birthday-collide across
+    // the ~n/4 injected docs (measured: 4 spurious window dups at
+    // n=200k) where 64-bit words put the probability at ~1e-7 even
+    // at the 10M probe.
+    val (subSpansExp, subRemovedExp) = {
+      var spans = 0L; var removed = 0L; var id = 0L
+      while (id < n) {
+        if (id % 11 == 10 || (id % 11 == 9 && id + 1 < n)) {
+          spans += 1; removed += 24
+        } else if (id % 4 == 0 && id % 11 < 9) {
+          spans += 1; removed += 6
+        }
+        id += 1
+      }
+      (spans, removed)
+    }
+    timed("substring_dedup", Seq(subSpansExp, subRemovedExp)) {
+      val sub = spark.range(0, n).select(
+        col("id").as("doc_id"),
+        expr(
+          """transform(sequence(1, 24), k ->
+            |  CASE WHEN id % 4 = 0 AND id % 11 < 9
+            |        AND k >= CAST(id % 3 AS INT) + 3
+            |        AND k <= CAST(id % 3 AS INT) + 8
+            |    THEN concat('shared', CAST(k - (id % 3) - 3 AS STRING))
+            |    ELSE substr(md5(concat(
+            |      CAST(CASE WHEN id % 11 = 10 THEN id - 1 ELSE id END AS STRING),
+            |      ':', k)), 1, 16) END)""".stripMargin).as("toks"))
+      val w = sub.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 3),
+            |  p -> named_struct('pos', CAST(p AS BIGINT),
+            |    'ws', array_join(slice(toks, p, 4), ' ')))""".stripMargin)).as("t"))
+        .select(col("doc_id"), col("t.pos").as("pos"), col("t.ws").as("ws"))
+      val dupSet = w.groupBy("ws")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("ws")
+      val dup = w.join(dupSet, "ws").select("doc_id", "pos")
+      val wdoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      dup.withColumn("prev", lag("pos", 1).over(wdoc))
+        .withColumn("brk", when(col("prev").isNull ||
+          col("pos") > col("prev") + 4, 1L).otherwise(0L))
+        .withColumn("island", sum("brk").over(wdoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("st"), (max("pos") + lit(3L)).as("en"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("en") - col("st") + 1).as("removed"))
+    }
+
     // p45's bloom-pruned decontamination vs p24's exact shape, same
     // corpus and 8-gram rule (eval set = doc_id % 13 = 0). Word
     // strings are md5-derived per (seed, position), so a cross-seed
