@@ -111,6 +111,26 @@ object Pipeline {
     * estimator's std-err is sqrt(J(1-J)/k) ≈ 0.06 at J = 0.5. */
   private val OvK = 64
 
+  /** p55: whole-word vocabulary size. The corpus has ~31 distinct
+    * words, so 8 keeps most words OUT of the whole-word set and the
+    * greedy matcher exercising real subword splits; ties in the count
+    * order resolve by word so the set is deterministic at every SF. */
+  private val WpTopWords = 8
+
+  /** p55: longest piece tried at a start position (covers the longest
+    * corpus word, 'customer' = 8); continuations are capped at 2. */
+  private val WpMaxPiece = 8
+
+  /** p55: [[toksExpr]] over text augmented with the two [UNK] probe
+    * words (digits never enter the vocabulary, which is built from
+    * ORIGINAL text only): 'k9' fails at a continuation position, '9z'
+    * at the start position. */
+  private val toksAugExpr =
+    """filter(split(lower(concat(text,
+      |  CASE WHEN doc_id % 5 = 0 THEN ' k9'
+      |       WHEN doc_id % 5 = 3 THEN ' 9z' ELSE '' END)), '\\s+'),
+      |  x -> x <> '')""".stripMargin
+
   // MinHash parameters: 32 permutations in 8 bands of 4 rows.
   // P(candidate | J=0.97) ≈ 1-(1-0.97^4)^8 ≈ .9996; J=0.1 pairs leak at
   // ~8e-4 and are removed by the exact-Jaccard verify stage.
@@ -3055,7 +3075,163 @@ object Pipeline {
               |)
               |SELECT degree, n_docs,
               |  CAST(n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
-              |FROM hist, tot""".stripMargin))
+              |FROM hist, tot""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p55: WORDPIECE SUBWORD TOKENIZATION — greedy longest-match-first
+    // (Schuster & Nakajima 2012; the BERT tokenizer's inference pass):
+    // each word is segmented left-to-right, at every position taking
+    // the LONGEST vocabulary piece that matches (continuation pieces
+    // carry the '##' prefix); a position with no match makes the whole
+    // word [UNK]. The vocabulary is derived deterministically from the
+    // corpus itself — top-WpTopWords words by (count desc, word asc)
+    // as whole-word pieces, every intra-word character as a 1-char
+    // piece, and every intra-word 2-char sequence as a '##'
+    // continuation — so both engines construct the identical piece
+    // set and the hash compare pins the greedy matcher end to end
+    // (piece sequence, piece/UNK counts) rather than just totals.
+    // [UNK] is exercised from both failure sites by injecting words
+    // with a digit (no digit survives vocab construction, which reads
+    // only ORIGINAL text): 'k9' fails at a continuation position
+    // (after matching 'k'), '9z' at the start position.
+    //
+    // 100 TB shape: ONE corpus-scale stage (the two-level token-count
+    // groupBy that builds the vocab); everything after is vocab-sized
+    // (chars/2-grams explode the <=O(sqrt corpus) DISTINCT word list,
+    // not the corpus), the piece arrays collapse to one ~700-entry
+    // broadcast row, and tokenization itself is a ZERO-SHUFFLE codegen
+    // projection — the greedy loop is a nested aggregate HOF over
+    // sequence(1, len), each step probing the broadcast array, never a
+    // per-(word,position) explode of the corpus. The oracle can't run
+    // lambda loops, so it precomputes best-match lengths per
+    // (word, position) relationally and walks them with a recursive
+    // CTE — an independent formulation of the same greedy rule.
+    QDef(
+      "p55_wordpiece_tokenize",
+      (s, d) => {
+        val base = docs(s, d)
+        val tokc = base.select(explode(expr(toksExpr)).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        val topW = tokc.orderBy(col("c").desc, col("t")).limit(WpTopWords)
+          .select(col("t").as("p"))
+        val words = tokc.select("t")
+        val chars = words.select(explode(
+            expr("transform(sequence(1, length(t)), i -> substr(t, i, 1))")).as("p"))
+          .distinct()
+        val big2 = words.filter(length(col("t")) >= 2).select(explode(
+            expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))")).as("p"))
+          .distinct()
+        val vocabRow = topW.unionByName(chars).distinct()
+          .agg(sort_array(collect_list("p")).as("sv"))
+          .crossJoin(
+            big2.unionByName(chars).distinct()
+              .select(concat(lit("##"), col("p")).as("p"))
+              .agg(sort_array(collect_list("p")).as("cv")))
+        // best piece at acc.pos, longest-first ('' = no match); start
+        // positions probe sv (whole words up to WpMaxPiece chars),
+        // continuations probe cv (max 2 chars + the '##' prefix)
+        val bp =
+          s"""aggregate(
+             |  sequence(least(IF(acc.pos = 1, $WpMaxPiece, 2),
+             |                 length(w) - acc.pos + 1), 1, -1),
+             |  CAST('' AS STRING),
+             |  (b, L) -> IF(b <> '', b,
+             |    IF(acc.pos = 1,
+             |       IF(array_contains(sv, substr(w, acc.pos, L)),
+             |          substr(w, acc.pos, L), ''),
+             |       IF(array_contains(cv, concat('##', substr(w, acc.pos, L))),
+             |          concat('##', substr(w, acc.pos, L)), ''))))""".stripMargin
+        val greedy =
+          s"""transform($toksAugExpr, w ->
+             |  aggregate(sequence(1, length(w)),
+             |    named_struct('pos', 1,
+             |                 'out', CAST(array() AS ARRAY<STRING>),
+             |                 'unk', false),
+             |    (acc, step) -> CASE
+             |      WHEN acc.unk OR acc.pos > length(w) THEN acc
+             |      WHEN $bp = '' THEN
+             |        named_struct('pos', length(w) + 1,
+             |                     'out', array('[UNK]'), 'unk', true)
+             |      ELSE named_struct(
+             |        'pos', acc.pos + length($bp) - IF(acc.pos > 1, 2, 0),
+             |        'out', array_append(acc.out, $bp),
+             |        'unk', false) END,
+             |    acc -> acc.out))""".stripMargin
+        base.crossJoin(broadcast(vocabRow))
+          .withColumn("wp", expr(greedy))
+          .select(col("doc_id"),
+            size(col("wp")).cast("long").as("n_words"),
+            expr("aggregate(wp, CAST(0 AS BIGINT), (a, x) -> a + size(x))")
+              .as("n_pieces"),
+            expr("""aggregate(wp, CAST(0 AS BIGINT),
+                   |  (a, x) -> a + IF(x[0] = '[UNK]', 1, 0))""".stripMargin)
+              .as("n_unk"),
+            expr("array_join(transform(wp, x -> array_join(x, ' ')), ' ')")
+              .as("pieces"))
+      },
+      Some(s"""WITH tokc AS (
+              |  SELECT t, count(*) AS c FROM (
+              |    SELECT unnest($toksDuck) AS t FROM documents) GROUP BY t
+              |), topw AS (
+              |  SELECT t AS p FROM tokc ORDER BY c DESC, t LIMIT $WpTopWords
+              |), chars AS (
+              |  SELECT DISTINCT unnest(string_split(t, '')) AS p FROM tokc
+              |), big2 AS (
+              |  SELECT DISTINCT substr(t, CAST(i AS INT), 2) AS p
+              |  FROM tokc, range(1, 64) r(i)
+              |  WHERE CAST(i AS INT) <= length(t) - 1
+              |), startv AS (
+              |  SELECT p FROM topw UNION SELECT p FROM chars
+              |), contv AS (
+              |  SELECT p FROM big2 UNION SELECT p FROM chars
+              |), aug AS (
+              |  SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN ' k9'
+              |    WHEN doc_id % 5 = 3 THEN ' 9z' ELSE '' END AS text
+              |  FROM documents
+              |), docw AS (
+              |  SELECT doc_id, CAST(generate_subscripts(toks, 1) AS INT) AS wi,
+              |         unnest(toks) AS w
+              |  FROM (SELECT doc_id, $toksDuck AS toks FROM aug)
+              |), m AS (
+              |  SELECT doc_id, wi, w, pos, max(L) AS bestl FROM (
+              |    SELECT q.doc_id, q.wi, q.w, q.pos, CAST(L AS INT) AS L
+              |    FROM (SELECT doc_id, wi, w, CAST(p AS INT) AS pos
+              |          FROM docw, range(1, 64) r(p)
+              |          WHERE CAST(p AS INT) <= length(w)) q,
+              |         range(1, $WpMaxPiece + 1) r(L)
+              |    WHERE CAST(L AS INT) <= length(q.w) - q.pos + 1
+              |      AND ((q.pos = 1 AND
+              |            substr(q.w, q.pos, CAST(L AS INT)) IN
+              |              (SELECT p FROM startv))
+              |        OR (q.pos > 1 AND CAST(L AS INT) <= 2 AND
+              |            substr(q.w, q.pos, CAST(L AS INT)) IN
+              |              (SELECT p FROM contv)))
+              |  ) GROUP BY doc_id, wi, w, pos
+              |), walk AS (
+              |  WITH RECURSIVE rec(doc_id, wi, w, pos, pieces, np, unk) AS (
+              |    SELECT doc_id, wi, w, 1, '', 0, false FROM docw
+              |    UNION ALL
+              |    SELECT r.doc_id, r.wi, r.w,
+              |      CASE WHEN m.bestl IS NULL THEN length(r.w) + 1
+              |           ELSE r.pos + m.bestl END,
+              |      CASE WHEN m.bestl IS NULL THEN '[UNK]'
+              |           ELSE r.pieces ||
+              |             CASE WHEN r.pieces = '' THEN '' ELSE ' ' END ||
+              |             CASE WHEN r.pos > 1 THEN '##' ELSE '' END ||
+              |             substr(r.w, r.pos, m.bestl) END,
+              |      CASE WHEN m.bestl IS NULL THEN 1 ELSE r.np + 1 END,
+              |      m.bestl IS NULL
+              |    FROM rec r LEFT JOIN m ON m.doc_id = r.doc_id
+              |      AND m.wi = r.wi AND m.pos = r.pos
+              |    WHERE r.pos <= length(r.w) AND NOT r.unk
+              |  ) SELECT * FROM rec WHERE pos > length(w)
+              |)
+              |SELECT doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_words,
+              |  CAST(sum(np) AS BIGINT) AS n_pieces,
+              |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+              |  string_agg(pieces, ' ' ORDER BY wi) AS pieces
+              |FROM walk GROUP BY doc_id""".stripMargin))
   )
 
   // ---- shared helpers ---------------------------------------------------
