@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * the broadcast brute-force k-NN baseline. */
 object ExplainAudit {
   /** Operators whose plan legitimately contains a BNLJ stage. */
-  private val allowBnlj = Set("p08_knn_brute")
+  private val allowBnlj = Set("p08_knn_brute",
+    // single-row vocab broadcast (crossJoin of one collect_list row)
+    "p55_wordpiece_tokenize")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -26,6 +28,7 @@ object ExplainAudit {
         "p44_simhash_neardup", "p45_bloom_decontaminate", "p46_cms_heavy_hitters",
         "p47_hll_distinct", "p48_quantile_sample", "p49_source_overlap",
         "p50_substring_dedup", "p51_kmeans_cluster",
+        "p55_wordpiece_tokenize", "p56_bpe_train",
         "q39_asof_join", "q40_range_join", "q43_subquery_exists")) {
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, d)

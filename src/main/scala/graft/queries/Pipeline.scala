@@ -131,6 +131,13 @@ object Pipeline {
       |       WHEN doc_id % 5 = 3 THEN ' 9z' ELSE '' END)), '\\s+'),
       |  x -> x <> '')""".stripMargin
 
+  /** p56: number of learned merges. 8 is enough that later rounds
+    * merge PIECES produced by earlier rounds (not just char pairs),
+    * exercising the sequential dependency the oracle must replicate.
+    * Declared before the queries list: [[bpeOracleSql]] is forced
+    * during object init while the list is built. */
+  private val BpeK = 8
+
   // MinHash parameters: 32 permutations in 8 bands of 4 rows.
   // P(candidate | J=0.97) ≈ 1-(1-0.97^4)^8 ≈ .9996; J=0.1 pairs leak at
   // ~8e-4 and are removed by the exact-Jaccard verify stage.
@@ -3231,8 +3238,137 @@ object Pipeline {
               |  CAST(sum(np) AS BIGINT) AS n_pieces,
               |  CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
               |  string_agg(pieces, ' ' ORDER BY wi) AS pieces
-              |FROM walk GROUP BY doc_id""".stripMargin))
+              |FROM walk GROUP BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p56: BPE MERGE LEARNING — the training-side complement to p55's
+    // WordPiece inference (Sennrich, Haddow & Birch 2016, "Neural
+    // Machine Translation of Rare Words with Subword Units"): start
+    // from characters, then for BpeK rounds count adjacent piece
+    // pairs (frequency-weighted over words), merge the most frequent
+    // pair everywhere (leftmost-first, non-overlapping), repeat. Ties
+    // break by (count desc, left piece asc, right piece asc) so the
+    // merge sequence is deterministic in both engines. Output is the
+    // final per-word segmentation — it pins the exact merge SEQUENCE,
+    // because any divergence in an earlier round changes which later
+    // pairs exist.
+    //
+    // 100 TB shape: this is the industrial BPE-trainer layout — ONE
+    // corpus-scale stage (the word-frequency groupBy), after which
+    // every round operates on the DISTINCT-WORD table (Zipf: |vocab|
+    // grows ~ corpus^0.5-0.7, orders of magnitude below corpus scale).
+    // Per round: a vocab-scale pair-count aggregation reduced to ONE
+    // driver row (the argmax pair — the same bounded-collect pattern
+    // as real trainers), then a zero-shuffle aggregate-HOF fold that
+    // applies the merge in place. The word table is localCheckpointed
+    // once so the K-round loop does not stack lineage over the corpus
+    // scan. The oracle can't loop, so the Scala builder UNROLLS the K
+    // rounds into chained CTEs: pair-count → 1-row argmax → a
+    // recursive-CTE leftmost walk applying the merge — an independent
+    // relational formulation of the same rule.
+    QDef(
+      "p56_bpe_train",
+      (s, d) => {
+        val wc = docs(s, d)
+          .select(explode(expr(toksExpr)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .withColumn("toks",
+            expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+          .localCheckpoint()
+        var words = wc
+        for (_ <- 1 to BpeK) {
+          val best = words
+            .select(explode(expr(
+              // CASE guard: sequence(1, 0) DESCENDS in Spark, so a
+              // single-piece word would probe index size+1
+              """CASE WHEN size(toks) >= 2 THEN
+                |  transform(sequence(1, size(toks) - 1),
+                |    i -> struct(element_at(toks, i) AS a,
+                |                element_at(toks, i + 1) AS b))
+                |ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+                |END""".stripMargin))
+              .as("p"), col("cnt"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum("cnt").as("c"))
+            .orderBy(col("c").desc, col("a"), col("b"))
+            .limit(1).collect()
+          if (best.nonEmpty) {
+            val (a, b) = (best(0).getString(0), best(0).getString(1))
+            words = words.withColumn("toks", expr(bpeMergeFold(a, b)))
+          }
+        }
+        words.select(col("w"), col("cnt"),
+          expr("array_join(toks, ' ')").as("pieces"),
+          size(col("toks")).cast("long").as("n_pieces"))
+      },
+      Some(bpeOracleSql))
   )
+
+  /** p56: leftmost-first non-overlapping application of merge (a,b) →
+    * ab over a piece array, as a single codegen aggregate-HOF fold:
+    * `skip` marks that position i was consumed by a merge begun at
+    * i-1. Literals are escaped for Spark's string syntax. */
+  private def bpeMergeFold(a: String, b: String): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("'", "\\'")
+    val (ea, eb, eab) = (esc(a), esc(b), esc(a + b))
+    s"""aggregate(sequence(1, size(toks)),
+       |  named_struct('out', CAST(array() AS ARRAY<STRING>), 'skip', false),
+       |  (acc, i) -> CASE
+       |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+       |    WHEN i < size(toks) AND element_at(toks, i) = '$ea'
+       |         AND try_element_at(toks, i + 1) = '$eb'
+       |      THEN named_struct('out', array_append(acc.out, '$eab'),
+       |                        'skip', true)
+       |    ELSE named_struct('out', array_append(acc.out, element_at(toks, i)),
+       |                      'skip', false) END,
+       |  acc -> acc.out)""".stripMargin
+  }
+
+  /** p56 oracle: the BpeK rounds unrolled into chained DuckDB CTEs.
+    * Round r: `b_r` = 1-row argmax pair over `w_{r-1}`; `m_r` joins it
+    * onto every word; `r_r` (recursive) walks each word leftmost,
+    * consuming 2 positions on a match and 1 otherwise; `w_r` keeps the
+    * finished rows. Lists are 1-indexed in DuckDB, matching the Spark
+    * fold's element_at. */
+  private lazy val bpeOracleSql: String = {
+    val rounds = (1 to BpeK).map { r =>
+      val p = r - 1
+      s"""b$r AS (
+         |  SELECT a, b FROM (
+         |    SELECT toks[CAST(i AS INT)] AS a,
+         |           toks[CAST(i AS INT) + 1] AS b, sum(cnt) AS c
+         |    FROM w$p, range(1, 64) rng(i)
+         |    WHERE CAST(i AS INT) <= len(toks) - 1
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, a, b LIMIT 1
+         |), m$r AS (
+         |  SELECT w.w, w.cnt, w.toks, b$r.a, b$r.b FROM w$p w CROSS JOIN b$r
+         |), r$r AS (
+         |  SELECT w, cnt, toks, a, b, 1 AS pos,
+         |         CAST([] AS VARCHAR[]) AS out FROM m$r
+         |  UNION ALL
+         |  SELECT w, cnt, toks, a, b,
+         |    CASE WHEN pos < len(toks) AND toks[pos] = a
+         |              AND toks[pos + 1] = b
+         |         THEN pos + 2 ELSE pos + 1 END,
+         |    CASE WHEN pos < len(toks) AND toks[pos] = a
+         |              AND toks[pos + 1] = b
+         |         THEN list_append(out, a || b)
+         |         ELSE list_append(out, toks[pos]) END
+         |  FROM r$r WHERE pos <= len(toks)
+         |), w$r AS (
+         |  SELECT w, cnt, out AS toks FROM r$r WHERE pos > len(toks)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT w, cnt, string_split(w, '') AS toks FROM (
+       |    SELECT t AS w, count(*) AS cnt FROM (
+       |      SELECT unnest($toksDuck) AS t FROM documents) GROUP BY t)
+       |), $rounds
+       |SELECT w, cnt, array_to_string(toks, ' ') AS pieces,
+       |       CAST(len(toks) AS BIGINT) AS n_pieces
+       |FROM w$BpeK""".stripMargin
+  }
 
   // ---- shared helpers ---------------------------------------------------
 
