@@ -28,7 +28,7 @@ object ExplainAudit {
         "p44_simhash_neardup", "p45_bloom_decontaminate", "p46_cms_heavy_hitters",
         "p47_hll_distinct", "p48_quantile_sample", "p49_source_overlap",
         "p50_substring_dedup", "p51_kmeans_cluster",
-        "p55_wordpiece_tokenize", "p56_bpe_train",
+        "p55_wordpiece_tokenize", "p56_bpe_train", "p57_token_fertility",
         "q39_asof_join", "q40_range_join", "q43_subquery_exists")) {
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, d)

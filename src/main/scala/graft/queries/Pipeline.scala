@@ -3268,41 +3268,99 @@ object Pipeline {
     // relational formulation of the same rule.
     QDef(
       "p56_bpe_train",
-      (s, d) => {
-        val wc = docs(s, d)
-          .select(explode(expr(toksExpr)).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .withColumn("toks",
-            expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
-          .localCheckpoint()
-        var words = wc
-        for (_ <- 1 to BpeK) {
-          val best = words
-            .select(explode(expr(
-              // CASE guard: sequence(1, 0) DESCENDS in Spark, so a
-              // single-piece word would probe index size+1
-              """CASE WHEN size(toks) >= 2 THEN
-                |  transform(sequence(1, size(toks) - 1),
-                |    i -> struct(element_at(toks, i) AS a,
-                |                element_at(toks, i + 1) AS b))
-                |ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
-                |END""".stripMargin))
-              .as("p"), col("cnt"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum("cnt").as("c"))
-            .orderBy(col("c").desc, col("a"), col("b"))
-            .limit(1).collect()
-          if (best.nonEmpty) {
-            val (a, b) = (best(0).getString(0), best(0).getString(1))
-            words = words.withColumn("toks", expr(bpeMergeFold(a, b)))
-          }
-        }
-        words.select(col("w"), col("cnt"),
+      (s, d) => bpeTrain(s, d)
+        .select(col("w"), col("cnt"),
           expr("array_join(toks, ' ')").as("pieces"),
-          size(col("toks")).cast("long").as("n_pieces"))
+          size(col("toks")).cast("long").as("n_pieces")),
+      Some(s"""WITH RECURSIVE $bpeOracleCtes
+              |SELECT w, cnt, array_to_string(toks, ' ') AS pieces,
+              |       CAST(len(toks) AS BIGINT) AS n_pieces
+              |FROM w$BpeK""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p57: TOKENIZER FERTILITY BY LANGUAGE — the standard
+    // tokenizer-equity diagnostic (how many subword pieces a word
+    // costs per language; disparities mean some languages pay more
+    // context budget per word): applies p56's trained BPE
+    // segmentation back to the corpus and aggregates exact integer
+    // totals (words, pieces, chars) per language plus the fertility
+    // ratio (ONE IEEE division of two exactly-representable integers,
+    // so the double is bit-identical in both engines).
+    //
+    // 100 TB shape: the corpus collapses to (lang, word) counts in
+    // one shuffle; the trained word→pieces table is vocab-sized and
+    // BROADCAST into the join; output is |langs| rows. Nothing
+    // corpus-scale survives the first aggregation.
+    QDef(
+      "p57_token_fertility",
+      (s, d) => {
+        val trained = bpeTrain(s, d)
+          .select(col("w"), size(col("toks")).cast("long").as("np"))
+        docs(s, d)
+          .select(col("lang"), explode(expr(toksExpr)).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+          .join(broadcast(trained), Seq("w"))
+          .groupBy("lang")
+          .agg(sum("c").as("total_words"),
+            sum(expr("c * np")).as("total_pieces"),
+            sum(expr("c * length(w)")).as("total_chars"))
+          .select(col("lang"), col("total_words"), col("total_pieces"),
+            col("total_chars"),
+            (col("total_pieces").cast("double") /
+              col("total_words").cast("double")).as("fertility"))
       },
-      Some(bpeOracleSql))
+      Some(s"""WITH RECURSIVE $bpeOracleCtes,
+              |dl AS (
+              |  SELECT lang, unnest($toksDuck) AS w FROM documents
+              |), wl AS (
+              |  SELECT lang, w, count(*) AS c FROM dl GROUP BY 1, 2
+              |), j AS (
+              |  SELECT wl.lang, wl.c, wl.w, len(t.toks) AS np
+              |  FROM wl JOIN w$BpeK t ON wl.w = t.w
+              |)
+              |SELECT lang,
+              |  CAST(sum(c) AS BIGINT) AS total_words,
+              |  CAST(sum(c * np) AS BIGINT) AS total_pieces,
+              |  CAST(sum(c * length(w)) AS BIGINT) AS total_chars,
+              |  CAST(CAST(sum(c * np) AS BIGINT) AS DOUBLE)
+              |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS fertility
+              |FROM j GROUP BY lang""".stripMargin))
   )
+
+  /** p56/p57 shared core: the BpeK-round BPE training loop — ONE
+    * corpus-scale word-count groupBy, then vocab-scale rounds with a
+    * 1-row argmax collect each. Returns (w, cnt, toks). */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val wc = docs(s, d)
+      .select(explode(expr(toksExpr)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+      .localCheckpoint()
+    var words = wc
+    for (_ <- 1 to BpeK) {
+      val best = words
+        .select(explode(expr(
+          // CASE guard: sequence(1, 0) DESCENDS in Spark, so a
+          // single-piece word would probe index size+1
+          """CASE WHEN size(toks) >= 2 THEN
+            |  transform(sequence(1, size(toks) - 1),
+            |    i -> struct(element_at(toks, i) AS a,
+            |                element_at(toks, i + 1) AS b))
+            |ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+            |END""".stripMargin))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        words = words.withColumn("toks", expr(bpeMergeFold(a, b)))
+      }
+    }
+    words
+  }
 
   /** p56: leftmost-first non-overlapping application of merge (a,b) →
     * ab over a piece array, as a single codegen aggregate-HOF fold:
@@ -3330,7 +3388,7 @@ object Pipeline {
     * consuming 2 positions on a match and 1 otherwise; `w_r` keeps the
     * finished rows. Lists are 1-indexed in DuckDB, matching the Spark
     * fold's element_at. */
-  private lazy val bpeOracleSql: String = {
+  private lazy val bpeOracleCtes: String = {
     val rounds = (1 to BpeK).map { r =>
       val p = r - 1
       s"""b$r AS (
@@ -3360,14 +3418,11 @@ object Pipeline {
          |  SELECT w, cnt, out AS toks FROM r$r WHERE pos > len(toks)
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH RECURSIVE w0 AS (
+    s"""w0 AS (
        |  SELECT w, cnt, string_split(w, '') AS toks FROM (
        |    SELECT t AS w, count(*) AS cnt FROM (
        |      SELECT unnest($toksDuck) AS t FROM documents) GROUP BY t)
-       |), $rounds
-       |SELECT w, cnt, array_to_string(toks, ' ') AS pieces,
-       |       CAST(len(toks) AS BIGINT) AS n_pieces
-       |FROM w$BpeK""".stripMargin
+       |), $rounds""".stripMargin
   }
 
   // ---- shared helpers ---------------------------------------------------

@@ -67,6 +67,55 @@ class TokenizerOpsSpec extends SparkSpec {
       "expected at least one piece of length >= 3 (merge of a merge)")
   }
 
+  test("p57 fertility matches the reference trainer and broadcasts the vocab") {
+    import spark.implicits._
+    // reference: same trainer as the p56 test, then per-lang totals
+    val wc = scala.collection.mutable.Map.empty[String, Long]
+    corpus.foreach { case (_, t) =>
+      toks(t).foreach(w => wc(w) = wc.getOrElse(w, 0L) + 1L)
+    }
+    var words: Map[String, Vector[String]] =
+      wc.toMap.map { case (w, _) => w -> w.map(_.toString).toVector }
+    for (_ <- 1 to 8) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (w, ts) =>
+        ts.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + wc(w)
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), _) = pc.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        words = words.map { case (w, ts) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < ts.size) {
+            if (i + 1 < ts.size && ts(i) == a && ts(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += ts(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    val docsByLang = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").as[(String, String)].collect()
+    val expected = docsByLang.groupBy(_._1).map { case (lang, rows) =>
+      val ws = rows.toVector.flatMap(r => toks(r._2))
+      val pieces = ws.map(w => words(w).size.toLong).sum
+      lang -> ((ws.size.toLong, pieces, ws.map(_.length.toLong).sum))
+    }
+    val df = SparkEntry.queries("p57_token_fertility")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the vocab join to broadcast in:\n$plan")
+    val got = df.select("lang", "total_words", "total_pieces", "total_chars")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (lang, tw, tp, tc) =>
+      assert((tw, tp, tc) === expected(lang), s"lang $lang")
+    }
+  }
+
   test("p55 matches a plain-Scala reference greedy WordPiece matcher") {
     import spark.implicits._
     val docs = corpus
