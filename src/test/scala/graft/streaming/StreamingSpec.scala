@@ -159,6 +159,49 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows.last > 0, s"state should hold the in-flight windows: $stateRows")
   }
 
+  test("watermark bounds stream-stream join state across micro-batches") {
+    // Same plateau claim for the join state stores (s04/s08/s10's
+    // shape): both sides buffer only rows inside watermark ± the join
+    // interval, so replaying 12 one-hour batches must not grow state
+    // monotonically. A missing range condition or watermark here
+    // makes state retain every row ever seen — tail.max blows past
+    // head.max and this fails.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val left = MemoryStream[Long]
+    val right = MemoryStream[Long]
+    val l = left.toDS()
+      .select(timestamp_seconds(col("value")).as("lts"),
+        (col("value") % 7).cast("string").as("lk"))
+      .withWatermark("lts", "30 minutes")
+    val r = right.toDS()
+      .select(timestamp_seconds(col("value")).as("rts"),
+        (col("value") % 7).cast("string").as("rk"))
+      .withWatermark("rts", "30 minutes")
+    val joined = l.join(r,
+      expr("""lk = rk AND rts BETWEEN lts - INTERVAL 10 MINUTES
+             |              AND lts + INTERVAL 10 MINUTES""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("j_state_pin")
+      .outputMode(OutputMode.Append()).start()
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      for (b <- 0L until 12L) {
+        left.addData(b * 3600L until b * 3600L + 600L)
+        right.addData(b * 3600L until b * 3600L + 600L)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators.map(_.numRowsTotal).sum
+      }
+    } finally q.stop()
+    val (head, tail) = stateRows.splitAt(stateRows.length / 2)
+    assert(head.nonEmpty && tail.nonEmpty, s"no state progress captured: $stateRows")
+    assert(tail.max <= head.max,
+      s"join state grows with batch count — eviction broken: $stateRows")
+    assert(stateRows.last > 0, s"state should hold the in-watermark rows: $stateRows")
+  }
+
   test("bounded stream windowed agg equals the batch answer") {
     val d = "/root/testdata/sf0.001"
     val streamed = StreamOps.windowedEventCounts(spark, d)
