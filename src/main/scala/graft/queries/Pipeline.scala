@@ -3324,7 +3324,322 @@ object Pipeline {
               |  CAST(sum(c * length(w)) AS BIGINT) AS total_chars,
               |  CAST(CAST(sum(c * np) AS BIGINT) AS DOUBLE)
               |    / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS fertility
-              |FROM j GROUP BY lang""".stripMargin))
+              |FROM j GROUP BY lang""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p58: ORDERED EVENT FUNNEL — the standard product-analytics /
+    // user-journey operator (view → click → purchase, each stage
+    // strictly AFTER the previous one for that user, not mere
+    // set-membership): per-user stage timestamps resolve with three
+    // stacked conditional window-mins over ONE user_id partition (the
+    // same exchange and sort are reused by all three — the dependent
+    // stage predicates read the previous stage's column), then one
+    // row per user feeds a single global rollup. All counts and the
+    // time-to-convert total are exact integers; each conversion rate
+    // is ONE IEEE division of two exactly-representable bigints, so
+    // both engines produce bit-identical doubles.
+    //
+    // 100 TB shape: events shuffle ONCE by user_id (the natural
+    // sessionization key — skew-free at web scale); everything after
+    // the per-user rollup is a single-row aggregate. No joins, no
+    // second corpus-scale exchange.
+    QDef(
+      "p58_event_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .where(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val wu = Window.partitionBy("user_id")
+        val staged = e
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(wu))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(wu))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(wu))
+        val perUser = staged.groupBy("user_id")
+          .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        perUser.agg(
+            count(lit(1)).as("n_users"),
+            count(col("t1")).as("stage_view"),
+            count(col("t2")).as("stage_click"),
+            count(col("t3")).as("stage_purchase"),
+            // seconds-precision gap like s04's gap_s: cast-to-long is
+            // floor(epoch seconds) for these positive timestamps
+            sum(col("t3").cast("long") - col("t1").cast("long"))
+              .as("total_convert_s"))
+          .select(col("n_users"), col("stage_view"), col("stage_click"),
+            col("stage_purchase"),
+            (col("stage_click").cast("double") /
+              col("stage_view").cast("double")).as("conv_click"),
+            (col("stage_purchase").cast("double") /
+              col("stage_click").cast("double")).as("conv_purchase"),
+            (col("stage_purchase").cast("double") /
+              col("stage_view").cast("double")).as("conv_overall"),
+            col("total_convert_s"),
+            (col("total_convert_s").cast("double") /
+              col("stage_purchase").cast("double")).as("mean_convert_s"))
+      },
+      // the µs truncation mirrors Tables.events' `ts DIV 1000` (same
+      // rationale as s04's oracle)
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         make_timestamp(epoch_ns(ts) // 1000) AS ts
+             |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+             |), t1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM e
+             |  WHERE event_type = 'view' GROUP BY 1
+             |), t2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM e JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+             |), t3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t3
+             |  FROM e JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+             |), u AS (SELECT DISTINCT user_id FROM e
+             |), funnel AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(count(t1.t1) AS BIGINT) AS stage_view,
+             |    CAST(count(t2.t2) AS BIGINT) AS stage_click,
+             |    CAST(count(t3.t3) AS BIGINT) AS stage_purchase,
+             |    CAST(sum(CAST(floor(epoch(t3.t3)) AS BIGINT)
+             |           - CAST(floor(epoch(t1.t1)) AS BIGINT)) AS BIGINT)
+             |      AS total_convert_s
+             |  FROM u LEFT JOIN t1 USING (user_id)
+             |         LEFT JOIN t2 USING (user_id)
+             |         LEFT JOIN t3 USING (user_id)
+             |)
+             |SELECT n_users, stage_view, stage_click, stage_purchase,
+             |  CAST(stage_click AS DOUBLE) / CAST(stage_view AS DOUBLE)
+             |    AS conv_click,
+             |  CAST(stage_purchase AS DOUBLE) / CAST(stage_click AS DOUBLE)
+             |    AS conv_purchase,
+             |  CAST(stage_purchase AS DOUBLE) / CAST(stage_view AS DOUBLE)
+             |    AS conv_overall,
+             |  total_convert_s,
+             |  CAST(total_convert_s AS DOUBLE)
+             |    / CAST(stage_purchase AS DOUBLE) AS mean_convert_s
+             |FROM funnel""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p59: URL CANONICALIZATION DEDUP — the web-crawl dedup stage that
+    // runs BEFORE any content dedup: normalize each document's URL
+    // (lowercase host, strip `www.`, drop the default port, drop the
+    // fragment, drop tracking params (`utm*`, `ref=`), sort the
+    // surviving query params, trim the trailing slash) and collapse
+    // documents whose canonical URL collides, keeping the lowest
+    // doc_id. The corpus ships no URL column, so each doc synthesizes
+    // one deterministically (md5-derived bucket = the "real" page
+    // identity; doc_id-derived junk = the per-crawl noise the
+    // canonicalizer must strip) — the oracle rebuilds the same URLs
+    // and canonicalizes them with its own string/array functions, so
+    // the hash compare verifies the full normalization algorithm.
+    //
+    // 100 TB shape: synthesis + canonicalization are pure codegen
+    // projections (regexp + array HOFs, no UDFs); the only shuffle is
+    // the final groupBy on the canonical key with map-side partials.
+    QDef(
+      "p59_url_dedup",
+      (s, d) => {
+        val raw = docs(s, d).select(col("doc_id"),
+            expr("CAST(conv(substr(md5(concat('url:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT) % 40")
+              .as("b"))
+          .select(col("doc_id"), expr(
+            """concat(
+              |  'https://',
+              |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+              |       ELSE 'www.example.com' END,
+              |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+              |  '/p/', CAST(b AS STRING),
+              |  CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END,
+              |  '?',
+              |  CASE WHEN doc_id % 2 = 0
+              |    THEN concat('utm_source=feed&id=', CAST(b % 13 AS STRING),
+              |                '&ref=', CAST(doc_id % 7 AS STRING),
+              |                '&cat=', CAST(b % 5 AS STRING))
+              |    ELSE concat('cat=', CAST(b % 5 AS STRING),
+              |                '&utm_campaign=x&id=', CAST(b % 13 AS STRING))
+              |  END,
+              |  CASE WHEN doc_id % 4 = 0
+              |       THEN concat('#sec', CAST(doc_id % 3 AS STRING))
+              |       ELSE '' END)""".stripMargin).as("url"))
+        // the canonicalizer proper — generic over any `url` column
+        val canon = raw
+          .withColumn("host",
+            expr("regexp_extract(url, '^https?://([^/:?#]+)', 1)"))
+          .withColumn("path",
+            expr("regexp_extract(url, '^https?://[^/:?#]+(?::[0-9]+)?([^?#]*)', 1)"))
+          .withColumn("q", expr("regexp_extract(url, '\\\\?([^#]*)', 1)"))
+          .withColumn("canon_url", expr(
+            """concat(
+              |  'https://',
+              |  regexp_replace(lower(host), '^www\\.', ''),
+              |  CASE WHEN length(path) > 1 AND endswith(path, '/')
+              |       THEN substr(path, 1, length(path) - 1) ELSE path END,
+              |  CASE WHEN array_join(array_sort(filter(split(q, '&'),
+              |         x -> x <> '' AND NOT startswith(x, 'utm')
+              |              AND NOT startswith(x, 'ref='))), '&') = ''
+              |       THEN ''
+              |       ELSE concat('?', array_join(array_sort(filter(split(q, '&'),
+              |         x -> x <> '' AND NOT startswith(x, 'utm')
+              |              AND NOT startswith(x, 'ref='))), '&')) END)""".stripMargin))
+        canon.groupBy("canon_url").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_variants"),
+          min(col("doc_id")).as("keeper_id"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 13))
+             |      AS BIGINT) % 40 AS b
+             |  FROM documents
+             |), urls AS (
+             |  SELECT doc_id,
+             |    'https://'
+             |    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+             |            ELSE 'www.example.com' END
+             |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+             |    || '/p/' || CAST(b AS VARCHAR)
+             |    || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+             |    || '?'
+             |    || CASE WHEN doc_id % 2 = 0
+             |         THEN 'utm_source=feed&id=' || CAST(b % 13 AS VARCHAR)
+             |              || '&ref=' || CAST(doc_id % 7 AS VARCHAR)
+             |              || '&cat=' || CAST(b % 5 AS VARCHAR)
+             |         ELSE 'cat=' || CAST(b % 5 AS VARCHAR)
+             |              || '&utm_campaign=x&id=' || CAST(b % 13 AS VARCHAR)
+             |       END
+             |    || CASE WHEN doc_id % 4 = 0
+             |            THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+             |            ELSE '' END AS url
+             |  FROM raw
+             |), parts AS (
+             |  SELECT doc_id, url,
+             |    regexp_extract(url, '^https?://([^/:?#]+)', 1) AS host,
+             |    regexp_extract(url, '^https?://[^/:?#]+(?::[0-9]+)?([^?#]*)', 1) AS path,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS q
+             |  FROM urls
+             |), canon AS (
+             |  SELECT doc_id, url,
+             |    'https://'
+             |    || regexp_replace(lower(host), '^www\.', '')
+             |    || CASE WHEN length(path) > 1 AND path LIKE '%/'
+             |            THEN substr(path, 1, length(path) - 1) ELSE path END
+             |    || CASE WHEN array_to_string(list_sort(list_filter(
+             |              string_split(q, '&'),
+             |              x -> x <> '' AND NOT starts_with(x, 'utm')
+             |                   AND NOT starts_with(x, 'ref='))), '&') = ''
+             |         THEN ''
+             |         ELSE '?' || array_to_string(list_sort(list_filter(
+             |              string_split(q, '&'),
+             |              x -> x <> '' AND NOT starts_with(x, 'utm')
+             |                   AND NOT starts_with(x, 'ref='))), '&') END
+             |      AS canon_url
+             |  FROM parts
+             |)
+             |SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+             |  min(doc_id) AS keeper_id
+             |FROM canon GROUP BY canon_url""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p60: NEXT-EVENT MARKOV TRANSITIONS — the first-order behavioral
+    // model behind session analytics and synthetic-trace generation:
+    // per user, events order by (ts, event_id) and each event pairs
+    // with its successor via `lead` in ONE user_id window; transition
+    // counts aggregate globally and each row's probability is its
+    // count over the from-state total (a |states|-sized window — 5
+    // rows here — never a corpus-scale second pass). Counts are exact
+    // bigints; each probability is ONE IEEE division.
+    //
+    // 100 TB shape: one shuffle by user_id for the lead window, one
+    // map-side-combined groupBy down to |states|² rows; the from-state
+    // normalization runs on those |states|² rows only.
+    QDef(
+      "p60_markov_transitions",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val pairs = e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .where(col("to_type").isNotNull)
+          .select(col("event_type").as("from_type"), col("to_type"))
+        pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("from_type")).cast("double"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, event_id,
+             |         make_timestamp(epoch_ns(ts) // 1000) AS ts
+             |  FROM events
+             |), pairs AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |                           ORDER BY ts, event_id) AS to_type
+             |  FROM e
+             |), c AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |)
+             |SELECT from_type, to_type, n,
+             |  CAST(n AS DOUBLE) /
+             |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+             |FROM c""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p61: KEEP-FIRST PARAGRAPH DEDUP — C4's exact paragraph-level
+    // rule (distinct from p36, which removes corpus-FREQUENT
+    // boilerplate): every duplicated segment keeps only its FIRST
+    // occurrence in corpus order (doc_id, then position) and later
+    // occurrences are scrubbed, then documents reassemble in original
+    // order. First-occurrence resolution is `row_number() = 1` in one
+    // window partitioned by segment text — at 100 TB that partition
+    // key is the dedup hash space itself (skew-free by construction;
+    // a pathological mega-duplicate segment is exactly the row a
+    // salting pre-pass would cap, noted here as the known knob).
+    //
+    // 100 TB shape: two shuffles total — segments by content for the
+    // keep-first window, survivors by doc_id for reassembly; the
+    // per-doc collect_list is bounded by document length, never by
+    // corpus size. No joins.
+    QDef(
+      "p61_paragraph_dedup",
+      (s, d) => {
+        val segs = docs(s, d)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), posexplode(expr(spanSegsExpr)).as(Seq("pos", "seg")))
+        val w = Window.partitionBy("seg").orderBy(col("doc_id"), col("pos"))
+        segs.withColumn("keep", row_number().over(w) === 1)
+          .groupBy("doc_id").agg(
+            sum(when(col("keep"), 1L).otherwise(0L)).as("segs_kept"),
+            sum(when(col("keep"), 0L).otherwise(1L)).as("segs_dropped"),
+            expr("array_join(transform(array_sort(collect_list(" +
+              "CASE WHEN keep THEN struct(pos, seg) END)), x -> x.seg), ' ')")
+              .as("kept_text"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, $toksDuck AS tk FROM documents
+              |), seg AS (
+              |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              |    array_to_string(tk[CAST(i * $SpanLen + 1 AS INT) :
+              |                       CAST(i * $SpanLen + $SpanLen AS INT)], ' ') AS seg
+              |  FROM (SELECT doc_id, tk,
+              |          unnest(range(CAST(ceil(len(tk) / ${SpanLen}.0) AS BIGINT))) AS i
+              |        FROM toks)
+              |), flagged AS (
+              |  SELECT doc_id, pos, seg,
+              |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1 AS keep
+              |  FROM seg
+              |)
+              |SELECT doc_id,
+              |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS segs_kept,
+              |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS segs_dropped,
+              |  coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos), '')
+              |    AS kept_text
+              |FROM flagged GROUP BY doc_id""".stripMargin))
   )
 
   /** p56/p57 shared core: the BpeK-round BPE training loop — ONE
