@@ -256,6 +256,57 @@ object Streaming {
              |  max(ts) + INTERVAL 10 MINUTE AS sess_end,
              |  user_id, count(*) AS n_events, round(sum(value), 2) AS sv
              |FROM s GROUP BY user_id, sid
-             |HAVING sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM e)""".stripMargin))
+             |HAVING sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM e)""".stripMargin)),
+
+    // Streaming ordered funnel: p58's strictly-ordered
+    // view → click → purchase funnel computed INCREMENTALLY — events
+    // buffer per user until the watermark passes them, then fold into
+    // a monotone stage automaton in event-time order (below the
+    // watermark no earlier arrival is possible, so assignments are
+    // final), one row per user emitted by its event-time timer once
+    // its whole buffer is watermark-final (the quiescence gate — the
+    // funnel analog of s05/s09's open-sessions-never-emit rule). The
+    // oracle replicates both rules: the cutoff CTE is the engine's
+    // ms-floored watermark (floor-to-ms of max event time minus the
+    // 1-hour delay) and the user filter keeps only users whose LAST
+    // event is at or below it — so buffering, event-time ordering,
+    // strict-after stage rules AND the append emission rule are all
+    // hash-verified.
+    QDef(
+      "s12_stream_funnel",
+      (s, d) => graft.streaming.StreamOps.streamFunnel(s, d),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         make_timestamp(epoch_ns(ts) // 1000) AS ts
+             |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+             |), cut AS (
+             |  SELECT make_timestamp(
+             |    ((epoch_ns(max(ts)) // 1000000) - 3600000) * 1000) AS c
+             |  FROM e
+             |), u AS (
+             |  SELECT user_id FROM e GROUP BY 1
+             |  HAVING max(ts) <= (SELECT c FROM cut)
+             |), el AS (
+             |  SELECT e.* FROM e JOIN u USING (user_id)
+             |), t1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM el
+             |  WHERE event_type = 'view' GROUP BY 1
+             |), t2 AS (
+             |  SELECT el.user_id, min(el.ts) AS t2
+             |  FROM el JOIN t1 ON el.user_id = t1.user_id
+             |  WHERE el.event_type = 'click' AND el.ts > t1.t1 GROUP BY 1
+             |), t3 AS (
+             |  SELECT el.user_id, min(el.ts) AS t3
+             |  FROM el JOIN t2 ON el.user_id = t2.user_id
+             |  WHERE el.event_type = 'purchase' AND el.ts > t2.t2 GROUP BY 1
+             |)
+             |SELECT u.user_id, t1.t1, t2.t2, t3.t3,
+             |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+             |            WHEN t2.t2 IS NOT NULL THEN 2
+             |            WHEN t1.t1 IS NOT NULL THEN 1
+             |            ELSE 0 END AS INT) AS reached
+             |FROM u LEFT JOIN t1 USING (user_id)
+             |       LEFT JOIN t2 USING (user_id)
+             |       LEFT JOIN t3 USING (user_id)""".stripMargin))
   )
 }

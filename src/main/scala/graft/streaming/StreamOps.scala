@@ -537,6 +537,139 @@ object StreamOps {
         col("user_id"), col("n_events"), round(col("sv"), 2).as("sv"))
   }
 
+  /** One buffered event awaiting watermark finalization inside
+    * [[funnelize]]'s state: epoch-micros event time plus the funnel
+    * stage it belongs to (1 = view, 2 = click, 3 = purchase). */
+  case class FunnelEvent(tsUs: Long, stage: Int)
+
+  /** Per-user funnel state: the not-yet-watermark-final event buffer
+    * plus the monotone stage automaton (reached-stage timestamps in
+    * epoch micros, -1 = unreached). The buffer holds only events
+    * ABOVE the watermark — watermark-bounded, not stream-length-
+    * bounded, like every other stateful operator here. */
+  case class FunnelState(buf: Seq[FunnelEvent], t1: Long, t2: Long, t3: Long)
+
+  /** One emitted per-user funnel resolution from [[funnelize]]. */
+  case class FunnelRow(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long,
+      reached: Int)
+
+  /** STREAMING ORDERED FUNNEL — p58's strictly-ordered
+    * view → click → purchase funnel as an incremental streaming
+    * operator on `flatMapGroupsWithState`. The difficulty a batch
+    * funnel never meets is ARRIVAL ORDER: stage k counts only if it
+    * happens strictly after stage k-1, but a click can arrive before
+    * the view that anchors it. The operator therefore buffers events
+    * until the watermark passes them, then folds the newly-final
+    * prefix into the automaton IN EVENT-TIME ORDER — below the
+    * watermark no earlier event can still arrive, so the fold is
+    * final and each stage assignment is monotone (set once, never
+    * revised). Per-user state is the above-watermark buffer only.
+    * Emission is append-style and QUIESCENCE-GATED, the funnel
+    * analog of s09's "open sessions never emit": a user resolves
+    * only when every buffered event is watermark-final (the buffer
+    * drains empty at a timer firing); a user still holding events
+    * above the watermark re-arms its timer and keeps waiting, so a
+    * user whose last events ride inside the final watermark horizon
+    * never emits — exactly the rule the oracle applies with its
+    * max(ts) <= cutoff user filter. (In an unbounded stream a user
+    * active again after resolving would open a fresh funnel and emit
+    * a second row — each emission covers the watermark-complete
+    * prefix since the last one; on the bounded replay timers only
+    * fire once everything has arrived, so emission is unique.)
+    *
+    * 100 TB shape: one exchange on user_id into the state store;
+    * state per user is bounded by the watermark horizon, not the
+    * stream; output is one row per user. */
+  def streamFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = eventsStream(spark, sfDir)
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .otherwise(3).as("stage"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long, Int)]
+    val rows = funnelize(ev)
+    val out = tempDir("graft-funnel-out")
+    val ckpt = tempDir("graft-funnel-ckpt")
+    withStatePartitions(spark) {
+      val q = rows.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    spark.read.schema(org.apache.spark.sql.types.StructType(rows.schema))
+      .parquet(out.toString)
+      .select(col("user_id"),
+        when(col("t1_us") >= 0, timestamp_micros(col("t1_us"))).as("t1"),
+        when(col("t2_us") >= 0, timestamp_micros(col("t2_us"))).as("t2"),
+        when(col("t3_us") >= 0, timestamp_micros(col("t3_us"))).as("t3"),
+        col("reached"))
+  }
+
+  /** [[streamFunnel]]'s core on any watermarked
+    * (user_id, ts, ts_us, stage) stream — factored out so the spec
+    * can drive it over a MemoryStream with out-of-order cross-batch
+    * arrivals (a click arriving a batch before its anchoring view),
+    * which the single-batch bounded replay cannot exercise. */
+  def funnelize(ev: Dataset[(Long, java.sql.Timestamp, Long, Int)])
+      : Dataset[FunnelRow] = {
+    import ev.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // Fold the buffer's watermark-final prefix (ts <= cutUs) into the
+    // automaton in ascending event-time order. Stage predicates are
+    // STRICT (>), so processing order within an equal-timestamp tie
+    // cannot change the outcome (a same-micro stage-k event never
+    // qualifies against a same-micro stage-(k-1) anchor); the
+    // (tsUs, stage) sort key just makes the walk fully deterministic.
+    def fold(st: FunnelState, cutUs: Long): FunnelState = {
+      val (fin, keep) = st.buf.partition(_.tsUs <= cutUs)
+      var (t1, t2, t3) = (st.t1, st.t2, st.t3)
+      fin.sortBy(e => (e.tsUs, e.stage)).foreach { e =>
+        e.stage match {
+          case 1 => if (t1 < 0) t1 = e.tsUs
+          case 2 => if (t2 < 0 && t1 >= 0 && e.tsUs > t1) t2 = e.tsUs
+          case _ => if (t3 < 0 && t2 >= 0 && e.tsUs > t2) t3 = e.tsUs
+        }
+      }
+      FunnelState(keep, t1, t2, t3)
+    }
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Int)],
+         state: GroupState[FunnelState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          if (state.hasTimedOut) {
+            val st = fold(state.get, wmUs)
+            if (st.buf.isEmpty) {
+              // the user's whole story is watermark-final: resolve
+              state.remove()
+              Iterator.single(FunnelRow(user, st.t1, st.t2, st.t3,
+                Seq(st.t1, st.t2, st.t3).count(_ >= 0)))
+            } else {
+              // events above the watermark are still pending — hold
+              // the emission and try again on the next advance
+              state.update(st)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+              Iterator.empty
+            }
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(Nil, -1L, -1L, -1L))
+            val withNew = prev.copy(
+              buf = prev.buf ++ batch.map(e => FunnelEvent(e._3, e._4)))
+            state.update(fold(withNew, wmUs))
+            // fire on the next watermark advance (the API requires the
+            // timeout strictly above the current watermark)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Scope the RocksDB state store provider (a transformWithState
     * requirement) to `body`, restoring the session default after. */
   private def withRocksDb[A](spark: SparkSession)(body: => A): A = {

@@ -242,4 +242,53 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected BHJ in:\n$plan")
   }
+
+  test("funnelize resolves out-of-order cross-batch arrivals in event-time order") {
+    // The scenario the bounded single-batch replay cannot exercise: a
+    // click arrives a BATCH BEFORE the view that anchors it (but
+    // inside the watermark horizon, so the engine does not drop it).
+    // The fold must still order by event time: view@9000 anchors
+    // click@10000 anchors purchase@10500. Also pinned: the strict-
+    // after rule on an equal-timestamp tie (user 2), stage events
+    // before their anchor being ignored (user 3's early purchase),
+    // and the quiescence gate (user 99's event sits above the final
+    // watermark, so user 99 holds its buffer and never emits).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Long, Int)] // (user, seconds, stage)
+    val ev = input.toDS()
+      .select(col("_1").as("user_id"),
+        timestamp_seconds(col("_2")).as("ts"),
+        unix_micros(timestamp_seconds(col("_2"))).as("ts_us"),
+        col("_3").as("stage"))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, java.sql.Timestamp, Long, Int)]
+    val q = StreamOps.funnelize(ev)
+      .writeStream.format("memory").queryName("g_funnel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: max ts 10500 → watermark 6900 for batch 2
+      input.addData(
+        (1L, 10000L, 2), (1L, 10500L, 3), // click+purchase before their view
+        (2L, 10000L, 1), (2L, 10000L, 2), // same-micro tie: click must NOT count
+        (3L, 9000L, 3), (3L, 10000L, 2), (3L, 10200L, 3)) // early purchase ignored
+      q.processAllAvailable()
+      assert(spark.table("g_funnel").isEmpty) // wm 0: nothing resolved yet
+      input.addData(
+        (1L, 9000L, 1),   // the out-of-order view (9000 > wm 6900: on time)
+        (3L, 9500L, 1),
+        (99L, 20000L, 1)) // pushes the final watermark to 16400s
+      q.processAllAvailable() // watermark-only batch fires every timer
+      def secs(us: Long): Long = if (us < 0) -1L else us / 1000000
+      val rows = spark.table("g_funnel")
+        .as[StreamOps.FunnelRow].collect()
+        .map(r => (r.user_id, secs(r.t1_us), secs(r.t2_us),
+          secs(r.t3_us), r.reached)).toSet
+      assert(rows == Set(
+        (1L, 9000L, 10000L, 10500L, 3),
+        (2L, 10000L, -1L, -1L, 1),
+        (3L, 9500L, 10000L, 10200L, 3)), rows) // 99 still buffered: no emit
+    } finally q.stop()
+  }
 }
