@@ -697,6 +697,35 @@ object Relational {
              |FROM customer
              |WHERE c_custkey NOT IN (SELECT CASE WHEN o_totalprice > 300000
              |                               THEN o_custkey ELSE NULL END
-             |                        FROM orders)""".stripMargin))
+             |                        FROM orders)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q44: PIVOT — long-to-wide reshaping (the OLAP crosstab): per
+    // source, the documents table's language counts rotate into one
+    // column per language, plus a row total. Spark's groupBy().pivot()
+    // with an EXPLICIT value list keeps the plan single-pass (a
+    // pivot_values scan-to-discover would add a job); the whole thing
+    // is ONE hash aggregation with map-side partials — pivot columns
+    // are just conditional-count aggregates, so the shape scales like
+    // any groupBy. The oracle states the same reshaping as portable
+    // conditional aggregation (DuckDB's PIVOT syntax would work too;
+    // FILTER-style CASE counts are the engine-neutral formulation).
+    QDef(
+      "q44_pivot",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumn("total",
+          col("de") + col("en") + col("es") + col("fr") + col("zh")),
+      Some("""SELECT source,
+             |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+             |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+             |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+             |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+             |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh,
+             |  CAST(count(*) AS BIGINT) AS total
+             |FROM documents GROUP BY source""".stripMargin))
   )
 }
