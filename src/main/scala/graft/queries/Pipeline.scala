@@ -121,6 +121,20 @@ object Pipeline {
     * corpus word, 'customer' = 8); continuations are capped at 2. */
   private val WpMaxPiece = 8
 
+  /** p55: per-(session, data-dir) cache of the broadcast vocabulary
+    * pair. Building the DataFrame needs the driver-side sets at
+    * closure-construction time (one bounded head()), so without a
+    * cache every `queries("p55_…")` call would rerun the two vocab
+    * jobs and leak a fresh broadcast pair — across a bench loop that
+    * accretes executor memory. One pair per (session, dir) is bounded
+    * by construction and lives for the session. Package-visible so
+    * TokenizerOpsSpec can pin the reuse. */
+  private[queries] val wpVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String),
+      (org.apache.spark.broadcast.Broadcast[Set[String]],
+       org.apache.spark.broadcast.Broadcast[Set[String]])]
+
   /** p55: [[toksExpr]] over text augmented with the two [UNK] probe
     * words (digits never enter the vocabulary, which is built from
     * ORIGINAL text only): 'k9' fails at a continuation position, '9z'
@@ -3142,12 +3156,18 @@ object Pipeline {
         // the vocab is bounded (chars + intra-word 2-grams + top-8
         // whole words: ~700 entries on any corpus in this family), so
         // ONE driver head() + broadcast is the production pattern —
-        // the same collect the bench kernel uses
-        val vocabHead = vocabRow.head()
-        val bSv = s.sparkContext.broadcast(
-          vocabHead.getSeq[String](vocabHead.fieldIndex("sv")).toSet)
-        val bCv = s.sparkContext.broadcast(
-          vocabHead.getSeq[String](vocabHead.fieldIndex("cv")).toSet)
+        // the same collect the bench kernel uses. The head() runs two
+        // Spark jobs and each broadcast pins executor memory, so both
+        // are cached per (session, dir): repeated queries() calls
+        // (Verify sweeps, bench iterations) reuse one broadcast pair
+        // instead of accreting leaked copies.
+        val (bSv, bCv) = wpVocabCache.computeIfAbsent((s, d), { _ =>
+          val vocabHead = vocabRow.head()
+          (s.sparkContext.broadcast(
+             vocabHead.getSeq[String](vocabHead.fieldIndex("sv")).toSet),
+           s.sparkContext.broadcast(
+             vocabHead.getSeq[String](vocabHead.fieldIndex("cv")).toSet))
+        })
         import s.implicits._
         base.select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions { it =>
@@ -3164,28 +3184,15 @@ object Pipeline {
               var nPieces = 0L; var nUnk = 0L
               val sb = new java.lang.StringBuilder
               ws.foreach { w =>
-                val pieces = List.newBuilder[String]
-                var i = 0; var first = true; var unk = false
-                var wp = 0L
-                while (i < w.length && !unk) {
-                  // longest-first probe: whole-word pieces up to
-                  // WpMaxPiece chars at the start, 2 for continuations
-                  var l = math.min(if (first) WpMaxPiece else 2, w.length - i)
-                  var hit = 0
-                  while (l >= 1 && hit == 0) {
-                    val sub = w.substring(i, i + l)
-                    val found = if (first) sv.contains(sub)
-                                else cv.contains("##" + sub)
-                    if (found) hit = l else l -= 1
-                  }
-                  if (hit == 0) unk = true
-                  else {
-                    pieces += (if (first) w.substring(i, i + hit)
-                               else "##" + w.substring(i, i + hit))
-                    wp += 1; i += hit; first = false
-                  }
-                }
-                val out = if (unk) List("[UNK]") else pieces.result()
+                // longest-first greedy probe over CODE POINTS (the
+                // vocab was built with Spark-SQL substr/length, which
+                // count code points): graft.functions.WordPiece owns
+                // the matcher so the non-BMP contract is unit-tested
+                // directly; null signals [UNK]
+                val matched = graft.functions.WordPiece.tokenize(
+                  w, sv, cv, WpMaxPiece)
+                val unk = matched == null
+                val out = if (unk) List("[UNK]") else matched
                 nPieces += out.length
                 if (unk) nUnk += 1
                 if (sb.length > 0) sb.append(' ')
@@ -3389,17 +3396,26 @@ object Pipeline {
             // floor(epoch seconds) for these positive timestamps
             sum(col("t3").cast("long") - col("t1").cast("long"))
               .as("total_convert_s"))
+          // every denominator is nullif-guarded IDENTICALLY in the
+          // oracle: Spark's non-ANSI Divide yields NULL for x/0 on
+          // doubles while DuckDB yields Inf/NaN, so an empty funnel
+          // stage would otherwise hash-mismatch; nullif pins both
+          // engines to NULL
           .select(col("n_users"), col("stage_view"), col("stage_click"),
             col("stage_purchase"),
             (col("stage_click").cast("double") /
-              col("stage_view").cast("double")).as("conv_click"),
+              nullif(col("stage_view"), lit(0)).cast("double"))
+              .as("conv_click"),
             (col("stage_purchase").cast("double") /
-              col("stage_click").cast("double")).as("conv_purchase"),
+              nullif(col("stage_click"), lit(0)).cast("double"))
+              .as("conv_purchase"),
             (col("stage_purchase").cast("double") /
-              col("stage_view").cast("double")).as("conv_overall"),
+              nullif(col("stage_view"), lit(0)).cast("double"))
+              .as("conv_overall"),
             col("total_convert_s"),
             (col("total_convert_s").cast("double") /
-              col("stage_purchase").cast("double")).as("mean_convert_s"))
+              nullif(col("stage_purchase"), lit(0)).cast("double"))
+              .as("mean_convert_s"))
       },
       // the µs truncation mirrors Tables.events' `ts DIV 1000` (same
       // rationale as s04's oracle)
@@ -3432,15 +3448,15 @@ object Pipeline {
              |         LEFT JOIN t3 USING (user_id)
              |)
              |SELECT n_users, stage_view, stage_click, stage_purchase,
-             |  CAST(stage_click AS DOUBLE) / CAST(stage_view AS DOUBLE)
-             |    AS conv_click,
-             |  CAST(stage_purchase AS DOUBLE) / CAST(stage_click AS DOUBLE)
-             |    AS conv_purchase,
-             |  CAST(stage_purchase AS DOUBLE) / CAST(stage_view AS DOUBLE)
-             |    AS conv_overall,
+             |  CAST(stage_click AS DOUBLE)
+             |    / CAST(nullif(stage_view, 0) AS DOUBLE) AS conv_click,
+             |  CAST(stage_purchase AS DOUBLE)
+             |    / CAST(nullif(stage_click, 0) AS DOUBLE) AS conv_purchase,
+             |  CAST(stage_purchase AS DOUBLE)
+             |    / CAST(nullif(stage_view, 0) AS DOUBLE) AS conv_overall,
              |  total_convert_s,
              |  CAST(total_convert_s AS DOUBLE)
-             |    / CAST(stage_purchase AS DOUBLE) AS mean_convert_s
+             |    / CAST(nullif(stage_purchase, 0) AS DOUBLE) AS mean_convert_s
              |FROM funnel""".stripMargin)),
 
     // ------------------------------------------------------------------

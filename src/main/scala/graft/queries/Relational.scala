@@ -713,12 +713,24 @@ object Relational {
     QDef(
       "q44_pivot",
       (s, d) => Tables.documents(s, d)
+        // fold every lang OUTSIDE the explicit pivot list (including
+        // NULL) into one 'other' bucket so `total` is a true count(*)
+        // — summing only the five listed columns would silently
+        // undercount the moment a sixth lang enters the corpus, while
+        // the oracle's count(*) keeps growing (a guaranteed future
+        // hash mismatch). Still ONE hash aggregation: the extra
+        // bucket is just a sixth conditional count.
+        .withColumn("lang_b",
+          when(col("lang").isin("de", "en", "es", "fr", "zh"), col("lang"))
+            .otherwise(lit("other")))
         .groupBy("source")
-        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .pivot("lang_b", Seq("de", "en", "es", "fr", "zh", "other"))
         .agg(count(lit(1)))
         .na.fill(0L)
         .withColumn("total",
-          col("de") + col("en") + col("es") + col("fr") + col("zh")),
+          col("de") + col("en") + col("es") + col("fr") + col("zh") +
+            col("other"))
+        .drop("other"),
       Some("""SELECT source,
              |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
              |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,

@@ -42,6 +42,42 @@ class EventOpsSpec extends SparkSpec {
     assert(mean > 0 && mean < 366L * 24 * 3600)
   }
 
+  test("p58 yields NULL rates (not Inf/NaN or a crash) on an empty funnel stage") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a corpus where NO user ever purchases: the purchase denominators
+    // hit zero. Spark's non-ANSI Divide gives NULL for x/0 on doubles
+    // while DuckDB gives Inf/NaN, so both sides of p58 guard every
+    // denominator with nullif — this pins the Spark half of that
+    // contract on the formerly-latent input.
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-p58-empty-stage").toString
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val rows = (1L to 6L).map { u =>
+      (u * 10, new java.sql.Timestamp(base.getTime + u * 1000),
+        u, "view", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.SparkEntry.queries("p58_event_funnel")(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("stage_view") === 6L)
+    assert(row.getAs[Long]("stage_click") === 0L)
+    assert(row.getAs[Long]("stage_purchase") === 0L)
+    // zero NUMERATOR over a populated denominator stays 0.0 …
+    assert(row.getAs[Double]("conv_click") === 0.0)
+    assert(row.getAs[Double]("conv_overall") === 0.0)
+    // … but zero-DENOMINATOR rates are NULL, never Infinity/NaN:
+    // conv_purchase divides by stage_click = 0, mean_convert_s by
+    // stage_purchase = 0 (and its numerator, a sum over no rows, is
+    // itself NULL in both engines)
+    assert(row.isNullAt(row.fieldIndex("conv_purchase")))
+    assert(row.isNullAt(row.fieldIndex("total_convert_s")))
+    assert(row.isNullAt(row.fieldIndex("mean_convert_s")))
+  }
+
   test("p58 plan shuffles events once by user (plus the 1-row rollup)") {
     val plan = planOf("p58_event_funnel")
     assert(!plan.contains("CartesianProduct"))

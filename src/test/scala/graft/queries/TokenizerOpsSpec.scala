@@ -177,4 +177,38 @@ class TokenizerOpsSpec extends SparkSpec {
     assert(got.filter(r => r._1 % 5 != 0 && r._1 % 5 != 3)
       .forall(_._4 == 0L), "clean docs must have zero [UNK]")
   }
+
+  test("p55 matcher measures pieces in code points, not UTF-16 units") {
+    import graft.functions.WordPiece
+    // "𝕏" (U+1D54F) is ONE code point but TWO UTF-16 units. The vocab
+    // is built with Spark-SQL substr/length (code-point semantics), so
+    // the matcher must probe on the same axis. A code-unit matcher
+    // given "a𝕏y" probes its 2-unit continuation window at char index
+    // 1 and sees only the surrogate pair "𝕏" — it can never try the
+    // 2-code-point piece "##𝕏y" and splits the word as a/##𝕏/##y.
+    val sv = Set("a", "𝕏")
+    val cv = Set("##𝕏y", "##y", "##𝕏")
+    assert(WordPiece.tokenize("a𝕏y", sv, cv, 8) === List("a", "##𝕏y"))
+    // start-position probe: maxPiece counts code points ("𝕏y" = 2 cp)
+    assert(WordPiece.tokenize("𝕏y", Set("𝕏y"), Set.empty, 2)
+      === List("𝕏y"))
+    assert(WordPiece.tokenize("𝕏y", Set("𝕏"), Set("##y"), 8)
+      === List("𝕏", "##y"))
+    // the [UNK] path must never probe (or emit) a lone surrogate half
+    assert(WordPiece.tokenize("𝕏z", Set("z"), Set.empty, 8) === null)
+    // BMP behavior is unchanged (identity offsets fast path)
+    assert(WordPiece.tokenize("abc", Set("a"), Set("##b", "##c"), 8)
+      === List("a", "##b", "##c"))
+  }
+
+  test("p55 caches ONE broadcast vocab pair per (session, dir)") {
+    val df1 = SparkEntry.queries("p55_wordpiece_tokenize")(spark, sf)
+    val n = Pipeline.wpVocabCache.size
+    assert(Pipeline.wpVocabCache.containsKey((spark, sf)))
+    // a second build must reuse the cached pair, not rerun the vocab
+    // jobs and leak two more broadcasts
+    val df2 = SparkEntry.queries("p55_wordpiece_tokenize")(spark, sf)
+    assert(Pipeline.wpVocabCache.size === n)
+    assert(df1.count() === df2.count())
+  }
 }
