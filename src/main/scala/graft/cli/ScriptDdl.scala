@@ -1,7 +1,7 @@
 package graft.cli
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.sources.Affinity
@@ -95,6 +95,14 @@ import graft.sources.Affinity
   *    a one-line sqawk-style rejection instead of a raw Spark error.
   */
 object ScriptDdl {
+
+  /** Every user-authored expression fragment (UPDATE SET values,
+    * WHERE conditions, UPSERT assignments, RETURNING projections)
+    * parses through the script dialect's arithmetic rewrite —
+    * shadowing `functions.expr` so each site gets SQLite per-value
+    * arithmetic semantics (see [[SqliteArith]]). */
+  private def expr(text: String): org.apache.spark.sql.Column =
+    SqliteArith.expr(text)
 
   /** Result of offering a statement to the DDL/DML layer: either it
     * was not a dialect statement (pass to `spark.sql`), or it was
@@ -548,7 +556,7 @@ object ScriptDdl {
         // have no affinity → ""), and sheds pk / NOT NULL / DEFAULT —
         // `CREATE TABLE t AS SELECT * FROM a` has no rowid alias, so
         // INSERTs into it do not autoassign.
-        val df = spark.sql(select)
+        val df = SqliteArith.sql(spark, select)
         val tagged = df.select(df.schema.fields.map { f =>
           // the DECLARED type decides affinity when known (script
           // tables tag untyped columns NUMERIC for ordering, but
@@ -682,7 +690,7 @@ object ScriptDdl {
           spark.range(1).select(defaults.toIndexedSeq: _*)
         } else {
           val rows =
-            try spark.sql(body)
+            try SqliteArith.sql(spark, body)
             catch {
               // SQLite is dynamically typed: VALUES ('x',1),(NULL,'y') is
               // legal there but trips Spark's inline-table type
@@ -691,7 +699,7 @@ object ScriptDdl {
               case e: org.apache.spark.sql.AnalysisException
                   if e.getCondition != null &&
                     e.getCondition.startsWith("INVALID_INLINE_TABLE") =>
-                spark.sql(stringifyValues(body))
+                SqliteArith.sql(spark, stringifyValues(body))
             }
           Option(colList).map(_.trim).filter(_.nonEmpty) match {
             case None =>
@@ -736,7 +744,7 @@ object ScriptDdl {
       if (spark.catalog.tableExists(name)) {
         if (ifNotExists == null)
           throw new IllegalArgumentException(s"view $name already exists")
-      } else spark.sql(s"CREATE TEMPORARY VIEW `$name` AS $select")
+      } else SqliteArith.sql(spark, s"CREATE TEMPORARY VIEW `$name` AS $select")
       Done
 
     case Update(name, rest0) =>
@@ -795,11 +803,11 @@ object ScriptDdl {
       val target = spark.table(name)
       val deleted = condOpt match {
         case None => target
-        case Some(c) => spark.sql(s"SELECT * FROM `$name` WHERE coalesce(($c), false)")
+        case Some(c) => SqliteArith.sql(spark, s"SELECT * FROM `$name` WHERE coalesce(($c), false)")
       }
       val rebound = condOpt match {
         case None => target.limit(0)
-        case Some(c) => spark.sql(s"SELECT * FROM `$name` WHERE NOT coalesce(($c), false)")
+        case Some(c) => SqliteArith.sql(spark, s"SELECT * FROM `$name` WHERE NOT coalesce(($c), false)")
       }
       collapseIfDeep(rebound).createOrReplaceTempView(name)
       // RETURNING sees the OLD values of the deleted rows

@@ -138,7 +138,8 @@ object ScriptRunner {
           case None =>
             ScriptDdl.executeRows(spark, sql, ddlState) match {
               case ScriptDdl.NotHandled =>
-                val df: DataFrame = spark.sql(sql)
+                // script-dialect arithmetic: SQLite per-value typing
+                val df: DataFrame = SqliteArith.sql(spark, sql)
                 if (df.schema.nonEmpty) pump(df, serializer)
               case ScriptDdl.Handled(Some(rows)) =>
                 // a RETURNING clause: the DML statement emits rows

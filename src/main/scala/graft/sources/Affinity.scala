@@ -119,18 +119,20 @@ object Affinity {
   private def isNumericExpr(c: Column): Column =
     trimExpr(c).rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
 
-  /** [[formatReal]] as an expression. Relies on Spark's double→string
-    * cast matching Java `Double.toString` (it does — both render
-    * shortest-round-trip with E-notation outside [1e-3, 1e7)). */
+  /** [[formatReal]] as an expression — the same `%!.15g` contract via
+    * `format_string` (a Java formatter under the hood, so digits
+    * match the Scala path exactly) plus the trailing-zero strip.
+    * In the non-integral/1e15+ branch the mantissa always carries a
+    * '.', so the zero-strip regex never eats integer digits. */
   private def formatRealExpr(d: Column): Column = {
-    val s = d.cast("string")
-    val sci = when(s.contains("E-"), regexp_replace(s, "E", "e"))
-      .otherwise(regexp_replace(s, "E", "e+"))
+    val g = format_string("%.15g", d)
+    val stripped = regexp_replace(g, "0+(e[+-][0-9]+)?$", "$1")
+    val dotted = regexp_replace(stripped, "\\.(e|$)", ".0$1")
     when(d === lit(Double.PositiveInfinity), "Inf")
       .when(d === lit(Double.NegativeInfinity), "-Inf")
       .when(d === floor(d) && abs(d) < 1e15,
         concat(d.cast("long").cast("string"), lit(".0")))
-      .otherwise(when(s.contains("E"), sci).otherwise(s))
+      .otherwise(dotted)
   }
 
   /** The double, if it is integral and round-trips through int64. */
@@ -143,21 +145,30 @@ object Affinity {
 
   private def isNumeric(value: String): Boolean = realRe.matches(value.trim)
 
-  /** SQLite renders REAL storage with a trailing `.0` for integral
-    * values (`%!.15g`): 1 → "1.0", 0.5 → "0.5". */
+  /** SQLite renders REAL storage with `%!.15g` — 15 significant
+    * digits, trailing fraction zeros stripped, the decimal point
+    * forced (`!`): 1 → "1.0", 0.5 → "0.5", 0.1+0.2 → "0.3" (NOT the
+    * 17-digit shortest round-trip "0.30000000000000004"),
+    * 2^63 as a REAL → "9.22337203685478e+18". Java's `%g` keeps the
+    * trailing zeros C strips, hence the post-pass. (Until round 7
+    * this rendered shortest-round-trip text, which diverged from
+    * sqlite3 exactly when a double needs >15 digits.) */
   def formatReal(d: Double): String = {
     if (d.isInfinite) { if (d > 0) "Inf" else "-Inf" }
+    else if (d != d) "NaN"
     else if (d == d.floor && math.abs(d) < 1e15) {
       val l = d.toLong
       s"$l.0"
     } else {
-      val s = String.valueOf(d)
-      if (s.contains('E')) {
-        // java "1.0E20" → sqlite-style "1.0e+20"
-        val idx = s.indexOf('E')
-        val exp = s.substring(idx + 1)
-        s.substring(0, idx) + "e" + (if (exp.startsWith("-")) exp else "+" + exp)
-      } else s
+      // non-integral or >=1e15, so %.15g always emits a '.' here
+      val s = String.format(java.util.Locale.ROOT, "%.15g", d)
+      val i = s.indexOf('e')
+      val (mant0, exp) = if (i < 0) (s, "") else (s.substring(0, i), s.substring(i))
+      var end = mant0.length
+      while (end > 0 && mant0.charAt(end - 1) == '0') end -= 1
+      val mant = if (end > 0 && mant0.charAt(end - 1) == '.')
+        mant0.substring(0, end) + "0" else mant0.substring(0, end)
+      mant + exp
     }
   }
 }

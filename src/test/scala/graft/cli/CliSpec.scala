@@ -1184,13 +1184,12 @@ class CliSpec extends SparkSpec {
     val f = tempFile("9223372036854775807 a\n1 b\n")
     val (c, _) = sqawk("select sum(a1) from a", f)
     assert(c == 1)
-    // same sum with one REAL input: approximate REAL, no error (the
-    // double equals sqlite3's; we render shortest-round-trip
-    // "9.223372036854776e+18" where sqlite3's %!.15g shows
-    // "9.22337203685478e+18")
+    // same sum with one REAL input: approximate REAL, no error; since
+    // round 7 REALs render with sqlite3's own %!.15g
+    // ("9.22337203685478e+18", not the 17-digit shortest round-trip)
     val g = tempFile("9223372036854775807 a\n1 b\n0.5 c\n")
-    assert(sqawk("select sum(a1) from a", g) == (0, "9.223372036854776e+18\n"))
-    assert(sqawk("select total(a1) from a", f) == (0, "9.223372036854776e+18\n"))
+    assert(sqawk("select sum(a1) from a", g) == (0, "9.22337203685478e+18\n"))
+    assert(sqawk("select total(a1) from a", f) == (0, "9.22337203685478e+18\n"))
   }
 
   test("chunked >1 MiB input sums correctly (tests.tcl:505-525)") {
@@ -1288,24 +1287,33 @@ class CliSpec extends SparkSpec {
         " SELECT i + 1 FROM t ORDER BY i", f) == (0, "8\n13\n"))
   }
 
-  test("KNOWN DEVIATION: scalar arithmetic is double-typed, not per-value dynamic") {
-    // sqlite3 (INTEGER-affinity operands): a1+a2, a1*2, a1/2, a1+0.5
-    // → 8|10|2|5.5 — INTEGER results for int⊗int, TRUNCATING int
-    // division. Spark's static typing coerces string columns to
-    // DOUBLE, so this engine prints 8.0, 10.0, 2.5, 5.5. Deliberate
-    // scope limit, pinned so a change is noticed: canonicalization
-    // gives stored VALUES SQLite semantics (i13/i20, CAST, sum()),
-    // but arithmetic creates transient values where per-row dynamic
-    // INTEGER/REAL typing cannot be expressed in one Spark column
-    // type without a canonical-string round-trip that would lose
-    // sqlite's full-precision nesting. Unexercised by the reference
-    // suite (no scalar-arithmetic output tests in tests.tcl).
+  test("scalar arithmetic is per-value dynamic like sqlite3 (deviation closed r7)") {
+    // sqlite3: a1+a2, a1*2, a1/2, a1+0.5 → 8|10|2|5.5 — INTEGER
+    // results for int⊗int, TRUNCATING int division, REAL the moment
+    // either operand is REAL. Round 7 closed the formerly-pinned
+    // "double-typed arithmetic" deviation: SqliteArith rewrites every
+    // script `+ - * / %` on the PARSED plan into SqliteArithExpr,
+    // which applies SQLite's per-VALUE dynamic typing and renders the
+    // canonical dynamic-value text.
     val f = tempFile("5 3\n")
     assert(sqawk("select a1 + a2, a1 * 2, a1 / 2, a1 + 0.5 from a", f) ==
-      (0, "8.0 10.0 2.5 5.5\n"))
-    // likewise %: sqlite casts % operands to INTEGER (5.5 % 2 → 1.0);
-    // Spark's modulo stays fractional
-    assert(sqawk("select 5.5 % 2, a1 % 2 from a", f) == (0, "1.5 1.0\n"))
+      (0, "8 10 2 5.5\n"))
+    // %: sqlite casts % operands to INTEGER; result is REAL iff
+    // either operand was (5.5 % 2 → 1.0, '5' % 2 → 1)
+    assert(sqawk("select 5.5 % 2, a1 % 2 from a", f) == (0, "1.0 1\n"))
+    // literal-only arithmetic follows the same dynamic rules
+    // (sqlite3-verified): 5/2→2, 7.0/2→3.5, '5.5'+1→6.5, 'x'+1→1
+    // (non-numeric text converts to INTEGER 0), '12abc'*2→24 (prefix
+    // parse), and ALL division/modulo by zero is NULL, never Inf
+    assert(sqawk("select 5/2, 7.0/2, '5.5'+1, 'x'+1, '12abc'*2 from a", f) ==
+      (0, "2 3.5 6.5 1 24\n"))
+    assert(sqawk("select 1/0, 1%0, 2.5/0 from a", f) == (0, "  \n"))
+    // nesting propagates dynamic types: (5/2)*2 → 4 (int chain),
+    // (5.0/2)*2 → 5.0 (real taints the chain)
+    assert(sqawk("select (5/2)*2, (5.0/2)*2 from a", f) == (0, "4 5.0\n"))
+    // int64 overflow falls back to REAL like sqlite3
+    assert(sqawk("select 9223372036854775807 + 1 from a", f) ==
+      (0, "9.22337203685478e+18\n"))
   }
 
   test("negative LIMIT means no limit; OFFSET survives (sqlite3 semantics)") {
