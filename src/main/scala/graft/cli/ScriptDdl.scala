@@ -96,6 +96,60 @@ import graft.sources.Affinity
   */
 object ScriptDdl {
 
+  /** The ordering/comparison tag for a declared column type (fuzz
+    * seed 19 closed the blanket-"NUMERIC" tagging): TEXT-affinity
+    * columns hold only TEXT storage in SQLite, so they get NO tag —
+    * Spark's memcmp IS their correct order; INTEGER/REAL/NUMERIC
+    * affinities tag as themselves (storage-class ordering with the
+    * value-based key AND numeric-affinity application to comparison
+    * literals); BLOB/undeclared tag "NONE" (values keep their natural
+    * storage class — value-based ordering, but NO affinity conversion
+    * of the other comparison operand). */
+  private def affinityTag(declType: String): Option[String] =
+    Affinity.hasAffinity(declType) match {
+      case "TEXT" => None
+      case "BLOB" => Some("NONE")
+      case num    => Some(num)
+    }
+
+  /** Commit a table's backing DataFrame as its temp view, wrapping
+    * every affinity-tagged string column in the [[graft.plans.AffinityValue]]
+    * marker (via the registered builder — a custom expression cannot
+    * be built through the public Column API). The marker is what
+    * survives projection collapse: a WHERE/ORDER BY over a
+    * LocalRelation-backed script table substitutes the column
+    * attribute away during optimization, and without the wrapper the
+    * AffinityOrdering rule could no longer recognize the operand
+    * (round-7 fuzz seed 23: `b < ''` must rank numeric-storage b
+    * below text). Metadata is re-attached so PRAGMA/constraint
+    * surfaces keep working. */
+  private def commitTable(spark: SparkSession, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(spark) // marker builder, idempotent
+    val wrapped = df.select(df.schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      // tag value: the AffinityKey for numeric/"NONE" columns, "TEXT"
+      // for TEXT-affinity declarations (they carry no AffinityKey —
+      // but comparisons still need their provenance: `d > -1` on a
+      // TEXT column is a TEXT compare, fuzz seed 40)
+      val tag: Option[String] =
+        if (f.dataType != StringType) None
+        else if (f.metadata.contains(graft.plans.AffinityOrdering.AffinityKey))
+          Some(f.metadata.getString(graft.plans.AffinityOrdering.AffinityKey))
+        else if (f.metadata.contains(Affinity.DeclKey) &&
+            Affinity.hasAffinity(f.metadata.getString(Affinity.DeclKey)) == "TEXT")
+          Some("TEXT")
+        else None
+      val tagged = tag match {
+        case Some(a) =>
+          org.apache.spark.sql.functions.call_function("graft_affinity_value", c, lit(a))
+        case None => c
+      }
+      tagged.as(f.name, f.metadata)
+    }.toIndexedSeq: _*)
+    wrapped.createOrReplaceTempView(name)
+  }
+
   /** Every user-authored expression fragment (UPDATE SET values,
     * WHERE conditions, UPSERT assignments, RETURNING projections)
     * parses through the script dialect's arithmetic rewrite —
@@ -407,7 +461,7 @@ object ScriptDdl {
         throw new IllegalArgumentException(
           s"there is already another table or index with this name: $newName")
       val df = spark.table(name) // eager resolution: survives the drop below
-      df.createOrReplaceTempView(newName)
+      commitTable(spark, newName, df)
       spark.catalog.dropTempView(name)
       // indexes follow the renamed table (SQLite rule)
       state.indexes.mapInPlace(i =>
@@ -425,7 +479,7 @@ object ScriptDdl {
         if (c.equalsIgnoreCase(oldCol)) col(s"`$c`").as(newCol, target.schema(c).metadata)
         else col(s"`$c`")
       }
-      target.select(proj.toIndexedSeq: _*).createOrReplaceTempView(name)
+      commitTable(spark, name, target.select(proj.toIndexedSeq: _*))
       // index definitions follow the renamed column (SQLite rule —
       // a later violation reports the NEW name)
       state.indexes.mapInPlace(i =>
@@ -454,14 +508,15 @@ object ScriptDdl {
         throw new IllegalArgumentException(s"duplicate column name: $colName")
       val cd = parseColDef(s"$colName $rest")
       val metaB = new org.apache.spark.sql.types.MetadataBuilder()
-        .putString(graft.plans.AffinityOrdering.AffinityKey, "NUMERIC")
         .putString(Affinity.DeclKey, Affinity.declaredTypeText(cd.declType))
+      affinityTag(cd.declType).foreach(a =>
+        metaB.putString(graft.plans.AffinityOrdering.AffinityKey, a))
       cd.defaultVal.foreach(v => metaB.putString(DefaultKey, v))
       cd.defaultSql.foreach(s => metaB.putString(DefaultSqlKey, s))
       if (cd.notNull) metaB.putString(Affinity.NotNullKey, "1")
       val added = lit(cd.defaultVal.orNull).cast(StringType).as(colName, metaB.build())
-      target.select((target.columns.map(c => col(s"`$c`")) :+ added).toIndexedSeq: _*)
-        .createOrReplaceTempView(name)
+      commitTable(spark, name,
+        target.select((target.columns.map(c => col(s"`$c`")) :+ added).toIndexedSeq: _*))
       Done
 
     case AlterDropColumn(name, colName) =>
@@ -481,7 +536,7 @@ object ScriptDdl {
           s"error in index ${i.name} after drop column: no such column: $colName")
       }
       val kept = target.columns.filterNot(_.equalsIgnoreCase(colName)).map(c => col(s"`$c`"))
-      target.select(kept.toIndexedSeq: _*).createOrReplaceTempView(name)
+      commitTable(spark, name, target.select(kept.toIndexedSeq: _*))
       Done
 
     case Attach(pathText, name) =>
@@ -519,7 +574,7 @@ object ScriptDdl {
         val view =
           if (!spark.catalog.tableExists(tbl)) tbl
           else attViewName(name, tbl)
-        df.createOrReplaceTempView(view)
+        commitTable(spark, view, df)
         views += tbl.toLowerCase -> view
         owned += view
       }
@@ -582,7 +637,7 @@ object ScriptDdl {
             .build()
           col(s"`${f.name}`").as(f.name, m)
         }.toIndexedSeq: _*)
-        tagged.createOrReplaceTempView(name)
+        commitTable(spark, name, tagged)
       }
       Done
 
@@ -618,8 +673,9 @@ object ScriptDdl {
         // table_info and the INSERT-time constraint surface.
         val schema = StructType(parsed.map { cd =>
           val metaB = new org.apache.spark.sql.types.MetadataBuilder()
-            .putString(graft.plans.AffinityOrdering.AffinityKey, "NUMERIC")
             .putString(Affinity.DeclKey, Affinity.declaredTypeText(cd.declType))
+          affinityTag(cd.declType).foreach(a =>
+            metaB.putString(graft.plans.AffinityOrdering.AffinityKey, a))
           val isPk = cd.pk || tablePk.exists(_.equalsIgnoreCase(cd.name))
           if (isPk) {
             val rowid = pkCount == 1 && cd.declType.trim.equalsIgnoreCase("integer")
@@ -630,8 +686,8 @@ object ScriptDdl {
           cd.defaultSql.foreach(s => metaB.putString(DefaultSqlKey, s))
           StructField(cd.name, StringType, metadata = metaB.build())
         })
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-          .createOrReplaceTempView(name)
+        commitTable(spark, name,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
         // UNIQUE column / table constraints register as enforced
         // auto-indexes (sqlite3's sqlite_autoindex_* naming, origin
         // "u" in index_list); a pk keyset is already enforced via
@@ -689,8 +745,32 @@ object ScriptDdl {
           }
           spark.range(1).select(defaults.toIndexedSeq: _*)
         } else {
+          // An UNTYPED/BLOB target column needs per-value text
+          // preservation upfront: Spark's inline-table unification
+          // would merge (-5, 0.5, 0) into DOUBLE, turning the
+          // integer-storage -5 into "-5.0" where sqlite keeps -5
+          // (fuzz seed 63). Stringify ONLY the elements bound to such
+          // columns (typed CTAS columns keep typed values), and only
+          // for VALUES bodies — INSERT…SELECT keeps the typed path.
+          def untypedCol(f: StructField): Boolean =
+            f.dataType == StringType && Affinity.hasAffinity(
+              if (f.metadata.contains(Affinity.DeclKey))
+                f.metadata.getString(Affinity.DeclKey) else "") == "BLOB"
+          val boundCols: Seq[String] =
+            Option(colList).map(_.trim).filter(_.nonEmpty) match {
+              case Some(cl) => splitTopLevel(cl).map(c => stripQuotes(c.trim))
+              case None => target.columns.toSeq
+            }
+          val untypedPos: Set[Int] = boundCols.zipWithIndex.collect {
+            case (c, i) if target.schema.fields
+              .find(_.name.equalsIgnoreCase(c)).exists(untypedCol) => i
+          }.toSet
+          val isValues = """(?is)\s*values\s+.*""".r.matches(body)
           val rows =
-            try SqliteArith.sql(spark, body)
+            try SqliteArith.sql(spark,
+              if (untypedPos.nonEmpty && isValues)
+                stringifyValues(body, untypedPos.contains)
+              else body)
             catch {
               // SQLite is dynamically typed: VALUES ('x',1),(NULL,'y') is
               // legal there but trips Spark's inline-table type
@@ -737,7 +817,7 @@ object ScriptDdl {
         case Some(u) => applyUpsert(spark, name, target, canon, u, mode, state)
         case None => applyInsert(spark, name, target, canon, mode, state)
       }
-      collapseIfDeep(newTable).createOrReplaceTempView(name)
+      commitTable(spark, name, collapseIfDeep(newTable))
       Handled(retText.map(returningDf(target, affected, _)))
 
     case CreateView(ifNotExists, name, select) =>
@@ -775,13 +855,15 @@ object ScriptDdl {
           case None => col(s"`$c`")
         }
       }
-      val updated = target.select(proj.toIndexedSeq: _*)
+      val updated = SqliteArith.fixup(spark, target.select(proj.toIndexedSeq: _*))
       enforceUpdateConstraints(spark, name, target, updated, assigns.map(_._1), state)
-      collapseIfDeep(updated).createOrReplaceTempView(name)
+      commitTable(spark, name, collapseIfDeep(updated))
       // RETURNING sees the NEW values of exactly the rows the WHERE
       // matched (sqlite3-pinned)
       Handled(retText.map { t =>
-        val base = whereOpt.map(w => target.where(expr(w))).getOrElse(target)
+        val base = whereOpt
+          .map(w => SqliteArith.fixup(spark, target.where(expr(w))))
+          .getOrElse(target)
         val newRows = base.select(target.columns.map(c =>
           newValue(c).getOrElse(col(s"`$c`")).as(c, target.schema(c).metadata))
           .toIndexedSeq: _*)
@@ -809,7 +891,7 @@ object ScriptDdl {
         case None => target.limit(0)
         case Some(c) => SqliteArith.sql(spark, s"SELECT * FROM `$name` WHERE NOT coalesce(($c), false)")
       }
-      collapseIfDeep(rebound).createOrReplaceTempView(name)
+      commitTable(spark, name, collapseIfDeep(rebound))
       // RETURNING sees the OLD values of the deleted rows
       Handled(retText.map(returningDf(target, deleted, _)))
 
@@ -963,7 +1045,13 @@ object ScriptDdl {
     val rendered = if (isBool) e.cast("int").cast("string") else e.cast("string")
     val m = target.schema(c).metadata
     val decl = if (m.contains(Affinity.DeclKey)) m.getString(Affinity.DeclKey) else ""
-    val aff = if (decl.isEmpty) "NUMERIC" else Affinity.hasAffinity(decl)
+    // undeclared columns have NO affinity in SQLite: the assigned
+    // value stores under its natural class (round 7 — previously a
+    // NUMERIC canonicalization turned the double-typed `a2 * 10`
+    // into sqlite's 20, but SqliteArith now renders arithmetic
+    // canonically by itself, so `upper(a)` = '100.0' stays TEXT
+    // '100.0' like sqlite3, fuzz seed 40)
+    val aff = Affinity.hasAffinity(decl)
     if (aff == "TEXT" || aff == "BLOB") rendered
     else Affinity.canonicalExpr(rendered, aff)
   }
@@ -1538,10 +1626,12 @@ object ScriptDdl {
             case None => col(s"$name.`${f.name}`")
           }).as(f.name, f.metadata)
         }
-        val updatedStored = joined.select(proj.toIndexedSeq: _*)
-        val updRet = joined.where(updCond).select(schema.fields.map { f =>
-          newVal(f.name).getOrElse(col(s"$name.`${f.name}`")).as(f.name, f.metadata)
-        }.toIndexedSeq: _*)
+        val updatedStored =
+          SqliteArith.fixup(cur.sparkSession, joined.select(proj.toIndexedSeq: _*))
+        val updRet = SqliteArith.fixup(cur.sparkSession,
+          joined.where(updCond).select(schema.fields.map { f =>
+            newVal(f.name).getOrElse(col(s"$name.`${f.name}`")).as(f.name, f.metadata)
+          }.toIndexedSeq: _*))
         (updatedStored.unionByName(fresh), fresh, Some(updRet))
     }
   }
@@ -1602,18 +1692,27 @@ object ScriptDdl {
       case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(n.toInt)
       case _ => n.toString
     }
-    lazy val storedMax: Long =
+    lazy val storedMax: Option[Long] =
       target.select(fMax(col(s"`$rc`").cast("long"))).first() match {
-        case r if r.isNullAt(0) => 0L
-        case r => math.max(0L, r.getLong(0))
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
       }
-    var run: Long = -1L // max over stored (once needed) + batch keys
+    // max over stored rowids (once needed) + keys from this batch
+    var batchMax: Option[Long] = None
+    def note(n: Long): Unit =
+      batchMax = Some(batchMax.fold(n)(math.max(_, n)))
     val out = alignedNN.collect().map { r =>
       val vals = Array.tabulate[Any](schema.length)(r.get)
       vals(rcIdx) match {
         case null =>
-          run = math.max(run, storedMax)
-          run += 1; vals(rcIdx) = keyValue(run)
+          // sqlite3-pinned (fuzz seed 10): one more than the LARGEST
+          // rowid currently in the table — stored or earlier in this
+          // batch — even when that largest is NEGATIVE (-5 → -4);
+          // 1 only when the table is truly empty
+          val next = (batchMax.toSeq ++ storedMax.toSeq)
+            .reduceOption(math.max(_: Long, _: Long))
+            .map(_ + 1L).getOrElse(1L)
+          note(next); vals(rcIdx) = keyValue(next)
         case v =>
           val canon = Affinity.canonicalize(v.toString, "INTEGER")
           val n =
@@ -1621,7 +1720,7 @@ object ScriptDdl {
             catch { case _: NumberFormatException =>
               throw new IllegalArgumentException("datatype mismatch") }
           vals(rcIdx) = keyValue(n)
-          if (n > run) run = n
+          note(n)
       }
       Row.fromSeq(vals.toIndexedSeq)
     }
@@ -1633,14 +1732,26 @@ object ScriptDdl {
   /** Rewrite an inline `VALUES (…),(…)` body with every scalar cast
     * to string, for the dynamically-typed rows SQLite accepts but
     * Spark's inline-table type unification rejects. */
-  private[cli] def stringifyValues(body: String): String = {
+  private[cli] def stringifyValues(body: String): String =
+    stringifyValues(body, _ => true)
+
+  /** Rewrite an inline VALUES body casting the elements at positions
+    * where `which` holds to STRING. The full rewrite (`_ => true`)
+    * serves the dynamic-typing retry; the positional form preserves
+    * per-value TEXT provenance ONLY for elements bound to untyped
+    * columns, so typed (INT/DOUBLE) target columns keep receiving
+    * typed values (round 7: full stringification broke INSERTs into
+    * typed CTAS columns with CANNOT_UP_CAST). */
+  private[cli] def stringifyValues(body: String, which: Int => Boolean): String = {
     val m = """(?is)\s*values\s+(.+)""".r.findFirstMatchIn(body).getOrElse(
       throw new IllegalArgumentException("cannot rewrite non-VALUES insert body"))
     val rewritten = splitTopLevel(m.group(1)).map(_.trim).map { r =>
       if (!(r.startsWith("(") && r.endsWith(")")))
         throw new IllegalArgumentException(s"""cannot parse VALUES row near "${r.take(40)}"""")
-      splitTopLevel(r.substring(1, r.length - 1))
-        .map(s => s"CAST((${s.trim}) AS STRING)").mkString("(", ", ", ")")
+      splitTopLevel(r.substring(1, r.length - 1)).zipWithIndex
+        .map { case (s, i) =>
+          if (which(i)) s"CAST((${s.trim}) AS STRING)" else s.trim
+        }.mkString("(", ", ", ")")
     }
     "VALUES " + rewritten.mkString(", ")
   }

@@ -121,6 +121,17 @@ object ScriptRunner {
     // NULL, not an error) whatever the host session's ANSI setting is.
     val savedAnsi = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    // Script tables are LocalRelations; ConvertToLocalRelation would
+    // eagerly evaluate Project/Filter over them DURING optimization —
+    // before the AffinityOrdering extra rule can rewrite comparisons
+    // to SQLite storage-class semantics (fuzz seed 23: `b < ''` must
+    // see numeric-storage b rank below text). Exclude it for the
+    // script's statements only.
+    val exclKey = "spark.sql.optimizer.excludedRules"
+    val savedExcl = spark.conf.getOption(exclKey)
+    val ctlr = "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation"
+    spark.conf.set(exclKey,
+      savedExcl.filter(_.nonEmpty).map(v => s"$v,$ctlr").getOrElse(ctlr))
     val ddlState = new ScriptDdl.State(dbFile) // per-run transaction/pragma tracking
     try graft.functions.GraftFunctions.withSqliteAggregates(spark) {
       for (stmt <- splitStatements(script)) {
@@ -149,7 +160,13 @@ object ScriptRunner {
             }
         }
       }
-    } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
+    } finally {
+      spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
+      savedExcl match {
+        case Some(v) => spark.conf.set(exclKey, v)
+        case None => spark.conf.unset(exclKey)
+      }
+    }
     serializer.close()
   }
 

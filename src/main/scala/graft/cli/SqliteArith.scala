@@ -1,9 +1,10 @@
 package graft.cli
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Divide, Expression, Literal, Multiply, Remainder, SortOrder, Subtract}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort}
-import org.apache.spark.sql.types.{DoubleType, StringType}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Between, Cast, Divide, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, Multiply, Remainder, SortOrder, Subtract}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.SqliteArithExpr
@@ -31,6 +32,22 @@ object SqliteArith {
     Literal(UTF8String.fromString(op), StringType)
 
   private val arithRewrite: PartialFunction[Expression, Expression] = {
+    // BETWEEN survives analysis as a RuntimeReplaceable node that the
+    // storage-class comparison rewrite cannot see into (its >=/<=
+    // pair only appears during optimization, after the post-analysis
+    // fixup ran) — desugar it here so the pair gets the affinity
+    // matrix like any hand-written comparison (fuzz seed 179:
+    // `a BETWEEN -1 AND 1` must be FALSE for REAL -1.25, not the
+    // int-cast TRUE)
+    case Between(v, lower, upper, _) =>
+      And(GreaterThanOrEqual(v, lower), LessThanOrEqual(v, upper))
+    // the parser can also spell it as the unresolved `between(v,l,u)`
+    // function (CatalystSqlParser.parseExpression does)
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+          Seq("between") && f.arguments.size == 3 =>
+      And(GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+        LessThanOrEqual(f.arguments(0), f.arguments(2)))
     case Add(l, r, _)       => SqliteArithExpr(opLit("+"), l, r)
     case Subtract(l, r, _)  => SqliteArithExpr(opLit("-"), l, r)
     case Multiply(l, r, _)  => SqliteArithExpr(opLit("*"), l, r)
@@ -49,14 +66,69 @@ object SqliteArith {
   private def rewriteExpression(e: Expression): Expression =
     e.transformDown(arithRewrite).transformDown(sortRewrite)
 
-  def rewritePlan(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithSubqueries(arithRewrite)
-      .transformAllExpressionsWithSubqueries(sortRewrite)
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(c, _)              => c
+    case UnresolvedAlias(c, _)    => c
+    case _                        => e
+  }
 
-  /** `spark.sql` for a script statement, with the dialect rewrite. */
+  /** `ORDER BY <ordinal>` referring to an arithmetic output column
+    * must also order numerically (fuzz seed 6: "12" sorted before
+    * "5"). Resolved here at parse level — the analyzer would bind the
+    * ordinal to the string-typed alias, past the point where the
+    * numeric cast can be injected. */
+  private def resolveOrdinals(plan: LogicalPlan): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case s @ Sort(order, _, child, _) =>
+        val outs: Option[Seq[Expression]] = child match {
+          case p: Project   => Some(p.projectList.map(stripAlias))
+          case a: Aggregate => Some(a.aggregateExpressions.map(stripAlias))
+          case _            => None
+        }
+        s.copy(order = order.map { so =>
+          val ordinal: Option[Int] = so.child match {
+            case Literal(i: Int, IntegerType) => Some(i)
+            case org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal(i) =>
+              Some(i)
+            case _ => None
+          }
+          ordinal match {
+            case Some(i) if outs.exists(o => i >= 1 && i <= o.size) =>
+              outs.get(i - 1) match {
+                case e: SqliteArithExpr => so.copy(child = Cast(e, DoubleType))
+                case _ => so
+              }
+            case _ => so
+          }
+        })
+    }
+
+  def rewritePlan(plan: LogicalPlan): LogicalPlan =
+    resolveOrdinals(
+      plan.transformAllExpressionsWithSubqueries(arithRewrite)
+        .transformAllExpressionsWithSubqueries(sortRewrite))
+
+  /** `spark.sql` for a script statement, with the dialect rewrite.
+    * After analysis, ORDER BY over computed value-provenance
+    * expressions gets the storage-class sort key (the analyzed plan
+    * still has the Sort directly over the SELECT's projection — the
+    * optimizer may collapse it into union branches, too late). */
   def sql(spark: SparkSession, text: String): DataFrame = {
     val plan = spark.sessionState.sqlParser.parsePlan(text)
-    org.apache.spark.sql.GraftSqlShim.ofRows(spark, rewritePlan(plan))
+    fixup(spark, org.apache.spark.sql.GraftSqlShim.ofRows(spark, rewritePlan(plan)))
+  }
+
+  /** Apply the post-analysis script rewrites (storage-class
+    * comparison keys, computed-sort keys) to an already-built
+    * DataFrame — used both by [[sql]] and by ScriptDdl's
+    * DataFrame-API DML paths (UPDATE/UPSERT rebinds), whose WHERE
+    * conditions otherwise depend on the optimizer-rule pass that
+    * union pushdown can defeat. */
+  def fixup(spark: SparkSession, df: DataFrame): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    val fixed = graft.plans.AffinityOrdering.rewriteScriptPlan(analyzed)
+    if (fixed eq analyzed) df
+    else org.apache.spark.sql.GraftSqlShim.ofRows(spark, fixed)
   }
 
   /** `functions.expr` for a script expression fragment (UPDATE SET /

@@ -137,6 +137,21 @@ object GraftFunctions {
     // graft_rollhash_min(string).
     DotProduct.register(spark)
     RollingHashMin.register(spark)
+
+    // Marker builder for AffinityValue (a custom expression cannot be
+    // built through the public Column API; the registry can). Used by
+    // both the ingest pipeline and the script DDL layer so affinity
+    // provenance survives projection collapse.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_affinity_value",
+      { children =>
+        val aff = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
+          case other => other.eval(null).toString
+        }
+        graft.plans.AffinityValue(children.head, aff)
+      },
+      "scala_udf")
     registerStatic(spark, "graft_fold_accents", StringType, 1,
       Class.forName("graft.functions.TextNorm"))
   }
@@ -165,7 +180,7 @@ object GraftFunctions {
       "strftime", "random", "min", "max", "typeof", "quote", "unicode",
       "ltrim", "rtrim", "trim", "likely", "unlikely", "likelihood", "avg",
       "group_concat", "iif", "printf", "format", "char", "sign", "floor",
-      "ceil", "ceiling", "mod", "like")
+      "ceil", "ceiling", "mod", "like", "abs")
     val saved = names.map(n => FunctionIdentifier(n)).map(id =>
       (id, registry.lookupFunction(id), registry.lookupFunctionBuilder(id)))
     // SQLite's min/max are BOTH the aggregate (1 arg) and a scalar
@@ -312,6 +327,19 @@ object GraftFunctions {
       registry.createOrReplaceTempFunction("mod", { children0 =>
         val Seq(a, b) = arity("mod", 2)(children0)
         Remainder(Cast(a, DoubleType), Cast(b, DoubleType))
+      }, "scala_udf")
+      // SQLite abs(): dynamic storage class for affinity/arithmetic
+      // children (INTEGER stays INTEGER, TEXT storage → REAL via
+      // numeric prefix, abs('x') = 0.0 — sqlite3-pinned, round-7
+      // fuzz); Spark's Abs already preserves the class for operands
+      // that are numeric-TYPED (literals, julianday() results).
+      registry.createOrReplaceTempFunction("abs", { children0 =>
+        val Seq(c) = arity("abs", 1)(children0)
+        if (c.dataType.isInstanceOf[org.apache.spark.sql.types.StringType])
+          scalarsInvoke(
+            if (SqliteScalars.isAffinityChild(c)) "absTextDyn" else "absTextLit",
+            c)
+        else Abs(c, failOnError = false)
       }, "scala_udf")
       // SQLite's like(PATTERN, STRING[, ESCAPE]) function — case-
       // insensitive like the operator (the operator spelling rewrites

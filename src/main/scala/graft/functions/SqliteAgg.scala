@@ -39,13 +39,30 @@ object SqliteSum extends Aggregator[String, SumAcc, String] {
     }
   }
 
+  private val intFullRe = """[+-]?\d+""".r
+
+  /** SQLite AGGREGATE text→numeric coercion (sum/total/avg), which
+    * differs from ARITHMETIC's prefix rule: a string counts as
+    * INTEGER only when the WHOLE trimmed text is an integer; a
+    * whole-real, partial-numeric, or non-numeric string is REAL
+    * (prefix value, 0.0 when none). sqlite3-pinned (round-7 fuzz):
+    * sum('12abc', 1) = 13.0 REAL and sum('', 100) = 100.0 REAL,
+    * while '12abc' + 0 = 12 INTEGER. */
+  def coerceFull(v: String): (Double, Boolean, Option[Long]) = {
+    val t = v.trim
+    if (intFullRe.matches(t))
+      try { val l = t.toLong; (l.toDouble, false, Some(l)) }
+      catch { case _: NumberFormatException => (t.toDouble, true, None) }
+    else (coerce(v)._1, true, None)
+  }
+
   def zero: SumAcc =
     SumAcc(seenAny = false, seenReal = false, overflow = false, 0L, 0.0)
 
   def reduce(acc: SumAcc, v: String): SumAcc =
     if (v == null) acc
     else {
-      val (d, isReal, lOpt) = coerce(v)
+      val (d, isReal, lOpt) = coerceFull(v)
       val real = acc.seenReal || isReal
       var overflow = acc.overflow
       val l =

@@ -28,7 +28,12 @@ object SqliteScalars {
     case a: AttributeReference =>
       a.dataType.isInstanceOf[StringType] &&
         a.metadata.contains(graft.plans.AffinityOrdering.AffinityKey)
-    case AffinityValue(_, _) => true
+    // a "TEXT" tag means TEXT affinity: every value is text storage,
+    // so per-value dynamic classification must NOT apply
+    case AffinityValue(_, aff) => aff != "TEXT"
+    // a script-arithmetic result is a DYNAMIC numeric in canonical
+    // text — its storage class is its value's (typeof(5+3)=integer)
+    case _: SqliteArithExpr => true
     case _ => false
   }
 
@@ -77,6 +82,34 @@ object SqliteScalars {
   }
   def floorText(s: UTF8String): UTF8String = mathText(s, math.floor)
   def ceilText(s: UTF8String): UTF8String = mathText(s, math.ceil)
+
+  /** SQLite `abs()` over an affinity-column value (dynamic storage
+    * class; sqlite3-pinned, round-7 fuzz): INTEGER stays INTEGER
+    * (abs(-3) = 3), REAL stays REAL, TEXT-storage converts to REAL
+    * via the longest numeric prefix (abs('x') = 0.0, abs('12abc') =
+    * 12.0 — NOT NULL, unlike floor/ceil). */
+  def absTextDyn(s: UTF8String): UTF8String = {
+    val t = s.toString.trim
+    classify(t) match {
+      case "integer" =>
+        val l = t.toLong
+        if (l == Long.MinValue) // |MIN| overflows: sqlite goes REAL? no —
+          // sqlite raises "integer overflow"; match that surface
+          throw new IllegalArgumentException("integer overflow")
+        UTF8String.fromString(String.valueOf(math.abs(l)))
+      case "real" =>
+        UTF8String.fromString(Affinity.formatReal(math.abs(t.toDouble)))
+      case _ =>
+        UTF8String.fromString(
+          Affinity.formatReal(math.abs(SqliteCast.textToReal(s))))
+    }
+  }
+
+  /** SQLite `abs()` over a PLAIN string expression (TEXT storage →
+    * always the REAL conversion: abs('5') = 5.0, typeof real). */
+  def absTextLit(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      Affinity.formatReal(math.abs(SqliteCast.textToReal(s))))
 }
 
 /** `dynamicClass` is decided by the REGISTRATION BUILDER while the

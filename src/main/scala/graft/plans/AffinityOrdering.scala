@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, MaxBy, Min, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
@@ -55,8 +55,44 @@ object AffinityOrdering extends Rule[LogicalPlan] {
   private def isAffinityAttr(e: Expression): Boolean = e match {
     case a: AttributeReference =>
       a.dataType == StringType && a.metadata.contains(AffinityKey)
-    case AffinityValue(_, _) => true // survives pushdown substitution
+    // survives pushdown substitution; the "TEXT" tag is provenance
+    // for COMPARISONS only — TEXT columns order by plain memcmp, so
+    // they are not "affinity attrs" for the sort/min/max rewrites
+    case AffinityValue(_, aff) => aff != "TEXT"
     case _ => false
+  }
+
+  /** True when the tagged column has a NUMERIC-family affinity
+    * (INTEGER/REAL/NUMERIC) — which SQLite APPLIES to the other
+    * comparison operand; the "NONE" tag (BLOB/undeclared columns)
+    * keeps value-based ordering but converts nothing. */
+  private def hasNumericAffinity(e: Expression): Boolean = e match {
+    case a: AttributeReference =>
+      a.metadata.contains(AffinityKey) &&
+        a.metadata.getString(AffinityKey) != "NONE"
+    case AffinityValue(_, aff) => aff != "NONE" && aff != "TEXT"
+    case _ => false
+  }
+
+  /** A TEXT-affinity column: holds only TEXT storage, and SQLite
+    * applies TEXT affinity to whatever it is compared against.
+    * Recognized by declared-type metadata, or by the "TEXT"
+    * AffinityValue tag once pushdown has substituted the attribute
+    * away (these columns carry no AffinityKey — plain memcmp is
+    * their correct ORDER BY). */
+  private def isTextDeclAttr(e: Expression): Boolean = e match {
+    case a: AttributeReference =>
+      a.dataType == StringType && !a.metadata.contains(AffinityKey) &&
+        a.metadata.contains(graft.sources.Affinity.DeclKey) &&
+        graft.sources.Affinity.hasAffinity(
+          a.metadata.getString(graft.sources.Affinity.DeclKey)) == "TEXT"
+    case AffinityValue(_, "TEXT") => true
+    case _ => false
+  }
+
+  private def stripCasts(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => stripCasts(c)
+    case _ => e
   }
 
   /** The cross-type key for expression builders outside this rule
@@ -83,6 +119,112 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     If(IsNull(a), Literal.create(null, key.dataType), key)
   }
 
+  /** ORDER BY over a string-typed COMPUTED expression whose value
+    * provenance can carry numeric storage (coalesce/CASE over
+    * affinity columns, script arithmetic results) sorts by the
+    * cross-type key too — SQLite orders by each VALUE's storage
+    * class wherever the value came from (round-7 fuzz seed 23:
+    * `ORDER BY coalesce(c, -1.25)` ranks '' after the numerics).
+    * Applied by SqliteArith on the ANALYZED plan of each script
+    * statement — there the Sort still sits directly on the SELECT's
+    * Project/Aggregate, so the ordinal/alias indirection resolves by
+    * looking one level down (after optimization the projection may
+    * have collapsed into union branches, too late to see the alias).
+    */
+  def rewriteComputedSorts(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case s @ Sort(order, _, child, _) =>
+        val aliased: Map[ExprId, Expression] = (child match {
+          case p: Project => p.projectList
+          case a: Aggregate => a.aggregateExpressions
+          case _ => Seq.empty
+        }).collect { case al @ Alias(c, _) => al.exprId -> c }.toMap
+        s.copy(order = order.map { so =>
+          so.child match {
+            case ar: AttributeReference
+                if ar.dataType == StringType &&
+                  !ar.metadata.contains(AffinityKey) &&
+                  aliased.get(ar.exprId).exists(valueModeExpr) =>
+              so.copy(child = sortKey(ar))
+            case e
+                if e.dataType == StringType && !isAffinityAttr(e) &&
+                  valueModeExpr(e) =>
+              so.copy(child = sortKey(e))
+            case _ => so
+          }
+        })
+    }
+
+  /** The comparison-matrix rewrite alone (same cases the optimizer
+    * rule applies). Script statements ALSO run this on their ANALYZED
+    * plan — at that point every comparison still references the
+    * table view's attributes, which carry affinity metadata; after
+    * optimization, PushProjectionThroughUnion re-aliases union
+    * branches WITHOUT the metadata, so the optimizer-rule pass can
+    * miss branch copies (round-7 fuzz: UPDATE rebind over a unioned
+    * script table rewrote one branch's WHERE but not the other's).
+    * Idempotent: an already-keyed comparison has no recognized
+    * operand. */
+  def rewriteComparisons(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case LessThan(l, r) if cmpKeys(l, r).isDefined =>
+        val (a, b) = cmpKeys(l, r).get; LessThan(a, b)
+      case LessThanOrEqual(l, r) if cmpKeys(l, r).isDefined =>
+        val (a, b) = cmpKeys(l, r).get; LessThanOrEqual(a, b)
+      case GreaterThan(l, r) if cmpKeys(l, r).isDefined =>
+        val (a, b) = cmpKeys(l, r).get; GreaterThan(a, b)
+      case GreaterThanOrEqual(l, r) if cmpKeys(l, r).isDefined =>
+        val (a, b) = cmpKeys(l, r).get; GreaterThanOrEqual(a, b)
+      // equality obeys the same operand-affinity matrix: under a
+      // NUMERIC-affinity column `d <> 100` must be TRUE for a
+      // TEXT-storage 'd' value (cross-class values are never equal),
+      // where Spark's numeric coercion yields NULL (fuzz round 7)
+      case EqualTo(l, r) if eqKeys(l, r).isDefined =>
+        val (a, b) = eqKeys(l, r).get; EqualTo(a, b)
+      // IN applies the LEFT operand's affinity to every list value
+      // (sqlite.org/lang_expr.html §7: "the affinity of the left
+      // operand is applied to each value on the right")
+      case In(l, items) if inKeys(l, items).isDefined =>
+        val (a, bs) = inKeys(l, items).get; In(a, bs)
+    }
+
+  /** Equality keys ONLY for the column-vs-literal shape: canonical
+    * storage already makes column-vs-column equality string-identical
+    * (and rewriting a JOIN's `a1 = b1` would reshape pinned plans),
+    * while a literal needs the affinity matrix (`d <> 100` is TRUE
+    * for a TEXT-storage value under a NUMERIC-affinity column). */
+  private def eqKeys(l: Expression,
+      r: Expression): Option[(Expression, Expression)] = {
+    val l0 = stripCasts(l)
+    val r0 = stripCasts(r)
+    def rec(e: Expression) = isAffinityAttr(e) || isTextDeclAttr(e)
+    val colVsLit = (rec(l0) && !rec(r0) && r0.foldable) ||
+      (rec(r0) && !rec(l0) && l0.foldable)
+    if (colVsLit) cmpKeys(l, r) else None
+  }
+
+  /** Keys for `l IN (items…)` when l is a recognized column and every
+    * item is foldable; mode decided by l's affinity alone. */
+  private def inKeys(l: Expression,
+      items: Seq[Expression]): Option[(Expression, Seq[Expression])] = {
+    val l0 = stripCasts(l)
+    val is = items.map(stripCasts)
+    val recognized = isAffinityAttr(l0) || isTextDeclAttr(l0)
+    if (!recognized || !is.forall(_.foldable)) None
+    else if (hasNumericAffinity(l0))
+      Some((valueKey(l0), is.map(valueKey)))
+    else if (isTextDeclAttr(l0))
+      Some((textKey(l0), is.map(textKey)))
+    else // no-affinity column: items keep their natural storage class
+      Some((valueKey(l0), is.map(i =>
+        if (i.dataType == StringType) textKey(i) else valueKey(i))))
+  }
+
+  /** Post-analysis rewrite for SCRIPT statements: storage-class
+    * comparison keys + computed-sort keys. */
+  def rewriteScriptPlan(plan: LogicalPlan): LogicalPlan =
+    rewriteComparisons(rewriteComputedSorts(plan))
+
   def apply(plan: LogicalPlan): LogicalPlan = {
     plan.transformAllExpressions {
       // every ordering spec — Sort nodes, window ORDER BY, ordered
@@ -101,25 +243,112 @@ object AffinityOrdering extends Rule[LogicalPlan] {
         ae.copy(aggregateFunction = MinBy(a, sortKey(a)))
       case ae @ AggregateExpression(Max(a), _, _, _, _) if isAffinityAttr(a) =>
         ae.copy(aggregateFunction = MaxBy(a, sortKey(a)))
-      // Inequalities where BOTH sides are strings and at least one is
-      // an affinity column compare by the cross-type key ('9' < '10',
-      // numeric < text). Mixed string-vs-numeric comparisons keep
-      // Spark's numeric coercion (they arrive Cast-wrapped and don't
-      // match). Equality needs no rewrite: canonicalization already
+      // Inequalities involving a recognized column (affinity-tagged
+      // or TEXT-declared) against another such column or a foldable
+      // literal compare by SQLite's comparison-affinity matrix (see
+      // cmpKeys). Equality needs no rewrite: canonicalization already
       // makes equal storage values string-identical.
-      case c @ LessThan(l, r) if comparableAffinityPair(l, r) =>
-        LessThan(sortKey(l), sortKey(r))
-      case c @ LessThanOrEqual(l, r) if comparableAffinityPair(l, r) =>
-        LessThanOrEqual(sortKey(l), sortKey(r))
-      case c @ GreaterThan(l, r) if comparableAffinityPair(l, r) =>
-        GreaterThan(sortKey(l), sortKey(r))
-      case c @ GreaterThanOrEqual(l, r) if comparableAffinityPair(l, r) =>
-        GreaterThanOrEqual(sortKey(l), sortKey(r))
+      case LessThan(l, r) if cmpKeys(l, r).isDefined =>
+        val (a, b) = cmpKeys(l, r).get; LessThan(a, b)
+      case LessThanOrEqual(l, r) if cmpKeys(l, r).isDefined =>
+        val (a, b) = cmpKeys(l, r).get; LessThanOrEqual(a, b)
+      case GreaterThan(l, r) if cmpKeys(l, r).isDefined =>
+        val (a, b) = cmpKeys(l, r).get; GreaterThan(a, b)
+      case GreaterThanOrEqual(l, r) if cmpKeys(l, r).isDefined =>
+        val (a, b) = cmpKeys(l, r).get; GreaterThanOrEqual(a, b)
     }
   }
 
-  private def comparableAffinityPair(l: Expression, r: Expression): Boolean =
-    l.dataType == StringType && r.dataType == StringType &&
-      (isAffinityAttr(l) || isAffinityAttr(r)) &&
-      (isAffinityAttr(l) || l.foldable) && (isAffinityAttr(r) || r.foldable)
+  /** SQLite comparison semantics for `< <= > >=` involving an
+    * affinity-tagged or TEXT-affinity column (sqlite.org/datatype3
+    * §4.2, operand matrix sqlite3-pinned by the round-7 fuzz):
+    *  - a NUMERIC-family affinity on either side applies NUMERIC
+    *    conversion to BOTH operands → value-based storage-class keys
+    *    (so `n > '9'` is numeric, and a non-numeric value in `n`
+    *    still ranks in the TEXT tier: `'x' > 9` is true);
+    *  - else a TEXT affinity on either side applies TEXT conversion →
+    *    both operands compare as text, numbers rendering to their
+    *    SQLite text (`b > 9` with b TEXT compares '10' vs '9');
+    *  - else (no affinity anywhere) each operand keeps its natural
+    *    storage class: a "NONE"-tagged column's canonical value
+    *    classifies itself, a string literal is TEXT storage (`u > '9'`
+    *    with u holding 10 → numeric 10 < text '9'), a numeric literal
+    *    is numeric.
+    * Operand provenance (same contract as the pre-round-7 rewrite):
+    * each side must be a recognized column or a FOLDABLE expression,
+    * possibly Cast-wrapped by type coercion.
+    */
+  private def cmpKeys(l: Expression,
+      r: Expression): Option[(Expression, Expression)] = {
+    val l0 = stripCasts(l)
+    val r0 = stripCasts(r)
+    def recognized(e: Expression) = isAffinityAttr(e) || isTextDeclAttr(e)
+    def known(e: Expression) = recognized(e) || e.foldable
+    // a COLLATE'd operand keeps Spark's collated comparison (the
+    // documented scope limit: storage-class tiering is not combined
+    // with collations in comparisons — only in ORDER BY via sortKey)
+    def collated(e: Expression) =
+      e.exists { case _: Collate => true; case _ => false }
+    if (!(recognized(l0) || recognized(r0)) || !known(l0) || !known(r0) ||
+        collated(l) || collated(r)) None
+    else {
+      val pairNum = hasNumericAffinity(l0) || hasNumericAffinity(r0)
+      val pairText = !pairNum && (isTextDeclAttr(l0) || isTextDeclAttr(r0))
+      def key(e0: Expression): Expression =
+        if (pairNum) valueKey(e0)
+        else if (pairText) textKey(e0)
+        else if (isAffinityAttr(e0)) valueKey(e0) // NONE col: natural class
+        else if (e0.dataType == StringType) textKey(e0) // literal: TEXT storage
+        else valueKey(e0) // numeric literal
+      Some((key(l0), key(r0)))
+    }
+  }
+
+  /** String expression whose VALUES can carry numeric storage class
+    * (so an ORDER BY over it must use the cross-type key): affinity
+    * columns, script-arithmetic results, and conditionals mixing
+    * them. Functions that PRODUCE text storage (substr, upper, CAST
+    * AS TEXT…) deliberately return false — their results order by
+    * memcmp like any TEXT value. */
+  private def valueModeExpr(e: Expression): Boolean = e match {
+    case a: AttributeReference => a.metadata.contains(AffinityKey)
+    case AffinityValue(_, aff) => aff != "TEXT"
+    case _: graft.functions.SqliteArithExpr => true
+    // the dynamic-class scalar shadows (abs/floor/ceil over affinity
+    // values) return storage-class-bearing canonical text
+    case s: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+        if Set("absTextDyn", "absTextLit", "floorText", "ceilText")
+          .contains(s.functionName) => true
+    case Coalesce(cs) => cs.exists(valueModeExpr)
+    case CaseWhen(branches, elseV) =>
+      branches.exists(b => valueModeExpr(b._2)) || elseV.exists(valueModeExpr)
+    case If(_, t, f) => valueModeExpr(t) || valueModeExpr(f)
+    case _ => false
+  }
+
+  /** Storage-class key when the operand's value decides its class:
+    * strings classify per value, numeric-typed operands are numeric. */
+  private def valueKey(e: Expression): Expression =
+    if (e.dataType == StringType) sortKey(e) else numKey(e)
+
+  private def numKey(e: Expression): Expression = {
+    val key = CreateNamedStruct(Seq(
+      Literal("r"), Literal(0, IntegerType),
+      Literal("n"), Cast(e, DoubleType, None, EvalMode.TRY),
+      Literal("t"), Literal("")))
+    If(IsNull(e), Literal.create(null, key.dataType), key)
+  }
+
+  /** TEXT-affinity-applied key: everything compares as its SQLite
+    * text rendering in the TEXT tier. */
+  private def textKey(e: Expression): Expression = {
+    val txt =
+      if (e.dataType == StringType) e
+      else graft.functions.SqliteCastText(e)
+    val key = CreateNamedStruct(Seq(
+      Literal("r"), Literal(1, IntegerType),
+      Literal("n"), Literal(0.0, DoubleType),
+      Literal("t"), txt))
+    If(IsNull(e), Literal.create(null, key.dataType), key)
+  }
 }

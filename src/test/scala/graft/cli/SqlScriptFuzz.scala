@@ -1,0 +1,355 @@
+package graft.cli
+
+import java.io.StringWriter
+import java.nio.charset.StandardCharsets
+
+import scala.util.Random
+
+import org.apache.spark.sql.SparkSession
+
+/** Differential statement fuzz against the sqlite3 CLI (round-7 task:
+  * the reference's contract is "any script sqlite3 accepts",
+  * lib/classes/sqawk.tcl:216, so the dialect surface must be probed by
+  * GENERATED scripts, not only hand-picked pins).
+  *
+  * A seed deterministically generates a multi-statement script over
+  * the implemented grammar — CREATE TABLE with column affinities /
+  * PRIMARY KEY / NOT NULL / DEFAULT / UNIQUE, INSERT (multi-row,
+  * column lists, OR IGNORE / OR REPLACE), UPDATE / DELETE, UPSERT,
+  * ALTER TABLE (ADD / RENAME / DROP COLUMN), BEGIN / COMMIT /
+  * ROLLBACK / SAVEPOINT, CREATE UNIQUE INDEX, CREATE TEMP VIEW,
+  * arithmetic / string / CASE expressions and WHERE predicates — and
+  * both engines run the SAME text:
+  *
+  *  - graft: ScriptRunner.run with the awk serializer (OFS = 0x1f so
+  *    field boundaries are unambiguous);
+  *  - sqlite3: `-batch -bail -list -noheader -separator 0x1f
+  *    :memory:` reading the script on stdin.
+  *
+  * Output protocol: both engines render NULL as "", REALs as %!.15g,
+  * rows newline-terminated. Every generated SELECT carries an ORDER
+  * BY over all output ordinals, so raw (unsorted) text compare is
+  * sound. A script whose execution errors is still compared on the
+  * output BEFORE the error plus the errored flag — graft aborts a
+  * script at the first failing statement exactly like `-bail`.
+  *
+  * Not generated (documented gaps / nondeterminism): CREATE TRIGGER,
+  * expression/partial/COLLATE indexes, RETURNING (row order is
+  * engine-private), group_concat (concatenation order), random(),
+  * typeof() around arithmetic results.
+  */
+object SqlScriptFuzz {
+
+  final val Sep = ""
+
+  // ---------------------------------------------------------------- //
+  //  generation                                                      //
+  // ---------------------------------------------------------------- //
+
+  private case class Col(name: String, decl: String, notNull: Boolean)
+
+  private val decls = Vector("INTEGER", "TEXT", "REAL", "NUMERIC", "")
+
+  private val intLits = Vector("0", "1", "-5", "7", "42", "100", "-1")
+  private val realLits = Vector("0.5", "2.5", "-1.25", "100.0", "1e2")
+  private val textLits =
+    Vector("'x'", "'abc'", "'12abc'", "''", "'B'", "'zz'", "'5'", "'5.5'", "'-3'")
+
+  /** Text literals that classify the same under graft's value-based
+    * storage model and sqlite's provenance-based one: NOT
+    * numeric-looking ('5' through coalesce/CASE or into a
+    * NO-affinity column carries TEXT storage in sqlite but would
+    * classify numeric under graft's canonical-string model — the
+    * engine's one documented value-provenance deviation, see
+    * storeCanonical's scaladoc). */
+  private val safeTextLits = Vector("'x'", "'abc'", "''", "'B'", "'zz'", "'12abc'")
+
+  /** Literal for EXPRESSION positions (coalesce/CASE branches,
+    * comparison operands): numeric-looking quoted strings are
+    * excluded — a '5' flowing through coalesce/CASE carries TEXT
+    * storage in sqlite but would classify numeric under graft's
+    * canonical-value model (the documented value-provenance
+    * deviation); safeTextLits classify identically in both. */
+  private def lit(rnd: Random): String = rnd.nextInt(10) match {
+    case 0 | 1 | 2 | 3 => intLits(rnd.nextInt(intLits.size))
+    case 4 | 5         => realLits(rnd.nextInt(realLits.size))
+    case 6 | 7 | 8     => safeTextLits(rnd.nextInt(safeTextLits.size))
+    case _             => "NULL"
+  }
+
+  private def colRef(rnd: Random, cols: Vector[Col]): String =
+    cols(rnd.nextInt(cols.size)).name
+
+  /** A scalar expression over the table's columns. */
+  private def expr(rnd: Random, cols: Vector[Col], depth: Int = 0): String = {
+    val c = colRef(rnd, cols)
+    if (depth >= 2) return if (rnd.nextBoolean()) c else lit(rnd)
+    rnd.nextInt(12) match {
+      case 0 => s"$c + ${lit(rnd)}"
+      case 1 => s"$c - ${lit(rnd)}"
+      case 2 => s"$c * 2"
+      case 3 => s"$c / 2"
+      case 4 => s"$c % 3"
+      case 5 => s"upper(${colRef(rnd, cols)})"
+      case 6 => s"length(${colRef(rnd, cols)})"
+      case 7 => s"substr($c, 1, 2)"
+      case 8 => s"coalesce($c, ${lit(rnd)})"
+      case 9 => s"abs($c)"
+      case 10 =>
+        s"CASE WHEN ${pred(rnd, cols, depth + 1)} THEN ${expr(rnd, cols, depth + 1)} " +
+          s"ELSE ${expr(rnd, cols, depth + 1)} END"
+      case _ => s"(${expr(rnd, cols, depth + 1)}) + (${expr(rnd, cols, depth + 1)})"
+    }
+  }
+
+  private def pred(rnd: Random, cols: Vector[Col], depth: Int = 0): String = {
+    val c = colRef(rnd, cols)
+    if (depth >= 2) return s"$c IS NOT NULL"
+    rnd.nextInt(10) match {
+      case 0 => s"$c > ${lit(rnd)}"
+      case 1 => s"$c < ${lit(rnd)}"
+      case 2 => s"$c = ${lit(rnd)}"
+      case 3 => s"$c <> ${lit(rnd)}"
+      case 4 => s"$c IS NULL"
+      case 5 => s"$c IS NOT NULL"
+      case 6 => s"$c IN (${Seq.fill(2 + rnd.nextInt(2))(lit(rnd)).mkString(", ")})"
+      case 7 => s"$c BETWEEN ${intLits(rnd.nextInt(intLits.size))} AND " +
+        s"${intLits(rnd.nextInt(intLits.size))}"
+      case 8 => s"(${pred(rnd, cols, depth + 1)}) AND (${pred(rnd, cols, depth + 1)})"
+      case _ => s"(${pred(rnd, cols, depth + 1)}) OR (${pred(rnd, cols, depth + 1)})"
+    }
+  }
+
+  private def valueFor(rnd: Random, c: Col): String =
+    if (c.notNull && rnd.nextInt(8) == 0) lit(rnd) // may still draw NULL → error path
+    else if (!c.notNull && rnd.nextInt(8) == 0) "NULL"
+    else c.decl match {
+      case "INTEGER" => if (rnd.nextInt(4) == 0) textLits(rnd.nextInt(textLits.size))
+                        else intLits(rnd.nextInt(intLits.size))
+      case "REAL"    => realLits(rnd.nextInt(realLits.size))
+      case "TEXT"    => textLits(rnd.nextInt(textLits.size))
+      case "NUMERIC" => lit(rnd)
+      case _ => // no-affinity column: dodge the value-provenance deviation
+        rnd.nextInt(3) match {
+          case 0 => intLits(rnd.nextInt(intLits.size))
+          case 1 => realLits(rnd.nextInt(realLits.size))
+          case _ => safeTextLits(rnd.nextInt(safeTextLits.size))
+        }
+    }
+
+  /** Generate one deterministic script for a seed. */
+  def genScript(seed: Long): String = {
+    val rnd = new Random(seed)
+    val stmts = Vector.newBuilder[String]
+
+    // --- CREATE TABLE t1 -------------------------------------------
+    val nCols = 3 + rnd.nextInt(3)
+    val names = Vector("a", "b", "c", "d", "e").take(nCols)
+    val pkIdx = if (rnd.nextInt(10) < 4) Some(0) else None
+    var cols: Vector[Col] = names.zipWithIndex.map { case (n, i) =>
+      val decl =
+        if (pkIdx.contains(i)) "INTEGER"
+        else decls(rnd.nextInt(decls.size))
+      val nn = !pkIdx.contains(i) && rnd.nextInt(8) == 0
+      Col(n, decl, nn)
+    }
+    val defaults = cols.map(c =>
+      if (!c.notNull && rnd.nextInt(6) == 0) Some(valueFor(rnd, c)) else None)
+    val colDefs = cols.zip(defaults).zipWithIndex.map { case ((c, dflt), i) =>
+      val parts = Vector(c.name) ++
+        (if (c.decl.nonEmpty) Vector(c.decl) else Vector.empty) ++
+        (if (pkIdx.contains(i)) Vector("PRIMARY KEY") else Vector.empty) ++
+        (if (c.notNull) Vector("NOT NULL") else Vector.empty) ++
+        dflt.map(d => s"DEFAULT $d").toVector
+      parts.mkString(" ")
+    }
+    val tableConstraint =
+      if (pkIdx.isEmpty && rnd.nextInt(5) == 0)
+        s", UNIQUE (${cols(1 + rnd.nextInt(cols.size - 1)).name})"
+      else ""
+    stmts += s"CREATE TABLE t1 (${colDefs.mkString(", ")}$tableConstraint)"
+
+    // --- initial INSERTs -------------------------------------------
+    val nIns = 2 + rnd.nextInt(3)
+    for (_ <- 1 to nIns) {
+      val conflict = rnd.nextInt(10) match {
+        case 0 => "OR IGNORE "
+        case 1 => "OR REPLACE "
+        case _ => ""
+      }
+      if (rnd.nextInt(4) == 0 && cols.size > 2) {
+        // column-list subset insert
+        val subset = rnd.shuffle(cols).take(2 + rnd.nextInt(cols.size - 1))
+        val vals = subset.map(c => valueFor(rnd, c))
+        stmts += s"INSERT ${conflict}INTO t1 (${subset.map(_.name).mkString(", ")}) " +
+          s"VALUES (${vals.mkString(", ")})"
+      } else {
+        val nRows = 1 + rnd.nextInt(3)
+        val rows = Seq.fill(nRows)(
+          s"(${cols.map(c => valueFor(rnd, c)).mkString(", ")})")
+        stmts += s"INSERT ${conflict}INTO t1 VALUES ${rows.mkString(", ")}"
+      }
+    }
+
+    // --- ALTER TABLE (before any index/view references) ------------
+    if (rnd.nextInt(10) < 3) rnd.nextInt(3) match {
+      case 0 =>
+        val d = decls(rnd.nextInt(decls.size))
+        val dflt = if (rnd.nextBoolean())
+          s" DEFAULT ${valueFor(rnd, Col("z", d, notNull = false))}" else ""
+        stmts += s"ALTER TABLE t1 ADD COLUMN z ${d}$dflt".trim
+        cols = cols :+ Col("z", d, notNull = false)
+      case 1 =>
+        val old = cols.last.name
+        stmts += s"ALTER TABLE t1 RENAME COLUMN $old TO ${old}r"
+        cols = cols.init :+ cols.last.copy(name = s"${old}r")
+      case _ if cols.size > 2 && !pkIdx.contains(cols.size - 1) =>
+        stmts += s"ALTER TABLE t1 DROP COLUMN ${cols.last.name}"
+        cols = cols.init
+      case _ => ()
+    }
+
+    // --- optional unique index (t1 only, plain columns) ------------
+    val indexed = if (rnd.nextInt(10) < 3) {
+      val c = cols(rnd.nextInt(cols.size)).name
+      stmts += s"CREATE UNIQUE INDEX i1 ON t1 ($c)"
+      Some(c)
+    } else None
+
+    // --- DML block, sometimes inside a transaction ------------------
+    val inTx = rnd.nextInt(10) < 4
+    if (inTx) stmts += "BEGIN"
+    val nDml = 1 + rnd.nextInt(3)
+    for (_ <- 1 to nDml) rnd.nextInt(6) match {
+      case 0 | 1 =>
+        val target = cols(rnd.nextInt(cols.size))
+        stmts += s"UPDATE t1 SET ${target.name} = ${expr(rnd, cols)} " +
+          s"WHERE ${pred(rnd, cols)}"
+      case 2 =>
+        stmts += s"DELETE FROM t1 WHERE ${pred(rnd, cols)}"
+      case 3 if pkIdx.isDefined || indexed.isDefined =>
+        val key = indexed.getOrElse(cols(pkIdx.get).name)
+        val other = cols.find(_.name != key).getOrElse(cols.head)
+        val vals = cols.map(c => valueFor(rnd, c))
+        val action =
+          if (rnd.nextBoolean()) "DO NOTHING"
+          else s"DO UPDATE SET ${other.name} = excluded.${other.name}"
+        stmts += s"INSERT INTO t1 VALUES (${vals.mkString(", ")}) " +
+          s"ON CONFLICT ($key) $action"
+      case _ =>
+        val vals = cols.map(c => valueFor(rnd, c))
+        stmts += s"INSERT INTO t1 VALUES (${vals.mkString(", ")})"
+    }
+    if (inTx) {
+      rnd.nextInt(3) match {
+        case 0 => stmts += "ROLLBACK"
+        case 1 => stmts += "COMMIT"
+        case _ =>
+          stmts += "SAVEPOINT s1"
+          stmts += s"DELETE FROM t1 WHERE ${pred(rnd, cols)}"
+          stmts += "ROLLBACK TO s1"
+          stmts += "COMMIT"
+      }
+    }
+
+    // --- optional view ---------------------------------------------
+    val hasView = rnd.nextInt(10) < 3
+    if (hasView) {
+      val vcols = rnd.shuffle(cols).take(2)
+      stmts += s"CREATE TEMP VIEW v1 AS SELECT ${vcols.map(_.name).mkString(", ")} " +
+        s"FROM t1 WHERE ${pred(rnd, cols)}"
+    }
+
+    // --- final SELECTs (always fully ordered) -----------------------
+    val nSel = 1 + rnd.nextInt(3)
+    for (_ <- 1 to nSel) rnd.nextInt(5) match {
+      case 0 =>
+        val ords = cols.indices.map(i => s"${i + 1}").mkString(", ")
+        stmts += s"SELECT * FROM t1 ORDER BY $ords"
+      case 1 =>
+        val es = Seq.fill(2 + rnd.nextInt(2))(expr(rnd, cols))
+        val ords = es.indices.map(i => s"${i + 1}").mkString(", ")
+        stmts += s"SELECT ${es.mkString(", ")} FROM t1 " +
+          s"WHERE ${pred(rnd, cols)} ORDER BY $ords"
+      case 2 =>
+        // group keys come from DECLARED columns only: canonicalization
+        // makes their values unambiguous, while an untyped column can
+        // hold 100 and 100.0 as distinct strings that sqlite's
+        // numeric grouping would merge
+        val declared = cols.filter(_.decl.nonEmpty)
+        val g = (if (declared.nonEmpty) declared(rnd.nextInt(declared.size))
+                 else cols(rnd.nextInt(cols.size))).name
+        val agg = rnd.nextInt(5) match {
+          case 0 => s"count(*)"
+          case 1 => s"sum(${colRef(rnd, cols)})"
+          case 2 => s"total(${colRef(rnd, cols)})"
+          case 3 => s"min(${colRef(rnd, cols)})"
+          case _ => s"max(${colRef(rnd, cols)})"
+        }
+        val having = if (rnd.nextInt(3) == 0) " HAVING count(*) >= 1" else ""
+        stmts += s"SELECT $g, $agg FROM t1 GROUP BY $g$having ORDER BY 1"
+      case 3 if hasView =>
+        stmts += "SELECT * FROM v1 ORDER BY 1, 2"
+      case _ =>
+        stmts += s"SELECT count(*) FROM t1 WHERE ${pred(rnd, cols)}"
+    }
+
+    stmts.result().mkString(";\n") + ";\n"
+  }
+
+  // ---------------------------------------------------------------- //
+  //  execution                                                       //
+  // ---------------------------------------------------------------- //
+
+  /** (errored, stdout). Leaves no temp views behind. */
+  def runGraft(spark: SparkSession, script: String): (Boolean, String) = {
+    graft.functions.GraftFunctions.register(spark)
+    val sw = new StringWriter
+    val ser = ScriptRunner.makeSerializer("awk",
+      GlobalOptions(ofs = Sep), sw)
+    val r =
+      try { ScriptRunner.run(spark, script, ser, None); (false, sw.toString) }
+      catch {
+        case _: Throwable =>
+          try ser.close() catch { case _: Throwable => () }
+          (true, sw.toString)
+      }
+    for (t <- Seq("t1", "v1")) spark.catalog.dropTempView(t)
+    r
+  }
+
+  /** (errored, stdout) from the sqlite3 CLI, script on stdin. */
+  def runSqlite(script: String): (Boolean, String) = {
+    val pb = new ProcessBuilder("sqlite3", "-batch", "-bail", "-list",
+      "-noheader", "-separator", Sep, ":memory:")
+    pb.redirectErrorStream(false)
+    val p = pb.start()
+    p.getOutputStream.write(script.getBytes(StandardCharsets.UTF_8))
+    p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    p.getErrorStream.readAllBytes()
+    val code = p.waitFor()
+    (code != 0, out)
+  }
+
+  final case class Divergence(seed: Long, script: String,
+      graft: (Boolean, String), sqlite: (Boolean, String))
+
+  /** Run seeds [from, from+n) through both engines; return divergences. */
+  def sweep(spark: SparkSession, from: Long, n: Int,
+      progressEvery: Int = 0): Seq[Divergence] = {
+    val bad = Vector.newBuilder[Divergence]
+    var i = 0
+    while (i < n) {
+      val seed = from + i
+      val script = genScript(seed)
+      val g = runGraft(spark, script)
+      val s = runSqlite(script)
+      if (g != s) bad += Divergence(seed, script, g, s)
+      i += 1
+      if (progressEvery > 0 && i % progressEvery == 0)
+        println(s"[fuzz] $i/$n done, ${bad.result().size} divergent")
+    }
+    bad.result()
+  }
+}
