@@ -187,7 +187,17 @@ object ScriptDdl {
   private[cli] final case class Snapshot(
       views: Map[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation],
       indexes: Vector[IdxDef],
+      triggers: Vector[TriggerDef],
       userVersion: Long)
+
+  /** One FOR EACH ROW trigger (round 7): timing BEFORE/AFTER, event
+    * INSERT/UPDATE/DELETE, optional UPDATE OF column list, optional
+    * WHEN condition, and the body's statements verbatim (OLD./NEW.
+    * references substitute per fired row). INSTEAD OF and view
+    * triggers are rejected like sqlite3. */
+  private[cli] final case class TriggerDef(
+      name: String, table: String, timing: String, event: String,
+      updateCols: Seq[String], when: Option[String], body: Seq[String])
 
   /** Per-script-run mutable state: the transaction/savepoint surface
     * needs statement-to-statement memory for rollback and its error
@@ -203,6 +213,15 @@ object ScriptDdl {
       * rollback restores it (an index created inside a rolled-back
       * transaction loses its constraint, like sqlite3). */
     private[ScriptDdl] val indexes = scala.collection.mutable.ArrayBuffer.empty[IdxDef]
+    /** CREATE TRIGGER registry, creation-ordered; firing iterates it
+      * NEWEST-FIRST per row (sqlite3-pinned: two AFTER INSERT
+      * triggers fire in reverse creation order for each row). */
+    private[ScriptDdl] val triggers = scala.collection.mutable.ArrayBuffer.empty[TriggerDef]
+    /** Names of triggers currently mid-fire: a trigger never recurses
+      * into itself (sqlite3's default recursive_triggers=off — a
+      * body INSERT into the trigger's own table inserts WITHOUT
+      * re-firing, pinned). */
+    private[ScriptDdl] val firing = scala.collection.mutable.Set.empty[String]
     private[ScriptDdl] var userVersion: Long = 0L
     /** ATTACH registry, insertion-ordered like sqlite3's search
       * order. One VIEW backs each attached table, so the bare and
@@ -275,6 +294,7 @@ object ScriptDdl {
     Snapshot(
       cat.getTempViewNames().flatMap(n => cat.getRawTempView(n).map(n -> _)).toMap,
       state.indexes.toVector,
+      state.triggers.toVector,
       state.userVersion)
   }
 
@@ -284,6 +304,8 @@ object ScriptDdl {
     for ((n, d) <- snap.views) cat.createTempView(n, d, overrideIfExists = true)
     state.indexes.clear()
     state.indexes ++= snap.indexes
+    state.triggers.clear()
+    state.triggers ++= snap.triggers
     state.userVersion = snap.userVersion
   }
 
@@ -311,7 +333,14 @@ object ScriptDdl {
   private val DropIndex =
     """(?is)\s*drop\s+index\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val CreateTrigger =
+    ("""(?is)\s*create\s+(?:temp(?:orary)?\s+)?trigger\s+(if\s+not\s+exists\s+)?""" +
+     """[`\"]?(\w+)[`\"]?\s+(before\s+|after\s+|instead\s+of\s+)?""" +
+     """(insert|delete|update(?:\s+of\s+([\w\s,`\"]+?))?)\s+on\s+[`\"]?(\w+)[`\"]?""" +
+     """\s*(?:for\s+each\s+row\s*)?(?:when\s+(.+?)\s*)?begin\s+(.+)\s*end\s*""").r
+  private val CreateTriggerAny =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?trigger\b.*""".r
+  private val DropTrigger =
+    """(?is)\s*drop\s+trigger\s+(if\s+exists\s+)?[`\"]?(\w+)[`\"]?\s*""".r
   private val Update =
     """(?is)\s*update\s+(?:or\s+\w+\s+)?[`"]?(\w+)[`"]?\s+set\s+(.+)""".r
   private val Delete =
@@ -813,11 +842,25 @@ object ScriptDdl {
           }
         }
       val canon = canonicalizeByAffinity(target, aligned)
+      // BEFORE INSERT triggers see each proposed row (pre-autoassign,
+      // like sqlite's undefined NEW.rowid there); a body that mutates
+      // this table makes us re-read it before applying the batch
+      val withTrig = anyTriggers(state, name, "INSERT", Nil)
+      val targetNow =
+        if (withTrig && fireTriggers(spark, state, name, "BEFORE", "INSERT",
+            Nil, target.schema, canon.collect().toSeq.map(r => (None, Some(r)))))
+          spark.table(name)
+        else target
       val (newTable, affected) = upsert match {
-        case Some(u) => applyUpsert(spark, name, target, canon, u, mode, state)
-        case None => applyInsert(spark, name, target, canon, mode, state)
+        case Some(u) => applyUpsert(spark, name, targetNow, canon, u, mode, state)
+        case None => applyInsert(spark, name, targetNow, canon, mode, state)
       }
       commitTable(spark, name, collapseIfDeep(newTable))
+      // AFTER INSERT fires per row ACTUALLY stored (OR IGNORE'd
+      // conflicts never fire)
+      if (withTrig)
+        fireTriggers(spark, state, name, "AFTER", "INSERT", Nil,
+          target.schema, affected.collect().toSeq.map(r => (None, Some(r))))
       Handled(retText.map(returningDf(target, affected, _)))
 
     case CreateView(ifNotExists, name, select) =>
@@ -843,21 +886,48 @@ object ScriptDdl {
       def newValue(c: String): Option[org.apache.spark.sql.Column] =
         assigns.reverse.find(_._1.equalsIgnoreCase(c))
           .map { case (_, exprText) => storeCanonical(target, target, c, expr(exprText)) }
-      val proj = target.columns.map { c =>
-        newValue(c) match {
+      // UPDATE triggers: per matched row, OLD = current values, NEW =
+      // the assignments applied (computed in ONE positional
+      // projection so the pair stays aligned)
+      val assignedCols = assigns.map(_._1)
+      val updPairs: Seq[(Option[Row], Option[Row])] =
+        if (anyTriggers(state, name, "UPDATE", assignedCols)) {
+          val base = whereOpt
+            .map(w => SqliteArith.fixup(spark, target.where(expr(w))))
+            .getOrElse(target)
+          val oldCols = target.columns.map(c => col(s"`$c`"))
+          val newCols = target.columns.map(c => newValue(c).getOrElse(col(s"`$c`")))
+          val n = target.columns.length
+          SqliteArith.fixup(spark,
+            base.select((oldCols ++ newCols).toIndexedSeq: _*)).collect().toSeq
+            .map(r => (Some(Row.fromSeq((0 until n).map(r.get))),
+                       Some(Row.fromSeq((n until 2 * n).map(r.get)))))
+        } else Nil
+      val firedBefore = fireTriggers(spark, state, name, "BEFORE", "UPDATE",
+        assignedCols, target.schema, updPairs)
+      // a BEFORE body may have mutated this table: rebuild the rebind
+      // over the current view (the WHERE/SET texts re-resolve there)
+      val rebindTarget = if (firedBefore) spark.table(name) else target
+      def newValue2(c: String): Option[org.apache.spark.sql.Column] =
+        assigns.reverse.find(_._1.equalsIgnoreCase(c))
+          .map { case (_, t) => storeCanonical(rebindTarget, rebindTarget, c, expr(t)) }
+      val proj2 = rebindTarget.columns.map { c =>
+        newValue2(c) match {
           case Some(assigned) =>
-            // keep the column's affinity tag through the rebind, so
-            // ORDER BY after UPDATE still uses storage-class ordering
             (whereOpt match {
               case Some(w) => when(expr(w), assigned).otherwise(col(s"`$c`"))
               case None    => assigned
-            }).as(c, target.schema(c).metadata)
+            }).as(c, rebindTarget.schema(c).metadata)
           case None => col(s"`$c`")
         }
       }
-      val updated = SqliteArith.fixup(spark, target.select(proj.toIndexedSeq: _*))
-      enforceUpdateConstraints(spark, name, target, updated, assigns.map(_._1), state)
+      val updated = SqliteArith.fixup(spark,
+        rebindTarget.select(proj2.toIndexedSeq: _*))
+      enforceUpdateConstraints(spark, name, rebindTarget, updated,
+        assigns.map(_._1), state)
       commitTable(spark, name, collapseIfDeep(updated))
+      fireTriggers(spark, state, name, "AFTER", "UPDATE", assignedCols,
+        target.schema, updPairs)
       // RETURNING sees the NEW values of exactly the rows the WHERE
       // matched (sqlite3-pinned)
       Handled(retText.map { t =>
@@ -887,11 +957,21 @@ object ScriptDdl {
         case None => target
         case Some(c) => SqliteArith.sql(spark, s"SELECT * FROM `$name` WHERE coalesce(($c), false)")
       }
+      // DELETE triggers: OLD = each row about to go
+      val delPairs: Seq[(Option[Row], Option[Row])] =
+        if (anyTriggers(state, name, "DELETE", Nil))
+          deleted.collect().toSeq.map(r => (Some(r), None))
+        else Nil
+      val firedBeforeDel = fireTriggers(spark, state, name, "BEFORE", "DELETE",
+        Nil, target.schema, delPairs)
       val rebound = condOpt match {
-        case None => target.limit(0)
+        case None =>
+          (if (firedBeforeDel) spark.table(name) else target).limit(0)
         case Some(c) => SqliteArith.sql(spark, s"SELECT * FROM `$name` WHERE NOT coalesce(($c), false)")
       }
       commitTable(spark, name, collapseIfDeep(rebound))
+      fireTriggers(spark, state, name, "AFTER", "DELETE", Nil,
+        target.schema, delPairs)
       // RETURNING sees the OLD values of the deleted rows
       Handled(retText.map(returningDf(target, deleted, _)))
 
@@ -954,20 +1034,166 @@ object ScriptDdl {
       } else state.indexes.remove(idx)
       Done
 
-    case CreateTrigger() =>
-      throw new UnsupportedOperationException(
-        "CREATE TRIGGER statements are not supported by this engine")
+    case CreateTrigger(ifNotExists, trgName, timing0, event0, updCols,
+        tblName, whenText, bodyText) =>
+      val timing = Option(timing0).map(_.trim.toUpperCase).getOrElse("AFTER")
+      val event = event0.trim.split("\\s+").head.toUpperCase
+      if (timing == "INSTEAD OF")
+        throw new UnsupportedOperationException(
+          "INSTEAD OF triggers are not supported by this engine")
+      requireTable(spark, tblName)
+      if (isView(spark, tblName))
+        throw new IllegalArgumentException(
+          s"cannot create $timing trigger on view: $tblName")
+      if (state.triggers.exists(_.name.equalsIgnoreCase(trgName))) {
+        if (ifNotExists == null)
+          throw new IllegalArgumentException(s"trigger $trgName already exists")
+      } else {
+        val cols = Option(updCols).map(
+          splitTopLevel(_).map(c => stripQuotes(c.trim))).getOrElse(Nil)
+        state.triggers += TriggerDef(trgName, tblName, timing, event, cols,
+          Option(whenText).map(_.trim).filter(_.nonEmpty),
+          ScriptRunner.splitStatements(bodyText))
+      }
+      Done
+
+    case CreateTriggerAny() => // malformed / unsupported trigger shape
+      throw new IllegalArgumentException(
+        """near "TRIGGER": syntax error""")
+
+    case DropTrigger(ifExists, trgName) =>
+      val idx = state.triggers.indexWhere(_.name.equalsIgnoreCase(trgName))
+      if (idx < 0) {
+        if (ifExists == null)
+          throw new IllegalArgumentException(s"no such trigger: $trgName")
+      } else state.triggers.remove(idx)
+      Done
 
     case Drop(ifExists, name) =>
       val existed = spark.catalog.dropTempView(name)
       if (!existed && ifExists == null)
         throw new IllegalArgumentException(s"no such table: $name")
-      // DROP TABLE drops the table's indexes with it (SQLite rule)
-      if (existed)
+      // DROP TABLE drops the table's indexes AND triggers with it
+      // (SQLite rule, trigger half sqlite3-pinned round 7)
+      if (existed) {
         state.indexes.filterInPlace(!_.table.equalsIgnoreCase(name))
+        state.triggers.filterInPlace(!_.table.equalsIgnoreCase(name))
+      }
       Done
 
     case _ => NotHandled
+  }
+
+  // ------------------------------------------------------------------
+  // Trigger firing (round 7). Row-at-a-time by construction — the
+  // trigger surface IS sqlite's row-wise semantics, so the driver-side
+  // collect per fired statement is the contract, not a scale concern
+  // (scripts are CLI-sized; the analytic library never defines
+  // triggers).
+  // ------------------------------------------------------------------
+
+  private val TrigIntRe = """[+-]?\d+""".r
+  private val TrigNumRe = """[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r
+
+  /** Matching triggers, NEWEST-FIRST (sqlite3-pinned: two AFTER
+    * INSERT triggers fire in reverse creation order for each row);
+    * UPDATE OF lists match only when an assigned column is named;
+    * triggers currently mid-fire never match (recursive_triggers
+    * off, sqlite's default). */
+  private def triggersFor(state: State, table: String, timing: String,
+      event: String, assigned: Seq[String]): Seq[TriggerDef] =
+    state.triggers.reverseIterator.filter(t =>
+      t.table.equalsIgnoreCase(table) && t.timing == timing &&
+        t.event == event &&
+        (event != "UPDATE" || t.updateCols.isEmpty ||
+          t.updateCols.exists(c => assigned.exists(_.equalsIgnoreCase(c)))) &&
+        !state.firing.contains(t.name.toLowerCase)).toSeq
+
+  private def anyTriggers(state: State, table: String, event: String,
+      assigned: Seq[String]): Boolean =
+    triggersFor(state, table, "BEFORE", event, assigned).nonEmpty ||
+      triggersFor(state, table, "AFTER", event, assigned).nonEmpty
+
+  /** Render one stored value as a SQL literal for OLD./NEW.
+    * substitution: NULL bare; numeric-storage values unquoted (their
+    * canonical text IS the literal); everything else quoted with ''
+    * doubling. A TEXT-affinity column is always quoted — its storage
+    * is text even for numeric-looking values. */
+  private def trigLit(f: StructField, v: Any): String =
+    if (v == null) "NULL"
+    else {
+      val s = ScriptRunner.renderValue(v)
+      val aff = Affinity.hasAffinity(
+        if (f.metadata.contains(Affinity.DeclKey))
+          f.metadata.getString(Affinity.DeclKey) else "")
+      val t = s.trim
+      val numericStorage = aff != "TEXT" &&
+        (TrigIntRe.matches(t) || TrigNumRe.matches(t))
+      if (numericStorage) t else "'" + s.replace("'", "''") + "'"
+    }
+
+  private val TrigRefRe = """(?i)\b(new|old)\s*\.\s*[`"]?(\w+)[`"]?""".r
+
+  /** Substitute OLD.col / NEW.col references with the fired row's
+    * literals. References to the absent side (OLD in an INSERT
+    * trigger, NEW in DELETE) error like unresolved names. */
+  private def substituteRefs(text: String, schema: StructType,
+      oldR: Option[Row], newR: Option[Row]): String =
+    TrigRefRe.replaceAllIn(text, m => {
+      val which = m.group(1).toLowerCase
+      val colName = m.group(2)
+      val rowOpt = if (which == "new") newR else oldR
+      rowOpt match {
+        case None => throw new IllegalArgumentException(
+          s"no such column: $which.$colName")
+        case Some(row) =>
+          val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(colName))
+          if (i < 0) throw new IllegalArgumentException(
+            s"no such column: $which.$colName")
+          java.util.regex.Matcher.quoteReplacement(
+            trigLit(schema.fields(i), row.get(i)))
+      }
+    })
+
+  /** Fire `timing`×`event` triggers for each (OLD, NEW) pair —
+    * row-major. Returns true when at least one trigger body ran (the
+    * caller then re-reads the table: a body may mutate it). */
+  private def fireTriggers(spark: SparkSession, state: State, table: String,
+      timing: String, event: String, assigned: Seq[String],
+      schema: StructType, rows: Seq[(Option[Row], Option[Row])]): Boolean = {
+    val trigs = triggersFor(state, table, timing, event, assigned)
+    if (trigs.isEmpty || rows.isEmpty) return false
+    var fired = false
+    for ((oldR, newR) <- rows;
+         t <- trigs if !state.firing.contains(t.name.toLowerCase)) {
+      def sub(s: String) = substituteRefs(s, schema, oldR, newR)
+      val fires = t.when.forall { w =>
+        val v = SqliteArith.sql(spark,
+          s"SELECT (${SqliteOperators.rewrite(sub(w))})").head().get(0)
+        // SQLite truthiness: NULL is false, anything else converts
+        // to a number and compares against 0
+        v != null && graft.functions.SqliteSum
+          .coerce(ScriptRunner.renderValue(v))._1 != 0.0
+      }
+      if (fires) {
+        fired = true
+        state.firing += t.name.toLowerCase
+        try for (stmt <- t.body) {
+          val sql = rewriteAttached(SqliteOperators.rewrite(sub(stmt)), state)
+          pragmaRows(spark, sql, state) match {
+            case Some(_) => ()
+            case None => executeRows(spark, sql, state) match {
+              case NotHandled =>
+                // a bare SELECT in a trigger body is evaluated and
+                // its rows discarded (sqlite semantics)
+                SqliteArith.sql(spark, sql).collect()
+              case _ => ()
+            }
+          }
+        } finally state.firing -= t.name.toLowerCase
+      }
+    }
+    fired
   }
 
   private def requireTable(spark: SparkSession, name: String): Unit =

@@ -14,8 +14,29 @@ import graft.sources.Affinity
   */
 object ScriptRunner {
 
+  private val TriggerStartRe =
+    """(?is)\s*create\s+(?:temp(?:orary)?\s+)?trigger\b.*""".r
+  private val EndTokenRe = """(?i)\bend\s*$""".r
+  private val OpenerRe = """(?i)\b(?:case|begin)\b""".r
+  private val EndRe = """(?i)\bend\b""".r
+
+  /** True while `sb` holds a CREATE TRIGGER whose BEGIN…END is not
+    * yet closed, so a `;` belongs to the body. Heuristic nesting:
+    * every CASE/BEGIN consumes one END, and the closing END must be
+    * the buffer's last token — the same shape sqlite's tokenizer
+    * accepts for trigger bodies without CASE-in-identifier games. */
+  private def openTrigger(sb: StringBuilder): Boolean = {
+    val s = sb.toString
+    if (!TriggerStartRe.matches(s)) false
+    else {
+      val opens = OpenerRe.findAllIn(s).size
+      val ends = EndRe.findAllIn(s).size
+      !(EndTokenRe.findFirstIn(s.trim).isDefined && ends >= opens)
+    }
+  }
+
   /** Split a script on top-level `;` — quote-, comment- and
-    * bracket-aware. */
+    * bracket-aware (and CREATE TRIGGER-aware, see [[openTrigger]]). */
   def splitStatements(script: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val sb = new StringBuilder
@@ -27,8 +48,15 @@ object ScriptRunner {
       val c = script.charAt(i)
       state match {
         case ' ' =>
-          if (c == ';') { out += sb.toString; sb.clear() }
-          else {
+          if (c == ';') {
+            // CREATE TRIGGER bodies carry ';'-terminated statements up
+            // to their closing END: keep consuming until the buffer
+            // ends with an END token that closes the trigger's BEGIN
+            // (CASE…END inside the body is balanced by counting —
+            // each CASE/BEGIN opens one END)
+            if (openTrigger(sb)) sb.append(c)
+            else { out += sb.toString; sb.clear() }
+          } else {
             if (c == '\'' || c == '"' || c == '`') state = c
             else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') state = '-'
             else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') { state = '*'; commentStart = i }

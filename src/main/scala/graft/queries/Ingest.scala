@@ -800,6 +800,67 @@ object Ingest {
              |)
              |SELECT k, nm, tag FROM base
              |UNION ALL VALUES (101, 'UTOPIA', 'fresh'),
-             |                 (102, 'NATION_6', 'displaced-via-nm')""".stripMargin))
+             |                 (102, 'NATION_6', 'displaced-via-nm')""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // i28/round 7: CREATE TRIGGER — row-level BEFORE/AFTER
+    // INSERT/UPDATE/DELETE with UPDATE OF column lists, WHEN
+    // conditions, and OLD./NEW. references (the last statement class
+    // the reference forwards verbatim to SQLite,
+    // lib/classes/sqawk.tcl:216, that this engine refused). Three
+    // triggers log every mutation of a nation-derived table into an
+    // audit table; the oracle recomputes the SAME audit rows
+    // relationally (each trigger's contribution is a selection over
+    // the table state its statement saw), so the hash compare
+    // verifies firing events, WHEN gating, UPDATE OF filtering and
+    // the OLD/NEW values row for row.
+    QDef(
+      "i28_triggers",
+      (s, d) => {
+        graft.Tables.nation(s, d).createOrReplaceTempView("g_nat_tr")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """CREATE TABLE tb AS SELECT n_nationkey AS k, n_name AS nm FROM g_nat_tr;
+            |CREATE TABLE trlog (ev TEXT, k INTEGER, v TEXT);
+            |CREATE TRIGGER lg_i AFTER INSERT ON tb
+            |  BEGIN INSERT INTO trlog VALUES ('ins', NEW.k, NEW.nm); END;
+            |CREATE TRIGGER lg_u AFTER UPDATE OF nm ON tb WHEN NEW.k % 2 = 0
+            |  BEGIN INSERT INTO trlog VALUES ('upd', OLD.k, NEW.nm); END;
+            |CREATE TRIGGER lg_d BEFORE DELETE ON tb
+            |  BEGIN INSERT INTO trlog VALUES ('del', OLD.k, OLD.nm); END;
+            |INSERT INTO tb SELECT k + 100, lower(nm) FROM tb WHERE k < 5;
+            |UPDATE tb SET nm = upper(nm) WHERE k % 3 = 0;
+            |DELETE FROM tb WHERE k >= 100 AND k % 2 = 1""".stripMargin,
+          new AwkSerializer(sw))
+        val out = s.table("trlog")
+          .select(col("ev"), col("k").cast("long").as("k"), col("v"))
+          .orderBy("ev", "k")
+        s.catalog.dropTempView("trlog")
+        s.catalog.dropTempView("tb")
+        s.catalog.dropTempView("g_nat_tr")
+        out
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm FROM nation
+             |), ins AS (
+             |  SELECT 'ins' AS ev, k + 100 AS k, lower(nm) AS v
+             |  FROM base WHERE k < 5
+             |), t1 AS (
+             |  SELECT k, nm FROM base UNION ALL SELECT k, v FROM ins
+             |), upd AS (
+             |  SELECT 'upd' AS ev, k, upper(nm) AS v FROM t1
+             |  WHERE k % 3 = 0 AND k % 2 = 0
+             |), t2 AS (
+             |  SELECT k, CASE WHEN k % 3 = 0 THEN upper(nm) ELSE nm END AS nm
+             |  FROM t1
+             |), del AS (
+             |  SELECT 'del' AS ev, k, nm AS v FROM t2
+             |  WHERE k >= 100 AND k % 2 = 1
+             |)
+             |SELECT ev, k, v FROM (
+             |  SELECT * FROM ins UNION ALL
+             |  SELECT * FROM upd UNION ALL
+             |  SELECT * FROM del)
+             |ORDER BY ev, k""".stripMargin))
   )
 }

@@ -711,13 +711,17 @@ class CliSpec extends SparkSpec {
       f) == (0, "2 y\n"))
   }
 
-  test("CREATE/DROP INDEX are no-ops; TRIGGER rejects") {
+  test("CREATE/DROP INDEX are no-ops; CREATE TRIGGER accepted (round 7)") {
     val f = tempFile("foo 1\nbar 2\n")
     // sqlite3 runs the same script with identical output — the index
     // only changes its access path, which Catalyst handles declaratively
     assert(sqawk("create index idx on a (a1); select a1 from a where a1 = 'bar'; " +
       "drop index idx", f) == (0, "bar\n"))
-    assert(sqawk("create trigger tr after insert on a begin select 1; end", f)._1 == 1)
+    // round 7: CREATE TRIGGER is now SUPPORTED (sqlite3 accepts the
+    // same statement) — the acceptance itself is the pin here; the
+    // full firing matrix lives in the dedicated trigger tests below
+    assert(sqawk("create trigger tr after insert on a begin select 1; end;" +
+      " select a1 from a where a2 = '2'", f) == (0, "bar\n"))
   }
 
   test("CREATE UNIQUE INDEX enforces uniqueness (sqlite3-pinned)") {
@@ -1485,6 +1489,78 @@ class CliSpec extends SparkSpec {
       "select a1, a2, b2, c2 from a inner join b on a1 = b1 inner join c on a1 = c1",
       f1, f2, f3)
     assert((c, o) == (0, "1 a d g\n2 b e h\n3 c f i\n"))
+  }
+
+  test("CREATE TRIGGER: INSERT/UPDATE/DELETE rows, WHEN, OLD/NEW (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // the full matrix in one script — sqlite3 output:
+    //   ins|1|x / ins|2|y / upd|2|12 / del|1|z
+    // (UPDATE OF a only fires for the a-assignment; WHEN gates on the
+    // NEW value; BEFORE DELETE sees the post-update OLD row)
+    val (c, o) = sqawk(
+      "CREATE TABLE tga(a INTEGER, b TEXT);" +
+        "CREATE TABLE tgl(ev TEXT, x, y);" +
+        "CREATE TRIGGER tr1 AFTER INSERT ON tga BEGIN " +
+        "INSERT INTO tgl VALUES ('ins', NEW.a, NEW.b); END;" +
+        "CREATE TRIGGER tr2 AFTER UPDATE OF a ON tga WHEN NEW.a > 10 BEGIN " +
+        "INSERT INTO tgl VALUES ('upd', OLD.a, NEW.a); END;" +
+        "CREATE TRIGGER tr3 BEFORE DELETE ON tga BEGIN " +
+        "INSERT INTO tgl VALUES ('del', OLD.a, OLD.b); END;" +
+        "INSERT INTO tga VALUES (1, 'x'), (2, 'y');" +
+        "UPDATE tga SET a = a + 10 WHERE a = 2;" +
+        "UPDATE tga SET b = 'z' WHERE a = 1;" +
+        "DELETE FROM tga WHERE a = 1;" +
+        "SELECT * FROM tgl", f)
+    assert((c, o) == (0, "ins 1 x\nins 2 y\nupd 2 12\ndel 1 z\n"))
+  }
+
+  test("triggers fire newest-first per row and never recurse (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: B1 A1 B2 A2 — row-major, reverse creation order
+    assert(sqawk(
+      "CREATE TABLE tgb(a); CREATE TABLE tgm(x);" +
+        "CREATE TRIGGER t1 AFTER INSERT ON tgb BEGIN " +
+        "INSERT INTO tgm VALUES ('A'||NEW.a); END;" +
+        "CREATE TRIGGER t2 AFTER INSERT ON tgb BEGIN " +
+        "INSERT INTO tgm VALUES ('B'||NEW.a); END;" +
+        "INSERT INTO tgb VALUES (1),(2); SELECT x FROM tgm", f) ==
+      (0, "B1\nA1\nB2\nA2\n"))
+    // a body INSERT into the trigger's own table inserts WITHOUT
+    // re-firing (recursive_triggers off, sqlite default): t holds
+    // 1 and 2, log only the original 1
+    assert(sqawk(
+      "CREATE TABLE r(a); CREATE TABLE rlog(x);" +
+        "CREATE TRIGGER rt AFTER INSERT ON r BEGIN " +
+        "INSERT INTO r VALUES (NEW.a + 1); INSERT INTO rlog VALUES (NEW.a); END;" +
+        "INSERT INTO r VALUES (1);" +
+        "SELECT 't', a FROM r ORDER BY 2; SELECT 'log', x FROM rlog", f) ==
+      (0, "t 1\nt 2\nlog 1\n"))
+  }
+
+  test("trigger DDL surface: DROP, view rejection, DROP TABLE cleanup (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // DROP TRIGGER stops firing; IF EXISTS tolerated; missing errors
+    assert(sqawk(
+      "CREATE TABLE tgc(a); CREATE TABLE tgn(x);" +
+        "CREATE TRIGGER tr AFTER INSERT ON tgc BEGIN " +
+        "INSERT INTO tgn VALUES (NEW.a); END;" +
+        "INSERT INTO tgc VALUES (1); DROP TRIGGER tr;" +
+        "INSERT INTO tgc VALUES (50); DROP TRIGGER IF EXISTS nope;" +
+        "SELECT count(*) FROM tgn", f) == (0, "1\n"))
+    val (c1, _) = sqawk("CREATE TABLE tge(a); DROP TRIGGER nope2", f)
+    assert(c1 == 1) // no such trigger: nope2
+    // sqlite3: "cannot create AFTER trigger on view: v"
+    val (c2, _) = sqawk(
+      "CREATE TABLE tgf(a); CREATE VIEW tgv AS SELECT * FROM tgf;" +
+        "CREATE TRIGGER bad AFTER INSERT ON tgv BEGIN SELECT 1; END", f)
+    assert(c2 == 1)
+    // DROP TABLE drops its triggers: the recreated table updates freely
+    assert(sqawk(
+      "CREATE TABLE tgd(a);" +
+        "CREATE TRIGGER x BEFORE UPDATE ON tgd FOR EACH ROW " +
+        "WHEN OLD.a IS NOT NULL BEGIN SELECT 1; END;" +
+        "DROP TABLE tgd; CREATE TABLE tgd(a); INSERT INTO tgd VALUES(3);" +
+        "UPDATE tgd SET a=4; SELECT a FROM tgd", f) == (0, "4\n"))
   }
 
   test("join across two files (examples/hp, README.md:454)") {
