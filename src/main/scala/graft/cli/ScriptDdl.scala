@@ -833,8 +833,17 @@ object ScriptDdl {
                 else {
                   // a column declared with DEFAULT (CREATE TABLE def or
                   // ALTER TABLE ADD COLUMN) fills its default, not NULL
+                  // — EXCEPT the rowid alias, whose DEFAULT sqlite
+                  // ignores in favor of autoassign (sqlite3-pinned,
+                  // fuzz seed 291: INTEGER PRIMARY KEY DEFAULT '5.5'
+                  // with the column omitted autoassigns 1)
                   val m = target.schema(c).metadata
-                  val fill = if (m.contains(DefaultKey)) lit(m.getString(DefaultKey)) else lit(null)
+                  val isRowid = m.contains(Affinity.PkKey) &&
+                    m.getString(Affinity.PkKey) == "rowid"
+                  val fill =
+                    if (!isRowid && m.contains(DefaultKey))
+                      lit(m.getString(DefaultKey))
+                    else lit(null)
                   df.withColumn(c, fill.cast(target.schema(c).dataType))
                 }
               }
@@ -1209,11 +1218,36 @@ object ScriptDdl {
   /** Error unless `target`'s rows are unique on `cols`. Rows with a
     * NULL in any keyset column never conflict (SQLite treats index
     * NULLs as distinct). One bounded driver-side probe. */
+  /** Full-numeric text, as a regex (class-private twin of the
+    * affinity matcher): UNIQUE comparisons must treat 100, 100.0 and
+    * 1e2 as ONE key — SQLite indexes compare VALUES numerically
+    * across INTEGER/REAL storage (round-7 fuzz seed 364: creating a
+    * unique index over {100, 100.0} fails in sqlite3). */
+  private val UniqueNumRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+  /** Numeric-equality key for a unique keyset column: numeric-storage
+    * text collapses to its double's text, everything else compares
+    * verbatim. Non-string columns pass through. */
+  private def uniqueKeyCol(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    if (dt != StringType) c
+    else when(c.rlike(UniqueNumRe), c.cast("double").cast("string")).otherwise(c)
+
+  /** The driver-side twin of [[uniqueKeyCol]] (Spark's double→string
+    * cast is Java `Double.toString`, so the texts agree). */
+  private def uniqueKeyVal(v: Any): Any = v match {
+    case s: String if s.matches(UniqueNumRe) => String.valueOf(s.toDouble)
+    case u: org.apache.spark.unsafe.types.UTF8String => uniqueKeyVal(u.toString)
+    case other => other
+  }
+
   private def checkExistingUnique(
       target: org.apache.spark.sql.DataFrame, table: String, cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{count => fCount}
     val nonNull = cols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
-    val dup = target.where(nonNull).groupBy(cols.map(c => col(s"`$c`")): _*)
+    val dup = target.where(nonNull)
+      .groupBy(cols.map(c =>
+        uniqueKeyCol(col(s"`$c`"), target.schema(c).dataType)): _*)
       .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count() > 0
     if (dup) uniqueErr(table, cols)
   }
@@ -1613,7 +1647,7 @@ object ScriptDdl {
     if (rows.isEmpty) return (order(target), batchDf.limit(0))
     val idxs: Seq[Seq[Int]] = keysets.map(_.map(schema.fieldIndex))
     def keyOf(r: Row, ki: Seq[Int]): Option[Seq[Any]] = {
-      val vs = ki.map(r.get)
+      val vs = ki.map(i => uniqueKeyVal(r.get(i)))
       if (vs.contains(null)) None else Some(vs)
     }
     def localDf(rs: Seq[Row]): DataFrame = spark.createDataFrame(
@@ -1630,15 +1664,17 @@ object ScriptDdl {
       val keys = rows.toSeq.flatMap(r => keyOf(r, ki)).distinct
       val out = collection.mutable.HashSet.empty[Seq[Any]]
       if (keys.isEmpty) return out
+      def normed(c: String) = uniqueKeyCol(col(s"`$c`"), schema(c).dataType)
       val hits =
         if (ks.lengthCompare(1) == 0)
-          target.where(col(s"`${ks.head}`").isin(keys.map(_.head).toIndexedSeq: _*))
-            .select(col(s"`${ks.head}`")).collect().map(r => Seq(r.get(0)))
+          target.where(normed(ks.head).isin(keys.map(_.head).toIndexedSeq: _*))
+            .select(normed(ks.head)).collect().map(r => Seq(r.get(0)))
         else {
           val kdf = keysDf(ks, keys)
           target.join(broadcast(kdf),
-              ks.map(c => target(c) === kdf(c)).reduce(_ && _), "left_semi")
-            .select(ks.map(c => col(s"`$c`")).toIndexedSeq: _*)
+              ks.map(c => uniqueKeyCol(target(c), schema(c).dataType) === kdf(c))
+                .reduce(_ && _), "left_semi")
+            .select(ks.map(normed).toIndexedSeq: _*)
             .collect().map(_.toSeq.toSeq)
         }
       out ++= hits
@@ -1684,8 +1720,11 @@ object ScriptDdl {
           val keys = rows.toSeq.flatMap(r => keyOf(r, ki)).distinct
           if (keys.nonEmpty) {
             val kdf = keysDf(ks, keys)
+            // keyOf normalizes numeric-storage text (100 ≡ 100.0), so
+            // the stored side must compare through the same key
             stored = stored.join(broadcast(kdf),
-              ks.map(c => stored(c) === kdf(c)).reduce(_ && _), "left_anti")
+              ks.map(c => uniqueKeyCol(stored(c), schema(c).dataType) === kdf(c))
+                .reduce(_ && _), "left_anti")
           }
         }
         (order(stored.unionByName(localDf(kept.toSeq))), batchDf)

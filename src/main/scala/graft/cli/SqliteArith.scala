@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Proj
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.SqliteArithExpr
+import graft.functions.{SqliteArithExpr, SqliteDynText}
 
 /** Script-dialect arithmetic rewrite: every `+ - * / %` in a script
   * statement becomes [[SqliteArithExpr]], giving SQLite's per-VALUE
@@ -53,6 +53,20 @@ object SqliteArith {
     case Multiply(l, r, _)  => SqliteArithExpr(opLit("*"), l, r)
     case Divide(l, r, _)    => SqliteArithExpr(opLit("/"), l, r)
     case Remainder(l, r, _) => SqliteArithExpr(opLit("%"), l, r)
+    // conditional VALUE positions keep per-row dynamic typing via the
+    // canonical-text wrapper — Spark's branch unification would merge
+    // INTEGER 0 and REAL 0.5 into DOUBLE (fuzz seed 391); strings
+    // pass through the wrapper, so re-wrapping nested branches is
+    // harmless
+    case cw: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
+      cw.copy(
+        branches = cw.branches.map { case (p, v) => (p, SqliteDynText(v)) },
+        elseValue = cw.elseValue.map(SqliteDynText))
+    case c: org.apache.spark.sql.catalyst.expressions.Coalesce =>
+      c.copy(children = c.children.map(SqliteDynText))
+    case i: org.apache.spark.sql.catalyst.expressions.If =>
+      i.copy(trueValue = SqliteDynText(i.trueValue),
+        falseValue = SqliteDynText(i.falseValue))
   }
 
   // a direct ORDER BY over an arithmetic result must order

@@ -56,6 +56,37 @@ case class SqliteArithExpr(opExpr: Expression, left: Expression,
       SqliteArithExpr.toNum(l), SqliteArithExpr.toNum(r))
 }
 
+/** Canonical dynamic-value TEXT of any scalar — the wrapper the
+  * script dialect puts around CASE/coalesce/IF branch VALUES so
+  * SQLite's per-row dynamic typing survives Spark's static branch
+  * coercion: `CASE WHEN p THEN 0 ELSE 0.5 END` must yield INTEGER 0
+  * on the one branch and REAL 0.5 on the other (Spark would unify
+  * both to DOUBLE and print 0.0 — round-7 fuzz seed 391). Strings
+  * pass through, so double-wrapping is harmless. CodegenFallback:
+  * script dialect only. */
+case class SqliteDynText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sqlite_dyntext"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => s
+    case d: Double  => UTF8String.fromString(graft.sources.Affinity.formatReal(d))
+    case f: Float   => UTF8String.fromString(graft.sources.Affinity.formatReal(f.toDouble))
+    case dec: Decimal =>
+      if (dec.scale <= 0)
+        try UTF8String.fromString(String.valueOf(dec.toLong))
+        catch { case _: ArithmeticException =>
+          UTF8String.fromString(graft.sources.Affinity.formatReal(dec.toDouble)) }
+      else UTF8String.fromString(graft.sources.Affinity.formatReal(dec.toDouble))
+    case b: Boolean => UTF8String.fromString(if (b) "1" else "0")
+    case other      => UTF8String.fromString(String.valueOf(other))
+  }
+}
+
 object SqliteArithExpr {
 
   /** A SQLite dynamic numeric: isReal, integer value (valid iff

@@ -319,6 +319,11 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     case s: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
         if Set("absTextDyn", "absTextLit", "floorText", "ceilText")
           .contains(s.functionName) => true
+    // the dialect's dynamic-text wrapper: a numeric-typed child is
+    // numeric STORAGE (the wrapper just renders it canonically); a
+    // string child keeps its own provenance
+    case graft.functions.SqliteDynText(c) =>
+      !c.dataType.isInstanceOf[StringType] || valueModeExpr(c)
     case Coalesce(cs) => cs.exists(valueModeExpr)
     case CaseWhen(branches, elseV) =>
       branches.exists(b => valueModeExpr(b._2)) || elseV.exists(valueModeExpr)

@@ -33,10 +33,16 @@ import org.apache.spark.sql.SparkSession
   * output BEFORE the error plus the errored flag — graft aborts a
   * script at the first failing statement exactly like `-bail`.
   *
-  * Not generated (documented gaps / nondeterminism): CREATE TRIGGER,
-  * expression/partial/COLLATE indexes, RETURNING (row order is
-  * engine-private), group_concat (concatenation order), random(),
-  * typeof() around arithmetic results.
+  * Round 7 additions to the grammar: audit TRIGGERs (AFTER/BEFORE
+  * INSERT / UPDATE OF / DELETE with WHEN and OLD/NEW logging into a
+  * side table, pinned by a final ordered SELECT over it).
+  *
+  * Not generated (documented gaps / nondeterminism): expression/
+  * partial/COLLATE indexes, RETURNING (row order is engine-private),
+  * group_concat (concatenation order), random(), typeof() around
+  * arithmetic results, numeric-looking text in no-affinity value
+  * positions (the engine's one documented value-provenance
+  * deviation).
   */
 object SqlScriptFuzz {
 
@@ -209,6 +215,30 @@ object SqlScriptFuzz {
       case _ => ()
     }
 
+    // --- optional audit trigger (round 7) ---------------------------
+    // a side table logs one column per fired row; the final SELECT
+    // over it pins firing events, WHEN gating and OLD/NEW values
+    val hasTrigger = rnd.nextInt(4) == 0
+    if (hasTrigger) {
+      stmts += "CREATE TABLE alog (v)"
+      // log a non-TEXT column: a TEXT column's numeric-looking value
+      // is TEXT storage in sqlite's alog but would classify numeric
+      // under graft's canonical model (value-provenance deviation)
+      val trigCands = cols.filter(_.decl != "TEXT")
+      val c = if (trigCands.nonEmpty) trigCands(rnd.nextInt(trigCands.size))
+              else cols.head
+      val (event, ref) = rnd.nextInt(3) match {
+        case 0 => ("INSERT", "NEW")
+        case 1 => (s"UPDATE OF ${c.name}", "NEW")
+        case _ => ("DELETE", "OLD")
+      }
+      val timing = if (rnd.nextBoolean()) "AFTER" else "BEFORE"
+      val when =
+        if (rnd.nextBoolean()) s" WHEN $ref.${c.name} IS NOT NULL" else ""
+      stmts += s"CREATE TRIGGER atr $timing $event ON t1$when " +
+        s"BEGIN INSERT INTO alog VALUES ($ref.${c.name}); END"
+    }
+
     // --- optional unique index (t1 only, plain columns) ------------
     val indexed = if (rnd.nextInt(10) < 3) {
       val c = cols(rnd.nextInt(cols.size)).name
@@ -293,6 +323,7 @@ object SqlScriptFuzz {
       case _ =>
         stmts += s"SELECT count(*) FROM t1 WHERE ${pred(rnd, cols)}"
     }
+    if (hasTrigger) stmts += "SELECT v FROM alog ORDER BY 1"
 
     stmts.result().mkString(";\n") + ";\n"
   }
@@ -314,7 +345,7 @@ object SqlScriptFuzz {
           try ser.close() catch { case _: Throwable => () }
           (true, sw.toString)
       }
-    for (t <- Seq("t1", "v1")) spark.catalog.dropTempView(t)
+    for (t <- Seq("t1", "v1", "alog")) spark.catalog.dropTempView(t)
     r
   }
 
