@@ -188,6 +188,7 @@ object ScriptDdl {
       views: Map[String, org.apache.spark.sql.catalyst.catalog.TemporaryViewRelation],
       indexes: Vector[IdxDef],
       triggers: Vector[TriggerDef],
+      masterSql: Vector[MasterRow],
       userVersion: Long)
 
   /** One FOR EACH ROW trigger (round 7): timing BEFORE/AFTER, event
@@ -195,6 +196,14 @@ object ScriptDdl {
     * WHEN condition, and the body's statements verbatim (OLD./NEW.
     * references substitute per fired row). INSTEAD OF and view
     * triggers are rejected like sqlite3. */
+  /** One sqlite_master row for a script-created object (round 7):
+    * the verbatim CREATE statement is captured at execution so
+    * `SELECT … FROM sqlite_master` can answer like sqlite3 (sql is
+    * NULL for auto-indexes). Scope: objects created by THIS run's
+    * script statements — the CLI's ingest tables are not listed. */
+  private[cli] final case class MasterRow(
+      typ: String, name: String, tbl: String, sql: Option[String])
+
   private[cli] final case class TriggerDef(
       name: String, table: String, timing: String, event: String,
       updateCols: Seq[String], when: Option[String], body: Seq[String])
@@ -217,6 +226,8 @@ object ScriptDdl {
       * NEWEST-FIRST per row (sqlite3-pinned: two AFTER INSERT
       * triggers fire in reverse creation order for each row). */
     private[ScriptDdl] val triggers = scala.collection.mutable.ArrayBuffer.empty[TriggerDef]
+    /** sqlite_master registry, creation-ordered (round 7). */
+    private[ScriptDdl] val masterSql = scala.collection.mutable.ArrayBuffer.empty[MasterRow]
     /** Names of triggers currently mid-fire: a trigger never recurses
       * into itself (sqlite3's default recursive_triggers=off — a
       * body INSERT into the trigger's own table inserts WITHOUT
@@ -295,6 +306,7 @@ object ScriptDdl {
       cat.getTempViewNames().flatMap(n => cat.getRawTempView(n).map(n -> _)).toMap,
       state.indexes.toVector,
       state.triggers.toVector,
+      state.masterSql.toVector,
       state.userVersion)
   }
 
@@ -306,6 +318,8 @@ object ScriptDdl {
     state.indexes ++= snap.indexes
     state.triggers.clear()
     state.triggers ++= snap.triggers
+    state.masterSql.clear()
+    state.masterSql ++= snap.masterSql
     state.userVersion = snap.userVersion
   }
 
@@ -495,6 +509,11 @@ object ScriptDdl {
       // indexes follow the renamed table (SQLite rule)
       state.indexes.mapInPlace(i =>
         if (i.table.equalsIgnoreCase(name)) i.copy(table = newName) else i)
+      state.masterSql.mapInPlace { m =>
+        val m1 = if (m.tbl.equalsIgnoreCase(name)) m.copy(tbl = newName) else m
+        if (m1.typ == "table" && m1.name.equalsIgnoreCase(name))
+          m1.copy(name = newName) else m1
+      }
       Done
 
     case AlterRenameColumn(name, oldCol, newCol) =>
@@ -667,6 +686,7 @@ object ScriptDdl {
           col(s"`${f.name}`").as(f.name, m)
         }.toIndexedSeq: _*)
         commitTable(spark, name, tagged)
+      state.masterSql += MasterRow("table", name, name, Some(stmt.trim))
       }
       Done
 
@@ -717,6 +737,7 @@ object ScriptDdl {
         })
         commitTable(spark, name,
           spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+        state.masterSql += MasterRow("table", name, name, Some(stmt.trim))
         // UNIQUE column / table constraints register as enforced
         // auto-indexes (sqlite3's sqlite_autoindex_* naming, origin
         // "u" in index_list); a pk keyset is already enforced via
@@ -876,7 +897,10 @@ object ScriptDdl {
       if (spark.catalog.tableExists(name)) {
         if (ifNotExists == null)
           throw new IllegalArgumentException(s"view $name already exists")
-      } else SqliteArith.sql(spark, s"CREATE TEMPORARY VIEW `$name` AS $select")
+      } else {
+        SqliteArith.sql(spark, s"CREATE TEMPORARY VIEW `$name` AS $select")
+        state.masterSql += MasterRow("view", name, name, Some(stmt.trim))
+      }
       Done
 
     case Update(name, rest0) =>
@@ -1022,6 +1046,7 @@ object ScriptDdl {
             .getOrElse(throw new IllegalArgumentException(s"no such column: $c")))
           checkExistingUnique(target, tblName, resolved)
           state.indexes += IdxDef(idxName, tblName, resolved, unique = true)
+          state.masterSql += MasterRow("index", idxName, tblName, Some(stmt.trim))
         } else {
           // validate plain identifier lists like sqlite3; expression
           // index text stays unvalidated (registered no-op)
@@ -1031,6 +1056,7 @@ object ScriptDdl {
           })
           state.indexes += IdxDef(idxName, tblName,
             plainCols.getOrElse(Nil), unique = false)
+          state.masterSql += MasterRow("index", idxName, tblName, Some(stmt.trim))
         }
         Done
       }
@@ -1040,7 +1066,11 @@ object ScriptDdl {
       if (idx < 0) {
         if (ifExists == null)
           throw new IllegalArgumentException(s"no such index: $idxName")
-      } else state.indexes.remove(idx)
+      } else {
+        state.indexes.remove(idx)
+        state.masterSql.filterInPlace(m =>
+          !(m.typ == "index" && m.name.equalsIgnoreCase(idxName)))
+      }
       Done
 
     case CreateTrigger(ifNotExists, trgName, timing0, event0, updCols,
@@ -1063,6 +1093,7 @@ object ScriptDdl {
         state.triggers += TriggerDef(trgName, tblName, timing, event, cols,
           Option(whenText).map(_.trim).filter(_.nonEmpty),
           ScriptRunner.splitStatements(bodyText))
+        state.masterSql += MasterRow("trigger", trgName, tblName, Some(stmt.trim))
       }
       Done
 
@@ -1075,7 +1106,11 @@ object ScriptDdl {
       if (idx < 0) {
         if (ifExists == null)
           throw new IllegalArgumentException(s"no such trigger: $trgName")
-      } else state.triggers.remove(idx)
+      } else {
+        state.triggers.remove(idx)
+        state.masterSql.filterInPlace(m =>
+          !(m.typ == "trigger" && m.name.equalsIgnoreCase(trgName)))
+      }
       Done
 
     case Drop(ifExists, name) =>
@@ -1087,10 +1122,38 @@ object ScriptDdl {
       if (existed) {
         state.indexes.filterInPlace(!_.table.equalsIgnoreCase(name))
         state.triggers.filterInPlace(!_.table.equalsIgnoreCase(name))
+        state.masterSql.filterInPlace(m =>
+          !(m.tbl.equalsIgnoreCase(name) || m.name.equalsIgnoreCase(name)))
       }
       Done
 
     case _ => NotHandled
+  }
+
+  /** Materialize `sqlite_master` as a temp view for a statement that
+    * references it (round 7): script-created objects in creation
+    * order with their verbatim CREATE text, plus UNIQUE-constraint
+    * auto-indexes (sql NULL, like sqlite3). rootpage is synthesized
+    * (tables/indexes count up from 2, views/triggers 0) — pins
+    * compare type/name/tbl_name/sql. Scope: this run's
+    * script-created objects; ingest tables are not listed. */
+  def bindSqliteMaster(spark: SparkSession, state: State): Unit = {
+    val auto = state.indexes.filter(i => !state.masterSql.exists(m =>
+      m.typ == "index" && m.name.equalsIgnoreCase(i.name)))
+      .map(i => MasterRow("index", i.name, i.table, None))
+    var page = 1
+    val data: Seq[Row] = (state.masterSql.toSeq ++ auto).map { m =>
+      val rp =
+        if (m.typ == "table" || m.typ == "index") { page += 1; page } else 0
+      Row(m.typ, m.name, m.tbl, rp, m.sql.orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("type", StringType), StructField("name", StringType),
+      StructField("tbl_name", StringType),
+      StructField("rootpage", org.apache.spark.sql.types.IntegerType),
+      StructField("sql", StringType)))
+    spark.createDataFrame(java.util.Arrays.asList(data: _*), schema)
+      .createOrReplaceTempView("sqlite_master")
   }
 
   // ------------------------------------------------------------------

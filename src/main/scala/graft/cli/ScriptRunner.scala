@@ -168,6 +168,10 @@ object ScriptRunner {
         // names resolve to their registered views, before Spark
         // parses the statement.
         val sql = ScriptDdl.rewriteAttached(SqliteOperators.rewrite(stmt), ddlState)
+        // a statement reading the schema catalog materializes
+        // sqlite_master from the run's DDL registry first (round 7)
+        if ("""(?is).*\bsqlite_master\b.*""".r.matches(sql))
+          ScriptDdl.bindSqliteMaster(spark, ddlState)
         // PRAGMAs answer rows of their own; the side-effecting dialect
         // statements (CREATE TABLE/INSERT/DROP/transactions) bind temp
         // views and emit none; everything else is a query for spark.sql.

@@ -1563,6 +1563,33 @@ class CliSpec extends SparkSpec {
         "UPDATE tgd SET a=4; SELECT a FROM tgd", f) == (0, "4\n"))
   }
 
+  test("sqlite_master lists script-created objects (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3 over the same script (ORDER BY name):
+    //   index|iu|m1|CREATE UNIQUE INDEX iu ON m1(a)
+    //   index|sqlite_autoindex_m2_1|m2|
+    //   table|m1|m1|CREATE TABLE m1(a INTEGER, b TEXT)
+    //   table|m2|m2|CREATE TABLE m2(x, UNIQUE(x))
+    //   trigger|mtr|m1|CREATE TRIGGER mtr AFTER INSERT ON m1 BEGIN SELECT 1; END
+    //   view|mv|mv|CREATE VIEW mv AS SELECT a FROM m1
+    val (c, o) = sqawk(
+      "CREATE TABLE m1(a INTEGER, b TEXT);" +
+        "CREATE UNIQUE INDEX iu ON m1(a);" +
+        "CREATE VIEW mv AS SELECT a FROM m1;" +
+        "CREATE TRIGGER mtr AFTER INSERT ON m1 BEGIN SELECT 1; END;" +
+        "CREATE TABLE m2(x, UNIQUE(x));" +
+        "SELECT type, name, tbl_name, sql FROM sqlite_master ORDER BY name;" +
+        "SELECT count(*) FROM sqlite_master WHERE type = 'table'", f)
+    assert((c, o) == (0,
+      "index iu m1 CREATE UNIQUE INDEX iu ON m1(a)\n" +
+        "table m1 m1 CREATE TABLE m1(a INTEGER, b TEXT)\n" +
+        "table m2 m2 CREATE TABLE m2(x, UNIQUE(x))\n" +
+        "trigger mtr m1 CREATE TRIGGER mtr AFTER INSERT ON m1 BEGIN SELECT 1; END\n" +
+        "view mv mv CREATE VIEW mv AS SELECT a FROM m1\n" +
+        "index sqlite_autoindex_m2_1 m2 \n" +
+        "2\n"))
+  }
+
   test("join across two files (examples/hp, README.md:454)") {
     val md5 = tempFile("d41d8cd98f00b204e9800998ecf8427e  foo\nc157a79031e1c40f85931829bc5fc552  bar\n")
     val du = tempFile("0\tfoo\n4096\tbar\n")
