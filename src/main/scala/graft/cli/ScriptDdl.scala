@@ -177,7 +177,26 @@ object ScriptDdl {
     * column/table constraint's auto-index. */
   private[cli] final case class IdxDef(
       name: String, table: String, cols: Seq[String],
-      unique: Boolean, origin: String = "c")
+      unique: Boolean, origin: String = "c",
+      keyExprs: Seq[String] = Nil, whereText: Option[String] = None)
+
+  /** One enforced uniqueness keyset (round 7 generalization): plain
+    * column keysets (`exprs` are just the quoted columns), COLLATE'd
+    * columns, arbitrary key EXPRESSIONS, and partial (WHERE) indexes
+    * all flow through the same evaluated-key machinery. `errText` is
+    * the keyset's sqlite3 error spelling ("t.a, t.b" for columns,
+    * "index 'iu'" for expression indexes). */
+  private[cli] final case class KeySpec(
+      display: Seq[String], exprs: Seq[String], where: Option[String],
+      errText: String) {
+    def isPlain: Boolean =
+      where.isEmpty && display.nonEmpty && exprs == display.map(c => s"`$c`")
+  }
+  private[cli] object KeySpec {
+    def ofCols(table: String, cols: Seq[String]): KeySpec =
+      KeySpec(cols, cols.map(c => s"`$c`"), None,
+        cols.map(c => s"$table.$c").mkString(", "))
+  }
 
   /** A transaction capture: the full local temp-view catalog (plus
     * the index registry and user_version) at one point in the script.
@@ -295,10 +314,15 @@ object ScriptDdl {
 
   /** The enforced uniqueness keysets of `table` beyond its PRIMARY
     * KEY: one column list per UNIQUE index / constraint. */
-  private def uniqueKeysFor(state: State, table: String): Seq[Seq[String]] =
+  private def uniqueKeysFor(state: State, table: String): Seq[KeySpec] =
     state.indexes.toSeq
       .filter(i => i.unique && i.table.equalsIgnoreCase(table))
-      .map(_.cols)
+      .map { i =>
+        if (i.keyExprs.isEmpty) KeySpec.ofCols(i.table, i.cols)
+        else KeySpec(i.cols, i.keyExprs, i.whereText,
+          if (i.cols.nonEmpty) i.cols.map(c => s"${i.table}.$c").mkString(", ")
+          else s"index '${i.name}'")
+      }
 
   private def snapshot(spark: SparkSession, state: State): Snapshot = {
     val cat = spark.sessionState.catalog
@@ -344,6 +368,7 @@ object ScriptDdl {
     """(?is)\s*drop\s+(?:table|view)\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val CreateIndex =
     """(?is)\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+on\s+[`"]?(\w+)[`"]?\s*\(([^)]*)\)\s*(.*?)\s*""".r
+  private val WhereTailRe = """(?is)\s*where\s+(.+)""".r
   private val DropIndex =
     """(?is)\s*drop\s+index\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
   private val CreateTrigger =
@@ -1035,17 +1060,62 @@ object ScriptDdl {
             case IdxCol(c) => c
           }) else None
         if (unique != null) {
-          if (tail.nonEmpty)
-            throw new UnsupportedOperationException(
-              "partial (WHERE) UNIQUE indexes are not supported by this engine")
-          val cols = plainCols.getOrElse(throw new UnsupportedOperationException(
-            "UNIQUE indexes over expressions or COLLATE are not supported by this engine"))
+          val whereText: Option[String] = tail.trim match {
+            case "" => None
+            case WhereTailRe(w) => Some(w)
+            case t => throw new IllegalArgumentException(
+              s"""near "${t.split("\\s+").head}": syntax error""")
+          }
           val target = spark.table(tblName)
-          val resolved = cols.map(c => target.columns
+          def resolveCol(c: String): String = target.columns
             .find(_.equalsIgnoreCase(c))
-            .getOrElse(throw new IllegalArgumentException(s"no such column: $c")))
-          checkExistingUnique(target, tblName, resolved)
-          state.indexes += IdxDef(idxName, tblName, resolved, unique = true)
+            .getOrElse(throw new IllegalArgumentException(s"no such column: $c"))
+          (plainCols, whereText) match {
+            case (Some(cols), None) =>
+              // plain column keyset: the established fast path
+              val resolved = cols.map(resolveCol)
+              checkExistingUnique(target, tblName, resolved)
+              state.indexes += IdxDef(idxName, tblName, resolved, unique = true)
+            case _ =>
+              // round 7: expression / COLLATE / partial UNIQUE
+              // indexes enforce through EVALUATED keysets. COLLATE
+              // folds to the collation's key function (NOCASE folds
+              // ASCII only, like sqlite3; RTRIM strips trailing
+              // spaces); expressions keep their verbatim SQL.
+              val IdxCollate =
+                """(?is)\s*[`"]?(\w+)[`"]?\s+collate\s+(\w+)(?:\s+(?:asc|desc))?\s*""".r
+              val IdxColRe =
+                """(?is)\s*[`"]?(\w+)[`"]?(?:\s+(?:asc|desc))?\s*""".r
+              val displayCols = scala.collection.mutable.ArrayBuffer.empty[String]
+              var allCols = true
+              val exprTexts = items.map {
+                case IdxCollate(c, coll) =>
+                  val rc = resolveCol(c); displayCols += rc
+                  coll.toUpperCase match {
+                    case "BINARY" => s"`$rc`"
+                    case "NOCASE" =>
+                      s"translate(`$rc`, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
+                        "'abcdefghijklmnopqrstuvwxyz')"
+                    case "RTRIM" => s"rtrim(`$rc`)"
+                    case other => throw new IllegalArgumentException(
+                      s"no such collation sequence: $other")
+                  }
+                case IdxColRe(c) =>
+                  val rc = resolveCol(c); displayCols += rc; s"`$rc`"
+                case exprText =>
+                  allCols = false; exprText
+              }
+              val errText =
+                if (allCols) displayCols.map(c => s"$tblName.$c").mkString(", ")
+                else s"index '$idxName'"
+              val spec = KeySpec(
+                if (allCols) displayCols.toSeq else Nil,
+                exprTexts, whereText, errText)
+              checkExistingUniqueSpec(spark, target, spec)
+              state.indexes += IdxDef(idxName, tblName,
+                if (allCols) displayCols.toSeq else Nil, unique = true,
+                keyExprs = exprTexts, whereText = whereText)
+          }
           state.masterSql += MasterRow("index", idxName, tblName, Some(stmt.trim))
         } else {
           // validate plain identifier lists like sqlite3; expression
@@ -1278,6 +1348,44 @@ object ScriptDdl {
     throw new IllegalArgumentException(
       "UNIQUE constraint failed: " + cols.map(c => s"$table.$c").mkString(", "))
 
+  private def uniqueErrText(errText: String): Nothing =
+    throw new IllegalArgumentException(s"UNIQUE constraint failed: $errText")
+
+  /** Normalized key text for unique comparisons over an EVALUATED key
+    * column: numeric storage collapses to its double's text, so
+    * 100, 100.0 and 1e2 are one key (both sides of every comparison
+    * use this — see [[uniqueKeyVal]] for the driver-side twin). */
+  private def normKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.cast(StringType).rlike(UniqueNumRe),
+      c.cast("double").cast(StringType)).otherwise(c.cast(StringType))
+
+  private def normKeyVal(v: Any): String = v match {
+    case null => null
+    case s: String =>
+      if (s.matches(UniqueNumRe)) String.valueOf(s.toDouble) else s
+    case u: org.apache.spark.unsafe.types.UTF8String => normKeyVal(u.toString)
+    case other =>
+      val r = ScriptRunner.renderValue(other)
+      if (r.matches(UniqueNumRe)) String.valueOf(r.toDouble) else r
+  }
+
+  /** Creation-time / UPDATE-time uniqueness over an evaluated keyset
+    * (expression, COLLATE, partial). */
+  private def checkExistingUniqueSpec(spark: SparkSession,
+      target: org.apache.spark.sql.DataFrame, ks: KeySpec): Unit = {
+    var df = target
+    ks.where.foreach(w => df = df.where(expr(w)))
+    val keyCols = ks.exprs.zipWithIndex.map { case (t, i) =>
+      normKeyCol(expr(t)).as(s"__k$i") }
+    val sel = SqliteArith.fixup(spark, df.select(keyCols.toIndexedSeq: _*))
+    import org.apache.spark.sql.functions.{count => fCount}
+    val nonNull = ks.exprs.indices.map(i => col(s"__k$i").isNotNull).reduce(_ && _)
+    val dup = sel.where(nonNull)
+      .groupBy(ks.exprs.indices.map(i => col(s"__k$i")): _*)
+      .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count() > 0
+    if (dup) uniqueErrText(ks.errText)
+  }
+
   /** Error unless `target`'s rows are unique on `cols`. Rows with a
     * NULL in any keyset column never conflict (SQLite treats index
     * NULLs as distinct). One bounded driver-side probe. */
@@ -1413,8 +1521,17 @@ object ScriptDdl {
     }
     // UNIQUE indexes whose keyset an assignment touches: final-state
     // dup check, same set-based transient-dup permissiveness as pk
-    for (ks <- uniqueKeysFor(state, name) if ks.exists(isAssigned))
-      checkExistingUnique(updated, name, ks)
+    for (ks <- uniqueKeysFor(state, name)) {
+      if (ks.isPlain) {
+        if (ks.display.exists(isAssigned))
+          checkExistingUnique(updated, name, ks.display)
+      } else {
+        // expression/partial keysets: referenced columns are not
+        // statically known, so any assignment re-checks (bounded:
+        // CLI-scoped tables)
+        checkExistingUniqueSpec(spark, updated, ks)
+      }
+    }
   }
 
   /** The PRAGMA surface (reference forwards PRAGMA statements to
@@ -1548,8 +1665,11 @@ object ScriptDdl {
       .map(_.name)
     val notNullCols = schema.fields.filter(_.metadata.contains(Affinity.NotNullKey)).map(_.name).toSeq
     // UNIQUE-index keysets, resolved to the schema's field case
-    val uniqueKeys: Seq[Seq[String]] = uniqueKeysFor(state, name).map(_.map(c =>
-      schema.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(c)))
+    val uniqueKeys: Seq[KeySpec] = uniqueKeysFor(state, name).map { ks =>
+      if (!ks.isPlain) ks
+      else KeySpec.ofCols(name, ks.display.map(c =>
+        schema.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(c)))
+    }
     if (pkCols.isEmpty && notNullCols.isEmpty && uniqueKeys.isEmpty)
       return (target.unionByName(aligned), aligned)
 
@@ -1582,7 +1702,8 @@ object ScriptDdl {
     // which per-keyset set passes cannot reproduce — walk the batch
     if (uniqueKeys.nonEmpty)
       return applyInsertRowwise(spark, name, target, schema, batch,
-        (if (pkCols.nonEmpty) Seq(pkCols) else Nil) ++ uniqueKeys, mode, order)
+        (if (pkCols.nonEmpty) Seq(KeySpec.ofCols(name, pkCols)) else Nil) ++
+          uniqueKeys, mode, order)
 
     if (pkCols.isEmpty) return (order(target.unionByName(batch)), batch)
 
@@ -1701,63 +1822,80 @@ object ScriptDdl {
   private def applyInsertRowwise(
       spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
       schema: StructType, batchDf: org.apache.spark.sql.DataFrame,
-      keysets: Seq[Seq[String]], mode: String,
+      keysets: Seq[KeySpec], mode: String,
       order: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.broadcast
     val rows = batchDf.collect()
     if (rows.isEmpty) return (order(target), batchDf.limit(0))
-    val idxs: Seq[Seq[Int]] = keysets.map(_.map(schema.fieldIndex))
-    def keyOf(r: Row, ki: Seq[Int]): Option[Seq[Any]] = {
-      val vs = ki.map(i => uniqueKeyVal(r.get(i)))
-      if (vs.contains(null)) None else Some(vs)
-    }
     def localDf(rs: Seq[Row]): DataFrame = spark.createDataFrame(
       java.util.Arrays.asList(rs: _*),
       StructType(schema.fields.map(f => StructField(f.name, f.dataType))))
-    def keysDf(ks: Seq[String], keys: Seq[Seq[Any]]): DataFrame = {
-      val kSchema = StructType(ks.map(c =>
-        StructField(c, schema(schema.fieldIndex(c)).dataType)))
-      spark.createDataFrame(
-        java.util.Arrays.asList(keys.map(Row.fromSeq): _*), kSchema)
-    }
-    /** batch keys already present in storage, one probe per keyset */
-    def storedHits(ks: Seq[String], ki: Seq[Int]): collection.mutable.Set[Seq[Any]] = {
-      val keys = rows.toSeq.flatMap(r => keyOf(r, ki)).distinct
-      val out = collection.mutable.HashSet.empty[Seq[Any]]
-      if (keys.isEmpty) return out
-      def normed(c: String) = uniqueKeyCol(col(s"`$c`"), schema(c).dataType)
-      val hits =
-        if (ks.lengthCompare(1) == 0)
-          target.where(normed(ks.head).isin(keys.map(_.head).toIndexedSeq: _*))
-            .select(normed(ks.head)).collect().map(r => Seq(r.get(0)))
+    // Evaluate each keyset ONCE for the whole batch (round 7: keysets
+    // may be expressions / COLLATE folds / partial WHERE filters, not
+    // only columns): per row, None = the row is NOT in the index (a
+    // NULL key component, or the partial WHERE excludes it), else the
+    // normalized key texts (numeric storage collapses: 100 == 100.0).
+    val batchKeys: Seq[Array[Option[Seq[String]]]] = keysets.map { ks =>
+      val keyCols = ks.exprs.map(t => expr(t))
+      val wCol = ks.where.map(w => expr(w)).getOrElse(lit(true))
+      val sel = SqliteArith.fixup(spark,
+        localDf(rows.toSeq).select((keyCols :+ wCol).toIndexedSeq: _*))
+      sel.collect().map { r =>
+        val n = ks.exprs.size
+        val included = !r.isNullAt(n) && (r.get(n) match {
+          case b: Boolean => b
+          case other => // SQLite truthiness on a non-boolean WHERE
+            graft.functions.SqliteSum
+              .coerce(ScriptRunner.renderValue(other))._1 != 0.0
+        })
+        if (!included) None
         else {
-          val kdf = keysDf(ks, keys)
-          target.join(broadcast(kdf),
-              ks.map(c => uniqueKeyCol(target(c), schema(c).dataType) === kdf(c))
-                .reduce(_ && _), "left_semi")
-            .select(ks.map(normed).toIndexedSeq: _*)
-            .collect().map(_.toSeq.toSeq)
+          val vs = (0 until n).map(i => normKeyVal(r.get(i)))
+          if (vs.contains(null)) None else Some(vs)
         }
-      out ++= hits
+      }
+    }
+    /** batch keys already present in storage, one bounded probe per
+      * keyset (partial indexes filter the stored side by their WHERE
+      * before probing) */
+    def storedKeys(ks: KeySpec, bk: Array[Option[Seq[String]]])
+        : collection.mutable.Set[Seq[String]] = {
+      val out = collection.mutable.HashSet.empty[Seq[String]]
+      val keys = bk.flatten.distinct
+      if (keys.isEmpty) return out
+      var df = target
+      ks.where.foreach(w => df = df.where(expr(w)))
+      val keyCols = ks.exprs.zipWithIndex.map { case (t, i) =>
+        normKeyCol(expr(t)).as(s"__k$i") }
+      var sel = SqliteArith.fixup(spark, df.select(keyCols.toIndexedSeq: _*))
+      if (ks.exprs.lengthCompare(1) == 0)
+        sel = sel.where(col("__k0").isin(keys.map(_.head).toIndexedSeq: _*))
+      out ++= sel.collect().flatMap { r =>
+        val vs = ks.exprs.indices.map(i =>
+          Option(r.get(i)).map(_.toString).orNull)
+        if (vs.contains(null)) None else Some(vs)
+      }.filter(keys.toSet)
       out
     }
     mode match {
       case "abort" =>
-        val seen = keysets.zip(idxs).map { case (ks, ki) => (ks, ki, storedHits(ks, ki)) }
-        for (r <- rows; (ks, ki, s) <- seen; k <- keyOf(r, ki)) {
-          if (s.contains(k)) uniqueErr(name, ks)
+        val seen = keysets.zip(batchKeys).map { case (ks, bk) =>
+          (ks, bk, storedKeys(ks, bk)) }
+        for (i <- rows.indices; (ks, bk, s) <- seen; k <- bk(i)) {
+          if (s.contains(k)) uniqueErrText(ks.errText)
           s += k
         }
         (order(target.unionByName(batchDf)), batchDf)
       case "ignore" =>
-        val seen = keysets.zip(idxs).map { case (ks, ki) => ki -> storedHits(ks, ki) }
+        val seen = keysets.zip(batchKeys).map { case (ks, bk) =>
+          bk -> storedKeys(ks, bk) }
         val kept = collection.mutable.ArrayBuffer.empty[Row]
-        for (r <- rows) {
-          val keys = seen.map { case (ki, s) => (keyOf(r, ki), s) }
+        for (i <- rows.indices) {
+          val keys = seen.map { case (bk, s) => (bk(i), s) }
           if (!keys.exists { case (k, s) => k.exists(s.contains) }) {
-            kept += r
+            kept += rows(i)
             for ((k, s) <- keys; kk <- k) s += kk
           }
         }
@@ -1766,31 +1904,36 @@ object ScriptDdl {
       case "replace" =>
         // every proposed row inserts at its turn; later rows displace
         // earlier batch inserts sharing a key on any keyset …
-        val kept = collection.mutable.ArrayBuffer.empty[Row]
-        for (r <- rows) {
-          val keys = idxs.map(ki => keyOf(r, ki))
-          kept.filterInPlace(p => !keys.zip(idxs).exists {
-            case (Some(k), ki) => keyOf(p, ki).contains(k)
+        val kept = collection.mutable.ArrayBuffer.empty[Int]
+        for (i <- rows.indices) {
+          val keys = batchKeys.map(bk => bk(i))
+          kept.filterInPlace(pi => !keys.zip(batchKeys).exists {
+            case (Some(k), bk) => bk(pi).contains(k)
             case _ => false
           })
-          kept += r
+          kept += i
         }
         // … and stored rows conflicting with ANY proposed row were
         // displaced at that row's turn (even when the proposed row
-        // was itself displaced later in the batch)
+        // was itself displaced later in the batch). Partial indexes
+        // displace only rows their WHERE covers.
         var stored = target
-        for ((ks, ki) <- keysets.zip(idxs)) {
-          val keys = rows.toSeq.flatMap(r => keyOf(r, ki)).distinct
+        for ((ks, bk) <- keysets.zip(batchKeys)) {
+          val keys = bk.flatten.distinct
           if (keys.nonEmpty) {
-            val kdf = keysDf(ks, keys)
-            // keyOf normalizes numeric-storage text (100 ≡ 100.0), so
-            // the stored side must compare through the same key
-            stored = stored.join(broadcast(kdf),
-              ks.map(c => uniqueKeyCol(stored(c), schema(c).dataType) === kdf(c))
-                .reduce(_ && _), "left_anti")
+            val kSchema = StructType(ks.exprs.indices.map(i =>
+              StructField(s"__k$i", StringType)))
+            val kdf = spark.createDataFrame(
+              java.util.Arrays.asList(keys.map(Row.fromSeq): _*), kSchema)
+            val keyMatch = ks.exprs.zipWithIndex
+              .map { case (t, i) => normKeyCol(expr(t)) === kdf(s"__k$i") }
+              .reduce(_ && _)
+            val covered = ks.where.map(w => expr(w)).getOrElse(lit(true))
+            stored = SqliteArith.fixup(spark, stored.join(broadcast(kdf),
+              keyMatch && covered, "left_anti"))
           }
         }
-        (order(stored.unionByName(localDf(kept.toSeq))), batchDf)
+        (order(stored.unionByName(localDf(kept.toSeq.map(rows(_))))), batchDf)
     }
   }
 
@@ -1829,8 +1972,9 @@ object ScriptDdl {
 
     val schema = target.schema
     val pkColsAll = schema.fields.filter(_.metadata.contains(Affinity.PkKey)).map(_.name).toSeq
-    val uniqueKeys: Seq[Seq[String]] = uniqueKeysFor(state, name).map(_.map(c =>
-      schema.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(c)))
+    val uniqueKeys: Seq[Seq[String]] =
+      uniqueKeysFor(state, name).filter(_.isPlain).map(_.display.map(c =>
+        schema.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(c)))
     val allKs = (if (pkColsAll.nonEmpty) Seq(pkColsAll) else Nil) ++ uniqueKeys
     def noPkMatch: Nothing = throw new IllegalArgumentException(
       "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint")

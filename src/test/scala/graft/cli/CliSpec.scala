@@ -1563,6 +1563,48 @@ class CliSpec extends SparkSpec {
         "UPDATE tgd SET a=4; SELECT a FROM tgd", f) == (0, "4\n"))
   }
 
+  test("expression / COLLATE / partial UNIQUE indexes enforce (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // expression index: lower(a) — sqlite3: "UNIQUE constraint
+    // failed: index 'eiu'" on the case-folded duplicate
+    val (c1, _) = sqawk("CREATE TABLE e1(a, b);" +
+      "CREATE UNIQUE INDEX eiu ON e1(lower(a));" +
+      "INSERT INTO e1 VALUES ('X', 1); INSERT INTO e1 VALUES ('x', 2)", f)
+    assert(c1 == 1)
+    // COLLATE NOCASE column index: error names the column (t.a)
+    val (c2, _) = sqawk("CREATE TABLE e2(a, b);" +
+      "CREATE UNIQUE INDEX ec ON e2(a COLLATE NOCASE);" +
+      "INSERT INTO e2 VALUES ('X', 1); INSERT INTO e2 VALUES ('x', 2)", f)
+    assert(c2 == 1)
+    // partial index: WHERE b > 0 exempts rows outside it — sqlite3
+    // inserts (1,1),(1,0),(1,-1) then fails only on (1,5)
+    assert(sqawk("CREATE TABLE e3(a, b);" +
+      "CREATE UNIQUE INDEX ep ON e3(a) WHERE b > 0;" +
+      "INSERT INTO e3 VALUES (1,1); INSERT INTO e3 VALUES (1,0);" +
+      "INSERT INTO e3 VALUES (1,-1); SELECT count(*) FROM e3", f) ==
+      (0, "3\n"))
+    val (c3, _) = sqawk("CREATE TABLE e4(a, b);" +
+      "CREATE UNIQUE INDEX ep ON e4(a) WHERE b > 0;" +
+      "INSERT INTO e4 VALUES (1,1); INSERT INTO e4 VALUES (1,5)", f)
+    assert(c3 == 1)
+    // OR IGNORE respects the partial scope: the covered duplicate is
+    // skipped, the exempt one inserts (sqlite3: count 2)
+    assert(sqawk("CREATE TABLE e5(a, b);" +
+      "CREATE UNIQUE INDEX ep ON e5(a) WHERE b > 0;" +
+      "INSERT INTO e5 VALUES (1,1);" +
+      "INSERT OR IGNORE INTO e5 VALUES (1,2),(1,0);" +
+      "SELECT count(*) FROM e5", f) == (0, "2\n"))
+    // unknown collation errors like sqlite3
+    val (c4, _) = sqawk("CREATE TABLE e6(a);" +
+      "CREATE UNIQUE INDEX ex ON e6(a COLLATE WRONG)", f)
+    assert(c4 == 1)
+    // creation over existing expression duplicates fails
+    val (c5, _) = sqawk("CREATE TABLE e7(a);" +
+      "INSERT INTO e7 VALUES ('Q'),('q');" +
+      "CREATE UNIQUE INDEX eq ON e7(upper(a))", f)
+    assert(c5 == 1)
+  }
+
   test("sqlite_master lists script-created objects (sqlite3-pinned)") {
     val f = tempFile("x\n")
     // sqlite3 over the same script (ORDER BY name):
