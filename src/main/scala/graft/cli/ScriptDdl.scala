@@ -1042,9 +1042,9 @@ object ScriptDdl {
       // UPDATE, so it parses its column list, checks the EXISTING
       // rows, and registers as an enforced keyset (read by
       // applyInsert / applyUpsert / enforceUpdateConstraints).
-      // Expression, COLLATE and partial (WHERE) UNIQUE indexes are
-      // rejected rather than half-enforced; plain indexes keep
-      // accepting any column-list text as a pure no-op.
+      // Expression, COLLATE and partial (WHERE) UNIQUE indexes
+      // enforce through evaluated keysets (round 7); plain indexes
+      // keep accepting any column-list text as a pure no-op.
       requireTable(spark, tblName)
       if (spark.catalog.tableExists(idxName))
         throw new IllegalArgumentException(s"there is already a table named $idxName")
@@ -1274,16 +1274,20 @@ object ScriptDdl {
       if (numericStorage) t else "'" + s.replace("'", "''") + "'"
     }
 
-  private val TrigRefRe = """(?i)\b(new|old)\s*\.\s*[`"]?(\w+)[`"]?""".r
+  private val TrigRefPat = java.util.regex.Pattern.compile(
+    """(?i)(new|old)\s*\.\s*(?:[`"](\w+)[`"]|(\w+))""")
 
   /** Substitute OLD.col / NEW.col references with the fired row's
-    * literals. References to the absent side (OLD in an INSERT
-    * trigger, NEW in DELETE) error like unresolved names. */
+    * literals — QUOTE-AWARE: a reference spelled inside a string
+    * literal is text, not a name (round-8 advice: `VALUES ('NEW.a is
+    * set')` keeps its literal content), while `NEW."a"` — the quoted
+    * IDENTIFIER form — still substitutes because the reference match
+    * consumes its quotes before the literal scan sees them.
+    * References to the absent side (OLD in an INSERT trigger, NEW in
+    * DELETE) error like unresolved names. */
   private def substituteRefs(text: String, schema: StructType,
-      oldR: Option[Row], newR: Option[Row]): String =
-    TrigRefRe.replaceAllIn(text, m => {
-      val which = m.group(1).toLowerCase
-      val colName = m.group(2)
+      oldR: Option[Row], newR: Option[Row]): String = {
+    def refLit(which: String, colName: String): String = {
       val rowOpt = if (which == "new") newR else oldR
       rowOpt match {
         case None => throw new IllegalArgumentException(
@@ -1292,10 +1296,41 @@ object ScriptDdl {
           val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(colName))
           if (i < 0) throw new IllegalArgumentException(
             s"no such column: $which.$colName")
-          java.util.regex.Matcher.quoteReplacement(
-            trigLit(schema.fields(i), row.get(i)))
+          trigLit(schema.fields(i), row.get(i))
       }
-    })
+    }
+    def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+    val m = TrigRefPat.matcher(text)
+    val out = new StringBuilder
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        // copy the quoted region verbatim (doubled quotes escape)
+        val q = c
+        val start = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (text.charAt(i) == q) {
+            if (i + 1 < n && text.charAt(i + 1) == q) i += 2
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        out ++= text.substring(start, i)
+      } else if ((c == 'n' || c == 'N' || c == 'o' || c == 'O') &&
+          (i == 0 || !isWordChar(text.charAt(i - 1)))) {
+        m.region(i, n)
+        if (m.lookingAt()) {
+          val colName = Option(m.group(2)).getOrElse(m.group(3))
+          out ++= refLit(m.group(1).toLowerCase, colName)
+          i = m.end()
+        } else { out += c; i += 1 }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
 
   /** Fire `timing`×`event` triggers for each (OLD, NEW) pair —
     * row-major. Returns true when at least one trigger body ran (the
@@ -1352,22 +1387,74 @@ object ScriptDdl {
     throw new IllegalArgumentException(s"UNIQUE constraint failed: $errText")
 
   /** Normalized key text for unique comparisons over an EVALUATED key
-    * column: numeric storage collapses to its double's text, so
-    * 100, 100.0 and 1e2 are one key (both sides of every comparison
-    * use this — see [[uniqueKeyVal]] for the driver-side twin). */
-  private def normKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c.cast(StringType).rlike(UniqueNumRe),
-      c.cast("double").cast(StringType)).otherwise(c.cast(StringType))
+    * column. With `textAffinity=false` (numeric/NONE storage), numeric
+    * text collapses to ONE canonical key per VALUE — SQLite indexes
+    * compare INTEGER and REAL storage numerically, so 100, 100.0 and
+    * 1e2 are one key. The canonical form is the EXACT int64 text when
+    * the value is an in-range integer (pure-integer text never routes
+    * through double: 9223372036854775806 and …807 are DISTINCT keys in
+    * sqlite3, round-8 advice), else Java `Double.toString` (which is
+    * also Spark's double→string cast, so driver and executor agree).
+    * With `textAffinity=true` the key compares verbatim: a
+    * TEXT-affinity column holds only TEXT storage, where '100' and
+    * '100.0' are distinct keys (sqlite3-pinned, round-8 advice). */
+  private def normKeyCol(c: org.apache.spark.sql.Column,
+      textAffinity: Boolean): org.apache.spark.sql.Column = {
+    val s = c.cast(StringType)
+    if (textAffinity) s
+    else {
+      val li = s.cast("long")
+      val d = s.cast("double")
+      // integral double in [-2^63, 2^63): the long round-trip is exact
+      // (strict < excludes 2^63 itself, whose clamped long round-trips)
+      val longExact = d.cast("long").cast("double") === d &&
+        d < lit(9.223372036854775808e18)
+      when(s.rlike(UniqueIntRe) && li.isNotNull, li.cast(StringType))
+        .when(s.rlike(UniqueNumRe) && longExact, d.cast("long").cast(StringType))
+        .when(s.rlike(UniqueNumRe), d.cast(StringType))
+        .otherwise(s)
+    }
+  }
 
-  private def normKeyVal(v: Any): String = v match {
+  /** Driver-side twin of [[normKeyCol]] (same canonical texts). */
+  private def normKeyVal(v: Any, textAffinity: Boolean): String = v match {
     case null => null
-    case s: String =>
-      if (s.matches(UniqueNumRe)) String.valueOf(s.toDouble) else s
-    case u: org.apache.spark.unsafe.types.UTF8String => normKeyVal(u.toString)
+    case s: String => if (textAffinity) s else normNumText(s)
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      normKeyVal(u.toString, textAffinity)
     case other =>
       val r = ScriptRunner.renderValue(other)
-      if (r.matches(UniqueNumRe)) String.valueOf(r.toDouble) else r
+      if (textAffinity) r else normNumText(r)
   }
+
+  private def normNumText(s: String): String =
+    if (s.matches(UniqueIntRe))
+      try String.valueOf(java.lang.Long.parseLong(s))
+      catch { case _: NumberFormatException => normRealText(s.toDouble) }
+    else if (s.matches(UniqueNumRe)) normRealText(s.toDouble)
+    else s
+
+  private def normRealText(d: Double): String =
+    if (d.toLong.toDouble == d && d < 9.223372036854775808e18)
+      String.valueOf(d.toLong)
+    else String.valueOf(d)
+
+  /** SQLite comparison affinity of a column, from the declared-type /
+    * ordering-tag metadata ("NONE" when undeclared). */
+  private def fieldAffinity(f: StructField): String =
+    if (f.metadata.contains(Affinity.DeclKey))
+      Affinity.hasAffinity(f.metadata.getString(Affinity.DeclKey))
+    else if (f.metadata.contains(graft.plans.AffinityOrdering.AffinityKey))
+      f.metadata.getString(graft.plans.AffinityOrdering.AffinityKey)
+    else "NONE"
+
+  /** True when keyset position `i` compares as TEXT: a plain (or
+    * COLLATE'd) column whose declared affinity is TEXT. Expression
+    * keys have no affinity in SQLite → value-class comparison. */
+  private def keyTextAffinity(schema: StructType, ks: KeySpec, i: Int): Boolean =
+    ks.display.nonEmpty && ks.display.size == ks.exprs.size &&
+      schema.fields.find(_.name.equalsIgnoreCase(ks.display(i)))
+        .exists(f => f.dataType == StringType && fieldAffinity(f) == "TEXT")
 
   /** Creation-time / UPDATE-time uniqueness over an evaluated keyset
     * (expression, COLLATE, partial). */
@@ -1376,7 +1463,7 @@ object ScriptDdl {
     var df = target
     ks.where.foreach(w => df = df.where(expr(w)))
     val keyCols = ks.exprs.zipWithIndex.map { case (t, i) =>
-      normKeyCol(expr(t)).as(s"__k$i") }
+      normKeyCol(expr(t), keyTextAffinity(target.schema, ks, i)).as(s"__k$i") }
     val sel = SqliteArith.fixup(spark, df.select(keyCols.toIndexedSeq: _*))
     import org.apache.spark.sql.functions.{count => fCount}
     val nonNull = ks.exprs.indices.map(i => col(s"__k$i").isNotNull).reduce(_ && _)
@@ -1386,39 +1473,35 @@ object ScriptDdl {
     if (dup) uniqueErrText(ks.errText)
   }
 
+  /** Full-numeric text, as a regex (class-private twin of the
+    * affinity matcher): the gate for numeric-key collapse under
+    * non-TEXT affinity (round-7 fuzz seed 364: creating a unique
+    * index over {100, 100.0} fails in sqlite3). */
+  private val UniqueNumRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+  /** Pure-integer text: normalized through the EXACT int64 value so
+    * keys beyond 2^53 stay distinct (round-8 advice). */
+  private val UniqueIntRe = "^[+-]?[0-9]+$"
+
+  /** Numeric-equality key for a unique keyset column: string columns
+    * normalize per the column's affinity ([[normKeyCol]] semantics);
+    * non-string columns pass through (their native equality IS value
+    * equality). */
+  private def uniqueKeyCol(c: org.apache.spark.sql.Column,
+      f: StructField): org.apache.spark.sql.Column =
+    if (f.dataType != StringType) c
+    else normKeyCol(c, fieldAffinity(f) == "TEXT")
+
   /** Error unless `target`'s rows are unique on `cols`. Rows with a
     * NULL in any keyset column never conflict (SQLite treats index
     * NULLs as distinct). One bounded driver-side probe. */
-  /** Full-numeric text, as a regex (class-private twin of the
-    * affinity matcher): UNIQUE comparisons must treat 100, 100.0 and
-    * 1e2 as ONE key — SQLite indexes compare VALUES numerically
-    * across INTEGER/REAL storage (round-7 fuzz seed 364: creating a
-    * unique index over {100, 100.0} fails in sqlite3). */
-  private val UniqueNumRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
-
-  /** Numeric-equality key for a unique keyset column: numeric-storage
-    * text collapses to its double's text, everything else compares
-    * verbatim. Non-string columns pass through. */
-  private def uniqueKeyCol(c: org.apache.spark.sql.Column,
-      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
-    if (dt != StringType) c
-    else when(c.rlike(UniqueNumRe), c.cast("double").cast("string")).otherwise(c)
-
-  /** The driver-side twin of [[uniqueKeyCol]] (Spark's double→string
-    * cast is Java `Double.toString`, so the texts agree). */
-  private def uniqueKeyVal(v: Any): Any = v match {
-    case s: String if s.matches(UniqueNumRe) => String.valueOf(s.toDouble)
-    case u: org.apache.spark.unsafe.types.UTF8String => uniqueKeyVal(u.toString)
-    case other => other
-  }
-
   private def checkExistingUnique(
       target: org.apache.spark.sql.DataFrame, table: String, cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{count => fCount}
     val nonNull = cols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
     val dup = target.where(nonNull)
       .groupBy(cols.map(c =>
-        uniqueKeyCol(col(s"`$c`"), target.schema(c).dataType)): _*)
+        uniqueKeyCol(col(s"`$c`"), target.schema(c))): _*)
       .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count() > 0
     if (dup) uniqueErr(table, cols)
   }
@@ -1852,7 +1935,8 @@ object ScriptDdl {
         })
         if (!included) None
         else {
-          val vs = (0 until n).map(i => normKeyVal(r.get(i)))
+          val vs = (0 until n).map(i =>
+            normKeyVal(r.get(i), keyTextAffinity(schema, ks, i)))
           if (vs.contains(null)) None else Some(vs)
         }
       }
@@ -1868,7 +1952,7 @@ object ScriptDdl {
       var df = target
       ks.where.foreach(w => df = df.where(expr(w)))
       val keyCols = ks.exprs.zipWithIndex.map { case (t, i) =>
-        normKeyCol(expr(t)).as(s"__k$i") }
+        normKeyCol(expr(t), keyTextAffinity(schema, ks, i)).as(s"__k$i") }
       var sel = SqliteArith.fixup(spark, df.select(keyCols.toIndexedSeq: _*))
       if (ks.exprs.lengthCompare(1) == 0)
         sel = sel.where(col("__k0").isin(keys.map(_.head).toIndexedSeq: _*))
@@ -1926,7 +2010,8 @@ object ScriptDdl {
             val kdf = spark.createDataFrame(
               java.util.Arrays.asList(keys.map(Row.fromSeq): _*), kSchema)
             val keyMatch = ks.exprs.zipWithIndex
-              .map { case (t, i) => normKeyCol(expr(t)) === kdf(s"__k$i") }
+              .map { case (t, i) =>
+                normKeyCol(expr(t), keyTextAffinity(schema, ks, i)) === kdf(s"__k$i") }
               .reduce(_ && _)
             val covered = ks.where.map(w => expr(w)).getOrElse(lit(true))
             stored = SqliteArith.fixup(spark, stored.join(broadcast(kdf),

@@ -16,27 +16,16 @@ object ScriptRunner {
 
   private val TriggerStartRe =
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?trigger\b.*""".r
-  private val EndTokenRe = """(?i)\bend\s*$""".r
-  private val OpenerRe = """(?i)\b(?:case|begin)\b""".r
-  private val EndRe = """(?i)\bend\b""".r
-
-  /** True while `sb` holds a CREATE TRIGGER whose BEGIN…END is not
-    * yet closed, so a `;` belongs to the body. Heuristic nesting:
-    * every CASE/BEGIN consumes one END, and the closing END must be
-    * the buffer's last token — the same shape sqlite's tokenizer
-    * accepts for trigger bodies without CASE-in-identifier games. */
-  private def openTrigger(sb: StringBuilder): Boolean = {
-    val s = sb.toString
-    if (!TriggerStartRe.matches(s)) false
-    else {
-      val opens = OpenerRe.findAllIn(s).size
-      val ends = EndRe.findAllIn(s).size
-      !(EndTokenRe.findFirstIn(s.trim).isDefined && ends >= opens)
-    }
-  }
 
   /** Split a script on top-level `;` — quote-, comment- and
-    * bracket-aware (and CREATE TRIGGER-aware, see [[openTrigger]]). */
+    * CREATE TRIGGER-aware. A trigger's BEGIN…END body carries
+    * `;`-terminated statements, so splitting resumes only once the
+    * body's END closes (each CASE/BEGIN opens one END). The
+    * CASE/BEGIN/END tokens are counted INCREMENTALLY inside the
+    * quote/comment state machine — only while in normal state — so
+    * keyword-shaped text inside string literals or comments never
+    * opens or closes a body (round-8 advice: `… THEN 'end' … END;`
+    * must not split the trigger at the first `;`). */
   def splitStatements(script: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val sb = new StringBuilder
@@ -44,22 +33,41 @@ object ScriptRunner {
     val n = script.length
     var state: Char = ' ' // ' '=normal, '\''=single, '"'=double, '`'=backtick, '-'=line comment, '*'=block comment
     var commentStart = -1 // index of the '/' that opened a block comment
+    // trigger-body tracking, reset whenever the statement buffer clears
+    var opens = 0 // CASE/BEGIN tokens seen in normal state
+    var ends = 0 // END tokens seen in normal state
+    var lastIsEnd = false // buffer's most recent token (word, literal or punct) is END
+    val word = new StringBuilder
+    def flushWord(): Unit = if (word.nonEmpty) {
+      val t = word.toString.toLowerCase
+      if (t == "case" || t == "begin") { opens += 1; lastIsEnd = false }
+      else if (t == "end") { ends += 1; lastIsEnd = true }
+      else lastIsEnd = false
+      word.clear()
+    }
+    // the `;` closes a CREATE TRIGGER statement only when the body's
+    // BEGIN (plus any CASEs) is balanced by ENDs and the last real
+    // token is that closing END
+    def openTrigger: Boolean =
+      !(lastIsEnd && ends >= opens) && TriggerStartRe.matches(sb.toString)
     while (i < n) {
       val c = script.charAt(i)
       state match {
         case ' ' =>
           if (c == ';') {
-            // CREATE TRIGGER bodies carry ';'-terminated statements up
-            // to their closing END: keep consuming until the buffer
-            // ends with an END token that closes the trigger's BEGIN
-            // (CASE…END inside the body is balanced by counting —
-            // each CASE/BEGIN opens one END)
-            if (openTrigger(sb)) sb.append(c)
-            else { out += sb.toString; sb.clear() }
+            flushWord()
+            if (openTrigger) { sb.append(c); lastIsEnd = false }
+            else {
+              out += sb.toString; sb.clear()
+              opens = 0; ends = 0; lastIsEnd = false
+            }
           } else {
-            if (c == '\'' || c == '"' || c == '`') state = c
+            if (c.isLetterOrDigit || c == '_') word.append(c)
+            else flushWord()
+            if (c == '\'' || c == '"' || c == '`') { state = c; lastIsEnd = false }
             else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') state = '-'
             else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') { state = '*'; commentStart = i }
+            else if (!c.isWhitespace && !c.isLetterOrDigit && c != '_') lastIsEnd = false
             sb.append(c)
           }
         case '\'' | '"' | '`' =>

@@ -2,7 +2,7 @@ package graft.cli
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Between, Cast, Divide, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, Multiply, Remainder, SortOrder, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Between, Cast, Divide, EqualTo, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, Multiply, Not, Remainder, SortOrder, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,6 +30,14 @@ object SqliteArith {
 
   private def opLit(op: String): Expression =
     Literal(UTF8String.fromString(op), StringType)
+
+  /** SQLite truthiness on a CASE WHEN condition: any operand coerces
+    * through REAL, nonzero = true (`CASE WHEN 1` takes the branch;
+    * NULL and 'abc' do not — round 8: trigger bodies write these).
+    * Booleans pass through SqliteCastReal as 1.0/0.0, so wrapping an
+    * already-boolean predicate is a no-op in value terms. */
+  private def truthy(p: Expression): Expression =
+    Not(EqualTo(graft.functions.SqliteCastReal(p), Literal(0.0)))
 
   private val arithRewrite: PartialFunction[Expression, Expression] = {
     // BETWEEN survives analysis as a RuntimeReplaceable node that the
@@ -60,7 +68,7 @@ object SqliteArith {
     // harmless
     case cw: org.apache.spark.sql.catalyst.expressions.CaseWhen =>
       cw.copy(
-        branches = cw.branches.map { case (p, v) => (p, SqliteDynText(v)) },
+        branches = cw.branches.map { case (p, v) => (truthy(p), SqliteDynText(v)) },
         elseValue = cw.elseValue.map(SqliteDynText))
     case c: org.apache.spark.sql.catalyst.expressions.Coalesce =>
       c.copy(children = c.children.map(SqliteDynText))

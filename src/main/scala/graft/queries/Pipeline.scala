@@ -332,6 +332,23 @@ object Pipeline {
   // only change the constant).
   private val SubW = 4
 
+  // p62: variable-length maximal-repeat mining — prefix-doubling
+  // equality classes (Karp–Miller–Rosenberg, the distributed
+  // suffix-array construction) up to dyadic window 2^RepMaxK, so
+  // exact match lengths are reported up to 2^(RepMaxK+1)-1 = 255
+  // tokens (this corpus's docs top out near 115 tokens, asserted by
+  // the RepGidCap guard below; production corpora raise RepMaxK —
+  // each +1 is ONE more hash-shuffle round). Threshold = 2^RepMinK =
+  // 4 tokens, aligned with p50's SubW so the two operators answer
+  // the same "duplicated region" question at different precision.
+  private val RepMinK = 2
+  private val RepMaxK = 7
+  // gid = doc_id * RepGidCap + pos is the deterministic global
+  // position id both engines agree on; docs must stay shorter than
+  // RepGidCap tokens (guarded in the Spark build).
+  private val RepGidCap = 1024L
+  private val RepTopN = 50
+
   // p51: k-means geometry — K clusters, Iters assignment passes
   // (Lloyd), embedding components quantized to integers at
   // floor(x · KmScale) so every centroid statistic is an exact

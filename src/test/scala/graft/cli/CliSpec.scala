@@ -808,12 +808,24 @@ class CliSpec extends SparkSpec {
     assert(sqawk("-noinput", "create table v6 (a); " +
       "create unique index ia on v6(nope)")._1 == 1)
     spark.catalog.dropTempView("v6")
-    // engine scope: expression / partial UNIQUE indexes reject
-    // (sqlite3 supports them; enforcing half of one would diverge)
+    // round 7: expression / partial UNIQUE indexes ENFORCE through
+    // evaluated keysets (sqlite3-pinned: duplicate a+1 keys error
+    // "UNIQUE constraint failed: index 'ia'")
     assert(sqawk("-noinput", "create table v7 (a, b); " +
-      "create unique index ia on v7(a + 1)")._1 == 1)
-    assert(sqawk("-noinput", "create unique index ia on v7(a) where b > 0")._1 == 1)
+      "create unique index ia on v7(a + 1); " +
+      "insert into v7 values (1, 10); insert into v7 values (1, 20)")._1 == 1)
     spark.catalog.dropTempView("v7")
+    // a partial index's WHERE exempts non-covered rows (three rows
+    // insert: only ONE has b > 0), while covered duplicates error
+    assert(sqawk("-noinput", "create table v7b (a, b); " +
+      "create unique index ib on v7b(a) where b > 0; " +
+      "insert into v7b values (1, 0); insert into v7b values (1, -1); " +
+      "insert into v7b values (1, 5); select count(*) from v7b") == (0, "3\n"))
+    spark.catalog.dropTempView("v7b")
+    assert(sqawk("-noinput", "create table v7c (a, b); " +
+      "create unique index ic on v7c(a) where b > 0; " +
+      "insert into v7c values (1, 5); insert into v7c values (1, 6)")._1 == 1)
+    spark.catalog.dropTempView("v7c")
     // no-target DO NOTHING spans every uniqueness constraint
     assert(sqawk("-noinput", "create table v8 (k integer primary key, a); " +
       "create unique index ia on v8(a); insert into v8 values (1,'x'),(2,'y'); " +
@@ -1630,6 +1642,56 @@ class CliSpec extends SparkSpec {
         "view mv mv CREATE VIEW mv AS SELECT a FROM m1\n" +
         "index sqlite_autoindex_m2_1 m2 \n" +
         "2\n"))
+  }
+
+  test("UNIQUE key affinity: TEXT verbatim, int64 exact (sqlite3-pinned, round 8)") {
+    // sqlite3: under TEXT affinity '100' and '100.0' are distinct
+    // TEXT keys (both insert, count=2) …
+    assert(sqawk("-noinput",
+      "create table ta (a TEXT unique); insert into ta values ('100'); " +
+        "insert into ta values ('100.0'); select count(*) from ta") == (0, "2\n"))
+    // … while NUMERIC affinity converts both to INTEGER 100 → conflict
+    assert(sqawk("-noinput",
+      "create table tn (a NUMERIC unique); insert into tn values ('100'); " +
+        "insert into tn values ('100.0')")._1 == 1)
+    // INTEGER vs REAL storage of the same VALUE conflicts (values
+    // compare numerically across storage classes)
+    assert(sqawk("-noinput",
+      "create table tc (a NUMERIC unique); insert into tc values (100); " +
+        "insert into tc values (100.0)")._1 == 1)
+    // int64 keys beyond 2^53 stay distinct — sqlite3 compares INTEGER
+    // storage exactly; a double round-trip would merge these two
+    assert(sqawk("-noinput",
+      "create table tb (a unique); insert into tb values (9223372036854775806); " +
+        "insert into tb values (9223372036854775807); " +
+        "select count(*) from tb") == (0, "2\n"))
+    // the TEXT-verbatim rule holds through UNIQUE INDEX creation too
+    assert(sqawk("-noinput",
+      "create table td (a TEXT); insert into td values ('100'), ('100.0'); " +
+        "create unique index idu on td(a); select count(*) from td") == (0, "2\n"))
+  }
+
+  test("trigger splitter and OLD/NEW are literal-safe (sqlite3-pinned, round 8)") {
+    // a body statement ending CASE…END with a string literal 'end'
+    // must not split the trigger at the wrong ';' (the literal is not
+    // an END token) — sqlite3 accepts and runs this script
+    assert(sqawk("-noinput",
+      "create table t8 (a); insert into t8 values (1); " +
+        "create trigger tr8 after insert on t8 begin " +
+        "update t8 set a = case when 1 then 'end' else 'x' end; end; " +
+        "insert into t8 values (2); select a from t8") == (0, "end\nend\n"))
+    // OLD./NEW. spelled INSIDE a string literal is text, not a name
+    assert(sqawk("-noinput",
+      "create table t9 (a); create table l9 (msg); " +
+        "create trigger tr9 after insert on t9 begin " +
+        "insert into l9 values ('NEW.a is set'); end; " +
+        "insert into t9 values (7); select msg from l9") == (0, "NEW.a is set\n"))
+    // … while the quoted-IDENTIFIER form NEW."a" still substitutes
+    assert(sqawk("-noinput",
+      "create table t10 (a); create table l10 (v); " +
+        "create trigger tr10 after insert on t10 begin " +
+        "insert into l10 values (new.\"a\"); end; " +
+        "insert into t10 values (7); select v from l10") == (0, "7\n"))
   }
 
   test("join across two files (examples/hp, README.md:454)") {

@@ -41,8 +41,20 @@ object SqlFuzzMain {
           progressEvery = 200)
         println(s"[fuzz] DONE: ${bad.size}/${n} divergent; seeds: " +
           bad.map(_.seed).mkString(", "))
+      case "script" :: rest if rest.nonEmpty =>
+        // run one ad-hoc script (joined from the remaining args)
+        // through graft AND sqlite3 — quick divergence probe
+        val script = rest.mkString(" ")
+        val sw = new java.io.StringWriter
+        val ser = ScriptRunner.makeSerializer("awk", GlobalOptions(), sw)
+        graft.functions.GraftFunctions.register(spark)
+        try { ScriptRunner.run(spark, script, ser, None); println(s"--- graft ---\n$sw") }
+        catch { case e: Throwable =>
+          println(s"--- graft (errored after) ---\n$sw"); e.printStackTrace(System.out) }
+        val q = SqlScriptFuzz.runSqlite(script)
+        println(s"--- sqlite errored=${q._1} ---\n${q._2.replace(SqlScriptFuzz.Sep, " ")}")
       case other =>
-        System.err.println(s"usage: seed <s> | sweep <from> <n>; got $other")
+        System.err.println(s"usage: seed <s> | sweep <from> <n> | script <sql…>; got $other")
         sys.exit(2)
     }
     spark.stop()
