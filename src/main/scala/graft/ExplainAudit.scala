@@ -30,7 +30,7 @@ object ExplainAudit {
         "p50_substring_dedup", "p51_kmeans_cluster",
         "p55_wordpiece_tokenize", "p56_bpe_train", "p57_token_fertility",
         "p58_event_funnel", "p59_url_dedup", "p60_markov_transitions",
-        "p61_paragraph_dedup",
+        "p61_paragraph_dedup", "p62_repeat_mining",
         "q39_asof_join", "q40_range_join", "q43_subquery_exists")) {
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, d)

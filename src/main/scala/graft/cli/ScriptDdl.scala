@@ -53,8 +53,9 @@ import graft.sources.Affinity
   *    real enforced constraint: creation checks the existing rows,
   *    and INSERT / UPDATE / UPSERT honor it with sqlite3's
   *    statement-order conflict semantics (see [[applyInsertRowwise]]).
-  *    Expression / COLLATE / partial UNIQUE indexes are rejected
-  *    rather than half-enforced;
+  *    Expression / COLLATE / partial UNIQUE indexes are enforced
+  *    through evaluated keysets (the indexed expressions / WHERE
+  *    predicate run through the same evaluator as the DML);
   *  - `PRAGMA` → answered from the declared-column metadata and the
   *    run state ([[pragmaRows]]): table_info / database_list /
   *    index_list / journal_mode / user_version and friends;

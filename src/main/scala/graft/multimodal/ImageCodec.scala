@@ -98,6 +98,159 @@ object ImageCodec {
     out.toByteArray
   }
 
+  // ---- pixel-level PNG (p63) -------------------------------------------
+
+  /** PNG Paeth predictor (spec §9.4): closest of left/up/up-left to
+    * the linear estimate, ties resolved left, up, up-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Apply one PNG scanline filter (0 None, 1 Sub, 2 Up, 3 Average,
+    * 4 Paeth) to raw value `cur` given the RAW left/up/up-left
+    * neighbors, per spec §9: predictors read unfiltered bytes. */
+  private def filterByte(ft: Int, cur: Int, left: Int, up: Int, ul: Int): Int =
+    ft match {
+      case 0 => cur
+      case 1 => cur - left
+      case 2 => cur - up
+      case 3 => cur - (left + up) / 2
+      case 4 => cur - paeth(left, up, ul)
+      case _ => throw new IllegalArgumentException(s"bad PNG filter $ft")
+    }
+
+  /** Inverse of [[filterByte]] given the RECONSTRUCTED neighbors. */
+  private def unfilterByte(ft: Int, f: Int, left: Int, up: Int, ul: Int): Int =
+    ft match {
+      case 0 => f
+      case 1 => f + left
+      case 2 => f + up
+      case 3 => f + (left + up) / 2
+      case 4 => f + paeth(left, up, ul)
+      case _ => throw new IllegalArgumentException(s"bad PNG filter $ft")
+    }
+
+  /** Fully valid truecolor 8-bit PNG: `pixels` = row-major RGB
+    * (width*height*3 bytes), each scanline filtered with
+    * `filterOf(y)` ∈ 0..4, the filtered stream zlib-deflated and split
+    * into ≤ 512-byte IDAT chunks (so decoders must concatenate the
+    * IDAT sequence, not read one chunk). Decodable by JDK ImageIO
+    * (pinned in ImageCodecSpec). */
+  def synthesizePixelPng(width: Int, height: Int, pixels: Array[Byte],
+      filterOf: Int => Int): Array[Byte] = {
+    val stride = width * 3
+    require(pixels.length == stride * height, "pixels != w*h*3")
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val ft = filterOf(y)
+      raw((stride + 1) * y) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = pixels(y * stride + i) & 0xff
+        val left = if (i >= 3) pixels(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) pixels((y - 1) * stride + i - 3) & 0xff else 0
+        raw((stride + 1) * y + 1 + i) = (filterByte(ft, cur, left, up, ul) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val comp = new ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) {
+      val n = defl.deflate(buf)
+      comp.write(buf, 0, n)
+    }
+    defl.end()
+    val z = comp.toByteArray
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(be32(width))
+    ihdr.write(be32(height))
+    ihdr.write(Array[Byte](8, 2, 0, 0, 0))
+    val out = new ByteArrayOutputStream()
+    out.write(PngSignature)
+    out.write(pngChunk("IHDR", ihdr.toByteArray))
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(512, z.length - off)
+      out.write(pngChunk("IDAT", java.util.Arrays.copyOfRange(z, off, off + n)))
+      off += n
+    }
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Decoded truecolor image: row-major RGB bytes plus the per-row
+    * filter types the encoder chose. */
+  final case class PixelImage(width: Int, height: Int,
+      pixels: Array[Byte], filters: Array[Int])
+
+  /** Full PNG pixel decode: IHDR dims, every IDAT chunk's data
+    * concatenated and inflated (java.util.zip.Inflater), then the five
+    * scanline-filter reconstructions applied per row. Supports what
+    * [[synthesizePixelPng]] emits (8-bit truecolor, no interlace). */
+  def decodePixels(b: Array[Byte]): PixelImage = {
+    require(isPng(b), "not a PNG")
+    require(new String(b, 12, 4, "US-ASCII") == "IHDR", "PNG missing IHDR")
+    val width = readBe32(b, 16)
+    val height = readBe32(b, 20)
+    require(b(24) == 8 && b(25) == 2 && b(28) == 0,
+      "only 8-bit truecolor non-interlaced PNG supported")
+    val comp = new ByteArrayOutputStream()
+    var pos = 8
+    var done = false
+    while (!done && pos + 8 <= b.length) {
+      val len = readBe32(b, pos)
+      val tag = new String(b, pos + 4, 4, "US-ASCII")
+      require(pos + 8 + len <= b.length, s"PNG truncated inside $tag chunk")
+      if (tag == "IDAT") comp.write(b, pos + 8, len)
+      if (tag == "IEND") done = true
+      pos += 12 + len
+    }
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(comp.toByteArray)
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    var off = 0
+    try {
+      while (off < raw.length && !infl.finished()) {
+        val n = infl.inflate(raw, off, raw.length - off)
+        require(n > 0 || !infl.needsInput(), "truncated zlib stream in IDAT")
+        off += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(s"bad zlib stream in IDAT: ${e.getMessage}")
+    } finally infl.end()
+    require(off == raw.length, s"IDAT inflated to $off bytes, want ${raw.length}")
+    val out = new Array[Byte](stride * height)
+    val filters = new Array[Int](height)
+    var y = 0
+    while (y < height) {
+      val ft = raw((stride + 1) * y) & 0xff
+      filters(y) = ft
+      var i = 0
+      while (i < stride) {
+        val f = raw((stride + 1) * y + 1 + i) & 0xff
+        val left = if (i >= 3) out(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) out((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) out((y - 1) * stride + i - 3) & 0xff else 0
+        out(y * stride + i) = (unfilterByte(ft, f, left, up, ul) & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    PixelImage(width, height, out, filters)
+  }
+
   // ---- decoding ---------------------------------------------------------
 
   private def readBe32(b: Array[Byte], off: Int): Int =

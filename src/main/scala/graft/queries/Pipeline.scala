@@ -3691,7 +3691,314 @@ object Pipeline {
               |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS segs_dropped,
               |  coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos), '')
               |    AS kept_text
-              |FROM flagged GROUP BY doc_id""".stripMargin))
+              |FROM flagged GROUP BY doc_id""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p62: VARIABLE-LENGTH MAXIMAL-REPEAT MINING — the Lee et al. 2022
+    // suffix-array question p50 can only answer at a fixed W: which
+    // token sequences of ANY length recur in the corpus, and where?
+    // Method = Karp–Miller–Rosenberg prefix doubling, the distributed
+    // suffix-array construction: level-k class of position (doc, pos)
+    // identifies the exact 2^k-token window starting there; level k+1
+    // is md5(cls_k(pos) || ':' || cls_k(pos + 2^k)) — ONE equi-join on
+    // (doc_id, pos) per round, a plain hash shuffle, so RepMaxK = 7
+    // costs 7 hash-partitioned joins and NO corpus-wide sort (the
+    // classical SA construction sorts; the hash formulation doesn't
+    // need rank order, only equality — md5 equality is exact window
+    // equality modulo 128-bit collisions). A level-k class is a REPEAT
+    // iff it occurs >= 2 times (self-overlap counts, as in suffix-array
+    // repeat mining); it is MAXIMAL iff at least one occurrence cannot
+    // be extended to a repeated 2^(k+1)-window on either side (covered
+    // iff the (k+1)-window at pos — right extension — or at pos - 2^k —
+    // left extension — is itself repeated; any sub-window of a repeated
+    // window is repeated, so this single-level check is transitively
+    // consistent across the dyadic hierarchy) AND it is LEFT-MAXIMAL in
+    // the classical suffix-tree sense: its occurrences carry >= 2
+    // distinct left-context tokens, or the only left context is a
+    // document start (extension impossible). Without the left check the
+    // top-N drowns in sliding shifts of one long duplicated region —
+    // every offset of the region is "a repeat" but only the
+    // context-boundary windows are mining signal. Report = top RepTopN by
+    // (rep_len DESC, n_occ DESC, min_gid): TakeOrderedAndProject over
+    // class-level aggregates, then ONE tiny (<= RepTopN-row, broadcast)
+    // join back to the docs to materialize the repeat text — the text
+    // join happens AFTER the limit, so at 100 TB nothing corpus-sized
+    // is ever sorted or re-joined for presentation. gid = doc_id *
+    // RepGidCap + pos is the deterministic global occurrence id both
+    // engines agree on for survivor picking; the assert_true guard
+    // (evaluated inside the gid projection so pruning can't drop it)
+    // aborts if any doc could overflow the id space. The oracle replays
+    // every doubling round and the per-level maximality join as chained
+    // CTEs, so the hash compare verifies classes, counts, coverage AND
+    // the reconstructed repeat text byte-for-byte.
+    QDef(
+      "p62_repeat_mining",
+      (s, d) => {
+        val t = docs(s, d).withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), col("toks"))
+        val maxLen = RepGidCap - (1L << RepMaxK)
+        val base = t
+          .select(col("doc_id"), col("toks"),
+            posexplode(col("toks")).as(Seq("p0", "tok")))
+          .select(col("doc_id"),
+            (col("p0") + 1).cast("long").as("pos"),
+            col("tok"),
+            (col("doc_id") * RepGidCap + col("p0") + 1 +
+              coalesce(assert_true(size(col("toks")) <= maxLen,
+                lit(s"p62: doc longer than $maxLen tokens overflows gid"))
+                .cast("long"), lit(0L))).as("gid"))
+        // lv(k): (doc_id, pos, gid, cls) where cls identifies the exact
+        // 2^k-token window at pos. One hash equi-join per doubling.
+        val lv = new Array[DataFrame](RepMaxK + 1)
+        lv(0) = base.select(col("doc_id"), col("pos"), col("gid"),
+          md5(col("tok")).as("cls"))
+        for (k <- 1 to RepMaxK) {
+          val step = 1L << (k - 1)
+          val right = lv(k - 1).select(col("doc_id").as("rdoc"),
+            col("pos").as("rpos"), col("cls").as("rcls"))
+          lv(k) = lv(k - 1)
+            .join(right, col("rdoc") === col("doc_id") &&
+              col("rpos") === col("pos") + step)
+            .select(col("doc_id"), col("pos"), col("gid"),
+              md5(concat_ws(":", col("cls"), col("rcls"))).as("cls"))
+        }
+        // occurrences of repeated classes at level k (count >= 2)
+        def repOcc(k: Int): DataFrame = {
+          val reps = lv(k).groupBy("cls").agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2).select("cls")
+          lv(k).join(reps, "cls")
+        }
+        // left-context symbol of every position: md5 of the preceding
+        // token, or '^' at a document start ('^' is not a hex digit, so
+        // it can never collide with an md5 class)
+        val lctx = lv(0).select(col("doc_id").as("ldoc"),
+          (col("pos") + 1).as("lpos"), col("cls").as("lsym"))
+        val perLevel = (RepMinK to RepMaxK).map { k =>
+          val len = 1L << k
+          val occ = repOcc(k)
+            .join(lctx, col("ldoc") === col("doc_id") &&
+              col("lpos") === col("pos"), "left")
+            .withColumn("left_sym", coalesce(col("lsym"), lit("^")))
+          val unc =
+            if (k == RepMaxK) occ.withColumn("covered", lit(0L))
+            else {
+              val up = repOcc(k + 1).select(col("doc_id"), col("pos"))
+              val cov = up
+                .unionByName(up.select(col("doc_id"),
+                  (col("pos") + len).as("pos")))
+                .distinct().withColumn("c1", lit(1L))
+              occ.join(cov, Seq("doc_id", "pos"), "left")
+                .withColumn("covered", coalesce(col("c1"), lit(0L)))
+            }
+          unc.groupBy("cls").agg(
+              count(lit(1)).as("n_occ"),
+              countDistinct(col("doc_id")).as("n_docs"),
+              sum(lit(1L) - col("covered")).as("n_unc"),
+              countDistinct(col("left_sym")).as("n_left_ctx"),
+              min(col("left_sym")).as("min_ls"),
+              min(col("gid")).as("min_gid"))
+            .filter(col("n_unc") >= 1 &&
+              (col("n_left_ctx") >= 2 || col("min_ls") === "^"))
+            .select(lit(len).as("rep_len"), col("n_occ"), col("n_docs"),
+              col("n_unc"), col("n_left_ctx"), col("min_gid"))
+        }
+        val top = perLevel.reduce(_ unionByName _)
+          .orderBy(col("rep_len").desc, col("n_occ").desc, col("min_gid"))
+          .limit(RepTopN)
+          .withColumn("sample_doc", expr(s"min_gid DIV $RepGidCap"))
+          .withColumn("sample_pos", expr(s"min_gid % $RepGidCap"))
+        top.join(t, top("sample_doc") === t("doc_id"))
+          .select(col("rep_len"), col("n_occ"), col("n_docs"), col("n_unc"),
+            col("n_left_ctx"), col("sample_doc"), col("sample_pos"),
+            expr("""array_join(
+                   |  slice(toks, CAST(sample_pos AS INT), CAST(rep_len AS INT)),
+                   |  ' ')""".stripMargin).as("repeat_text"))
+      },
+      Some {
+        val doubling = (1 to RepMaxK).map { k =>
+          val p = k - 1
+          val step = 1L << p
+          s"""c$k AS (
+             |  SELECT a.doc_id, a.pos, a.gid, md5(a.cls || ':' || b.cls) AS cls
+             |  FROM c$p a JOIN c$p b
+             |    ON a.doc_id = b.doc_id AND b.pos = a.pos + $step
+             |)""".stripMargin
+        }.mkString(", ")
+        val levels = (RepMinK to RepMaxK).map { k =>
+          val len = 1L << k
+          val rep =
+            s"""r$k AS (
+               |  SELECT cls FROM c$k GROUP BY cls HAVING count(*) >= 2
+               |), o$k AS (
+               |  SELECT c$k.* FROM c$k JOIN r$k USING (cls)
+               |)""".stripMargin
+          val st =
+            if (k == RepMaxK)
+              s"""st$k AS (
+                 |  SELECT CAST($len AS BIGINT) AS rep_len,
+                 |    CAST(count(*) AS BIGINT) AS n_occ,
+                 |    CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+                 |    CAST(count(*) AS BIGINT) AS n_unc,
+                 |    CAST(count(DISTINCT coalesce(lc.lsym, '^')) AS BIGINT)
+                 |      AS n_left_ctx,
+                 |    min(o.gid) AS min_gid
+                 |  FROM o$k o LEFT JOIN lc
+                 |    ON o.doc_id = lc.doc_id AND o.pos = lc.lpos
+                 |  GROUP BY cls
+                 |  HAVING count(DISTINCT coalesce(lc.lsym, '^')) >= 2
+                 |      OR min(coalesce(lc.lsym, '^')) = '^'
+                 |)""".stripMargin
+            else
+              s"""cov$k AS (
+                 |  SELECT DISTINCT doc_id, pos FROM (
+                 |    SELECT doc_id, pos FROM o${k + 1}
+                 |    UNION ALL
+                 |    SELECT doc_id, pos + $len FROM o${k + 1})
+                 |), st$k AS (
+                 |  SELECT CAST($len AS BIGINT) AS rep_len,
+                 |    CAST(count(*) AS BIGINT) AS n_occ,
+                 |    CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+                 |    CAST(sum(CASE WHEN v.pos IS NULL THEN 1 ELSE 0 END)
+                 |      AS BIGINT) AS n_unc,
+                 |    CAST(count(DISTINCT coalesce(lc.lsym, '^')) AS BIGINT)
+                 |      AS n_left_ctx,
+                 |    min(o.gid) AS min_gid
+                 |  FROM o$k o LEFT JOIN cov$k v
+                 |    ON o.doc_id = v.doc_id AND o.pos = v.pos
+                 |  LEFT JOIN lc
+                 |    ON o.doc_id = lc.doc_id AND o.pos = lc.lpos
+                 |  GROUP BY cls
+                 |  HAVING sum(CASE WHEN v.pos IS NULL THEN 1 ELSE 0 END) >= 1
+                 |    AND (count(DISTINCT coalesce(lc.lsym, '^')) >= 2
+                 |         OR min(coalesce(lc.lsym, '^')) = '^')
+                 |)""".stripMargin
+          s"$rep, $st"
+        }.mkString(", ")
+        val unioned = (RepMinK to RepMaxK)
+          .map(k => s"SELECT * FROM st$k").mkString(" UNION ALL ")
+        s"""WITH t AS (
+           |  SELECT doc_id, $toksDuck AS toks FROM documents
+           |), c0 AS (
+           |  SELECT doc_id, CAST(p AS BIGINT) AS pos,
+           |    doc_id * $RepGidCap + CAST(p AS BIGINT) AS gid,
+           |    md5(toks[CAST(p AS INT)]) AS cls
+           |  FROM t, LATERAL unnest(range(1, len(toks) + 1)) u(p)
+           |), lc AS (
+           |  SELECT doc_id, pos + 1 AS lpos, cls AS lsym FROM c0
+           |), $doubling, $levels, allr AS (
+           |  $unioned
+           |), top AS (
+           |  SELECT * FROM allr
+           |  ORDER BY rep_len DESC, n_occ DESC, min_gid LIMIT $RepTopN
+           |)
+           |SELECT top.rep_len, top.n_occ, top.n_docs, top.n_unc,
+           |  top.n_left_ctx,
+           |  top.min_gid // $RepGidCap AS sample_doc,
+           |  top.min_gid % $RepGidCap AS sample_pos,
+           |  array_to_string(toks[
+           |    CAST(top.min_gid % $RepGidCap AS INT) :
+           |    CAST(top.min_gid % $RepGidCap + top.rep_len - 1 AS INT)], ' ')
+           |    AS repeat_text
+           |FROM top JOIN t ON t.doc_id = top.min_gid // $RepGidCap""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // p63: PNG IDAT PIXEL DECODE — p10/p16 stop at the container walk;
+    // this is the full raster path a real image-curation pass needs:
+    // per doc a REAL truecolor PNG is synthesized (pixel v(x,y,c) =
+    // (doc_id·7 + x·3 + y·5 + c·11 + (x·y) mod 13) mod 256, each
+    // scanline filtered with filter (doc_id+y) mod 5 — all five PNG
+    // filter types exercised — zlib-deflated, split into ≤512-byte
+    // IDAT chunks), and the decoder recovers the raster FROM THE BYTES:
+    // IDAT concatenation, java.util.zip.Inflater, and the five filter
+    // reconstructions (None/Sub/Up/Average/Paeth, spec §9). Every
+    // output stat is computed from the DECODED pixels and filter bytes
+    // — pixel sum/min/max, a position-weighted checksum (index-sensitive,
+    // so a transposed or row-shifted reconstruction hash-mismatches),
+    // and the filter histogram — while the oracle recomputes them from
+    // the SYNTHESIS formulas, so any defect in filtering, deflate,
+    // inflate, or reconstruction diverges. 100 TB shape: same as
+    // p10/p16 — narrow typed mapPartitions, zero shuffle, decode cost
+    // scales with bytes; ImageCodecSpec additionally pins the decoder
+    // pixel-for-pixel against JDK ImageIO's independent PNG decode.
+    QDef(
+      "p63_png_pixel_decode",
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+          val w = (8L + id % 17L).toInt
+          val h = (8L + (id * 5L) % 13L).toInt
+          val stride = w * 3
+          val px = new Array[Byte](stride * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var c = 0
+              while (c < 3) {
+                val v = (id * 7L + x * 3L + y * 5L + c * 11L +
+                  (x.toLong * y.toLong) % 13L) % 256L
+                px(y * stride + x * 3 + c) = v.toByte
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          val png = ImageCodec.synthesizePixelPng(w, h, px,
+            yy => ((id + yy) % 5L).toInt)
+          val img = ImageCodec.decodePixels(png)
+          var sum = 0L; var mn = 255L; var mx = 0L; var wsum = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = (img.pixels(i) & 0xff).toLong
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            wsum += v * ((i % 997) + 1)
+            i += 1
+          }
+          val fh = new Array[Long](5)
+          img.filters.foreach(ft => fh(ft) += 1)
+          PixelStats(id, img.width.toLong, img.height.toLong,
+            img.pixels.length.toLong, sum, mn, mx, wsum,
+            fh(0), fh(1), fh(2), fh(3), fh(4))
+        }).toDF()
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 5) % 13 AS h
+             |  FROM documents
+             |), px AS (
+             |  SELECT doc_id, w, h, x, y, c,
+             |    (doc_id * 7 + x * 3 + y * 5 + c * 11 + (x * y) % 13) % 256 AS v,
+             |    (y * w + x) * 3 + c AS i
+             |  FROM dims,
+             |    LATERAL unnest(range(0, w)) ux(x),
+             |    LATERAL unnest(range(0, h)) uy(y),
+             |    LATERAL unnest(range(0, 3)) uc(c)
+             |), st AS (
+             |  SELECT doc_id,
+             |    CAST(sum(v) AS BIGINT) AS pix_sum,
+             |    CAST(min(v) AS BIGINT) AS pix_min,
+             |    CAST(max(v) AS BIGINT) AS pix_max,
+             |    CAST(sum(v * (i % 997 + 1)) AS BIGINT) AS pix_wsum
+             |  FROM px GROUP BY doc_id
+             |), fh AS (
+             |  SELECT doc_id,
+             |    CAST(sum(CASE WHEN (doc_id + y) % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_f0,
+             |    CAST(sum(CASE WHEN (doc_id + y) % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_f1,
+             |    CAST(sum(CASE WHEN (doc_id + y) % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_f2,
+             |    CAST(sum(CASE WHEN (doc_id + y) % 5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_f3,
+             |    CAST(sum(CASE WHEN (doc_id + y) % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_f4
+             |  FROM dims, LATERAL unnest(range(0, h)) uy(y)
+             |  GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, CAST(w AS BIGINT) AS width,
+             |  CAST(h AS BIGINT) AS height,
+             |  CAST(w * h * 3 AS BIGINT) AS n_bytes_raw,
+             |  st.pix_sum, st.pix_min, st.pix_max, st.pix_wsum,
+             |  fh.n_f0, fh.n_f1, fh.n_f2, fh.n_f3, fh.n_f4
+             |FROM dims d JOIN st USING (doc_id) JOIN fh USING (doc_id)""".stripMargin))
   )
 
   /** p56/p57 shared core: the BpeK-round BPE training loop — ONE
@@ -4380,6 +4687,13 @@ final case class PackedDoc(
 /** Typed row for the distributed rank-selection quantiles (p32). */
 final case class LangDecile(
     lang: String, decile: Long, q_value: Long, n_docs: Long)
+
+/** Typed row for the PNG pixel decode (p63): stats over the DECODED
+  * pixel bytes and per-row filter-type histogram. */
+final case class PixelStats(
+    doc_id: Long, width: Long, height: Long, n_bytes_raw: Long,
+    pix_sum: Long, pix_min: Long, pix_max: Long, pix_wsum: Long,
+    n_f0: Long, n_f1: Long, n_f2: Long, n_f3: Long, n_f4: Long)
 
 /** Typed row for the multimodal feature extraction (p16). */
 final case class MediaFeatures(
