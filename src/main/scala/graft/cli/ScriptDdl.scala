@@ -283,7 +283,7 @@ object ScriptDdl {
     * Caveat (documented deviation): a TABLE ALIAS spelled like an
     * attached schema name would be rewritten too — avoid aliasing
     * tables with attached schema names. */
-  def rewriteAttached(sql: String, state: State): String = {
+  def rewriteAttached(spark: SparkSession, sql: String, state: State): String = {
     if (state.attached.isEmpty) return sql
     if ("""(?is)\s*pragma\b.*""".r.matches(sql)) return sql
     val toks = SqliteOperators.tokenize(sql).filterNot(_.kind == ' ')
@@ -296,14 +296,26 @@ object ScriptDdl {
           !(i > 0 && toks(i - 1).kind == 'p' && text(toks(i - 1)) == ".")) {
         val an = text(a)
         if (an.equalsIgnoreCase("main"))
-          return rewriteAttached(
+          return rewriteAttached(spark,
             sql.substring(0, a.start) + sql.substring(b.start), state)
         state.attached.keys.find(_.equalsIgnoreCase(an)) match {
           case Some(k) =>
             val tbl = stripQuotes(text(b))
-            val view = state.attached(k).views
-              .getOrElse(tbl.toLowerCase, attViewName(k, tbl))
-            return rewriteAttached(sql.substring(0, a.start) +
+            val db = state.attached(k)
+            val view = db.views.getOrElse(tbl.toLowerCase, {
+              // a name first seen AFTER attach (a CREATE TABLE into
+              // the attached schema, round 9 — fuzz seed 25): bind it
+              // like attach-time loading — the bare name when free,
+              // the schema-mangled view otherwise — and remember the
+              // binding so later qualified AND bare references agree
+              val v = if (!spark.catalog.tableExists(tbl)) tbl
+                      else attViewName(k, tbl)
+              state.attached += k -> db.copy(
+                views = db.views + (tbl.toLowerCase -> v),
+                owned = db.owned :+ v)
+              v
+            })
+            return rewriteAttached(spark, sql.substring(0, a.start) +
               s"`$view`" + sql.substring(b.end), state)
           case None => ()
         }
@@ -367,8 +379,12 @@ object ScriptDdl {
     """(?is)\s*create\s+(?:temp(?:orary)?\s+)?view\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+as\s+(.+)""".r
   private val Drop =
     """(?is)\s*drop\s+(?:table|view)\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
+  // the column list is re-split at the BALANCING close paren in the
+  // handler (round 9): `[^)]*` truncated expression indexes like
+  // (lower(a)) at the first close paren, so the round-8 "enforced"
+  // expression index never parsed — fuzz seed 30 caught it
   private val CreateIndex =
-    """(?is)\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+on\s+[`"]?(\w+)[`"]?\s*\(([^)]*)\)\s*(.*?)\s*""".r
+    """(?is)\s*create\s+(unique\s+)?index\s+(if\s+not\s+exists\s+)?[`"]?(\w+)[`"]?\s+on\s+[`"]?(\w+)[`"]?\s*\((.*)\s*""".r
   private val WhereTailRe = """(?is)\s*where\s+(.+)""".r
   private val DropIndex =
     """(?is)\s*drop\s+index\s+(if\s+exists\s+)?[`"]?(\w+)[`"]?\s*""".r
@@ -383,8 +399,12 @@ object ScriptDdl {
     """(?is)\s*drop\s+trigger\s+(if\s+exists\s+)?[`\"]?(\w+)[`\"]?\s*""".r
   private val Update =
     """(?is)\s*update\s+(?:or\s+\w+\s+)?[`"]?(\w+)[`"]?\s+set\s+(.+)""".r
+  // \s* not \b after the optional closing quote: `\b` has no boundary
+  // between a closing backtick and the following space, so a DELETE on
+  // a backtick-quoted name (rewriteAttached emits them) left the quote
+  // glued to the tail (fuzz seed 26)
   private val Delete =
-    """(?is)\s*delete\s+from\s+[`"]?(\w+)[`"]?\b(.*)""".r
+    """(?is)\s*delete\s+from\s+[`"]?(\w+)[`"]?\s*(.*)""".r
   private val AlterRenameTable =
     """(?is)\s*alter\s+table\s+[`"]?(\w+)[`"]?\s+rename\s+to\s+[`"]?(\w+)[`"]?\s*""".r
   private val AlterRenameColumn =
@@ -784,6 +804,114 @@ object ScriptDdl {
       }
       Done
 
+    // ---- INSTEAD OF triggers on views (round 9, sqlite3-pinned) ------
+    // DML against a view never touches the view: each affected row
+    // fires the INSTEAD OF trigger stack (newest-first, per row) with
+    // OLD/NEW bound to VIEW rows (computed columns included). Without a
+    // matching trigger the statement errors "cannot modify … view" —
+    // including an UPDATE whose SET list misses every UPDATE OF column.
+    // RETURNING reports the PROPOSED rows (NEW for INSERT/UPDATE, OLD
+    // for DELETE) whether or not a WHEN clause suppressed the fire.
+
+    case Insert(_, _, name, colList, body0) if isView(spark, name) =>
+      if (triggersFor(state, name, "INSTEAD OF", "INSERT", Nil).isEmpty)
+        rejectViewDml(spark, name)
+      val (body1, retText) = splitAtTopLevelKeyword(body0, "returning")
+      val (body, _) = splitAtTopLevelKeyword(body1, "on conflict")
+      val target = spark.table(name)
+      val rowsDf =
+        if ("""(?is)\s*default\s+values\s*""".r.matches(body))
+          // views have no DEFAULTs: one all-NULL proposed row
+          spark.range(1).select(target.columns.map(c =>
+            lit(null).cast(StringType).as(c)).toIndexedSeq: _*)
+        else
+          try SqliteArith.sql(spark, body)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getCondition != null &&
+                  e.getCondition.startsWith("INVALID_INLINE_TABLE") =>
+              SqliteArith.sql(spark, stringifyValues(body))
+          }
+      val bound: Seq[String] = Option(colList).map(_.trim).filter(_.nonEmpty) match {
+        case Some(cl) => splitTopLevel(cl.stripPrefix("(").stripSuffix(")"))
+          .map(c => stripQuotes(c.trim))
+        case None => target.columns.toSeq
+      }
+      for (c <- bound if !target.columns.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(s"table $name has no column named $c")
+      if (rowsDf.columns.length != bound.length)
+        throw new IllegalArgumentException(
+          if (Option(colList).forall(_.trim.isEmpty))
+            s"table $name has ${target.columns.length} columns but " +
+              s"${rowsDf.columns.length} values were supplied"
+          else s"${rowsDf.columns.length} values for ${bound.length} columns")
+      val srcCols = rowsDf.columns
+      val proposed = rowsDf.select(target.columns.map { c =>
+        bound.indexWhere(_.equalsIgnoreCase(c)) match {
+          case -1 => lit(null).cast(StringType).as(c)
+          case i => col(s"`${srcCols(i)}`").as(c)
+        }
+      }.toIndexedSeq: _*)
+      fireTriggers(spark, state, name, "INSTEAD OF", "INSERT", Nil,
+        proposed.schema, proposed.collect().toSeq.map(r => (None, Some(r))))
+      Handled(retText.map(returningDf(target, proposed, _)))
+
+    case Update(name, rest0) if isView(spark, name) =>
+      val (rest, retText) = splitAtTopLevelKeyword(rest0, "returning")
+      val (setClause, whereOpt) = splitAtTopLevelWhere(rest)
+      val assigns = splitTopLevel(setClause).map(parseAssignment)
+      // read the view through the dialect path: the body re-parses
+      // with the arithmetic/affinity rewrites (computed view columns
+      // carry sqlite typing, see SqliteArith.inlineViews)
+      val target = SqliteArith.sql(spark, s"SELECT * FROM `$name`")
+      for ((c, _) <- assigns if !target.columns.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(s"no such column: $c")
+      val assignedCols = assigns.map(_._1)
+      if (triggersFor(state, name, "INSTEAD OF", "UPDATE", assignedCols).isEmpty)
+        rejectViewDml(spark, name)
+      // no storeCanonical here: view rows carry no declared affinity
+      def newValue(c: String): Option[org.apache.spark.sql.Column] =
+        assigns.reverse.find(_._1.equalsIgnoreCase(c))
+          .map { case (_, t) => expr(t) }
+      val base = whereOpt
+        .map(w => SqliteArith.fixup(spark, target.where(expr(w))))
+        .getOrElse(target)
+      val oldCols = target.columns.map(c => col(s"`$c`"))
+      val newCols = target.columns.map(c => newValue(c).getOrElse(col(s"`$c`")))
+      val n = target.columns.length
+      val pairs = SqliteArith.fixup(spark,
+        base.select((oldCols ++ newCols).toIndexedSeq: _*)).collect().toSeq
+        .map(r => (Some(Row.fromSeq((0 until n).map(r.get))),
+                   Some(Row.fromSeq((n until 2 * n).map(r.get)))))
+      fireTriggers(spark, state, name, "INSTEAD OF", "UPDATE", assignedCols,
+        target.schema, pairs)
+      Handled(retText.map { t =>
+        val newRows = base.select(target.columns.map(c =>
+          newValue(c).getOrElse(col(s"`$c`")).as(c)).toIndexedSeq: _*)
+        returningDf(target, newRows, t)
+      })
+
+    case Delete(name, tail0) if isView(spark, name) =>
+      val (tail, retText) = splitAtTopLevelKeyword(tail0, "returning")
+      val WhereTailV = """(?is)where\s+(.+)""".r
+      val condOpt = tail.trim match {
+        case "" => None
+        case WhereTailV(c) => Some(c)
+        case t => throw new IllegalArgumentException(
+          s"""near "${t.split("\\s+").head}": syntax error""")
+      }
+      if (triggersFor(state, name, "INSTEAD OF", "DELETE", Nil).isEmpty)
+        rejectViewDml(spark, name)
+      val target = SqliteArith.sql(spark, s"SELECT * FROM `$name`")
+      val matched = condOpt match {
+        case None => target
+        case Some(c) => SqliteArith.sql(spark,
+          s"SELECT * FROM `$name` WHERE coalesce(($c), false)")
+      }
+      fireTriggers(spark, state, name, "INSTEAD OF", "DELETE", Nil,
+        target.schema, matched.collect().toSeq.map(r => (Some(r), None)))
+      Handled(retText.map(returningDf(target, matched, _)))
+
     case Insert(verb, orRes, name, colList, body0) =>
       if (!spark.catalog.tableExists(name))
         throw new IllegalArgumentException(s"no such table: $name")
@@ -1034,7 +1162,8 @@ object ScriptDdl {
       // RETURNING sees the OLD values of the deleted rows
       Handled(retText.map(returningDf(target, deleted, _)))
 
-    case CreateIndex(unique, ifNotExists, idxName, tblName, colText, tail) =>
+    case CreateIndex(unique, ifNotExists, idxName, tblName, colsAndTail) =>
+      val (colText, tail) = splitBalanced(colsAndTail)
       // SQLite indexes change performance, never results; Catalyst
       // plans declaratively, so a plain CREATE INDEX is a planning
       // no-op — but it still registers (PRAGMA index_list and DROP
@@ -1093,8 +1222,12 @@ object ScriptDdl {
                 case IdxCollate(c, coll) =>
                   val rc = resolveCol(c); displayCols += rc
                   coll.toUpperCase match {
-                    case "BINARY" => s"`$rc`"
-                    case "NOCASE" =>
+                    case "BINARY" | "UTF8_BINARY" => s"`$rc`"
+                    // UTF8_LCASE: the statement text reaches this
+                    // handler AFTER SqliteOperators.rewrite mapped
+                    // sqlite's NOCASE to Spark's collation name
+                    // (fuzz seed 10 — the raw spelling never arrives)
+                    case "NOCASE" | "UTF8_LCASE" =>
                       s"translate(`$rc`, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', " +
                         "'abcdefghijklmnopqrstuvwxyz')"
                     case "RTRIM" => s"rtrim(`$rc`)"
@@ -1146,13 +1279,17 @@ object ScriptDdl {
 
     case CreateTrigger(ifNotExists, trgName, timing0, event0, updCols,
         tblName, whenText, bodyText) =>
-      val timing = Option(timing0).map(_.trim.toUpperCase).getOrElse("AFTER")
+      val timing = Option(timing0)
+        .map(_.trim.toUpperCase.replaceAll("\\s+", " ")).getOrElse("AFTER")
       val event = event0.trim.split("\\s+").head.toUpperCase
-      if (timing == "INSTEAD OF")
-        throw new UnsupportedOperationException(
-          "INSTEAD OF triggers are not supported by this engine")
       requireTable(spark, tblName)
-      if (isView(spark, tblName))
+      // sqlite3-pinned placement matrix: INSTEAD OF exists only on
+      // views; BEFORE/AFTER only on tables
+      if (timing == "INSTEAD OF") {
+        if (!isView(spark, tblName))
+          throw new IllegalArgumentException(
+            s"cannot create INSTEAD OF trigger on table: $tblName")
+      } else if (isView(spark, tblName))
         throw new IllegalArgumentException(
           s"cannot create $timing trigger on view: $tblName")
       if (state.triggers.exists(_.name.equalsIgnoreCase(trgName))) {
@@ -1357,7 +1494,7 @@ object ScriptDdl {
         fired = true
         state.firing += t.name.toLowerCase
         try for (stmt <- t.body) {
-          val sql = rewriteAttached(SqliteOperators.rewrite(sub(stmt)), state)
+          val sql = rewriteAttached(spark, SqliteOperators.rewrite(sub(stmt)), state)
           pragmaRows(spark, sql, state) match {
             case Some(_) => ()
             case None => executeRows(spark, sql, state) match {
@@ -2548,6 +2685,30 @@ object ScriptDdl {
   }
 
   /** Split on commas outside parentheses and quotes. */
+  /** `rest` = the text following an already-consumed "(": returns
+    * (inside, after) split at the BALANCING close paren, quote-aware
+    * — nested calls like (lower(a)) stay whole. */
+  private def splitBalanced(rest: String): (String, String) = {
+    var depth = 1
+    var i = 0
+    var quote: Char = 0
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0)
+            return (rest.substring(0, i), rest.substring(i + 1).trim)
+        case _ => ()
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("""near "(": syntax error""")
+  }
+
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     val sb = new StringBuilder

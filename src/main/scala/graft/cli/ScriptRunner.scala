@@ -175,7 +175,7 @@ object ScriptRunner {
         // registered function calls, and ATTACHed-schema qualified
         // names resolve to their registered views, before Spark
         // parses the statement.
-        val sql = ScriptDdl.rewriteAttached(SqliteOperators.rewrite(stmt), ddlState)
+        val sql = ScriptDdl.rewriteAttached(spark, SqliteOperators.rewrite(stmt), ddlState)
         // a statement reading the schema catalog materializes
         // sqlite_master from the run's DDL registry first (round 7)
         if ("""(?is).*\bsqlite_master\b.*""".r.matches(sql))

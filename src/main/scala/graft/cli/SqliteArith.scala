@@ -130,6 +130,53 @@ object SqliteArith {
       plan.transformAllExpressionsWithSubqueries(arithRewrite)
         .transformAllExpressionsWithSubqueries(sortRewrite))
 
+  /** Pre-analysis VIEW inlining (round 9): a script temp VIEW stores
+    * its TEXT and re-resolves at use — but Spark's analyzer expands it
+    * from that text AFTER [[rewritePlan]] ran, so nothing inside a
+    * view body got the dialect rewrite (arithmetic inside `CREATE VIEW
+    * v AS SELECT a*100 …` kept Spark's double typing: 100.0 where
+    * sqlite3 prints 100). Expand view references ourselves before
+    * analysis: each reference becomes a SubqueryAlias over the parsed
+    * body, recursively (nested views), with CTE names shadowing views
+    * (sqlite scoping) and a depth guard for circular definitions. */
+  private def inlineViews(spark: SparkSession, plan: LogicalPlan,
+      shadow: Set[String], depth: Int): LogicalPlan = {
+    if (depth > 16)
+      throw new IllegalArgumentException("view nesting too deep (circularly defined?)")
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    def viewText(name: String): Option[String] =
+      spark.sessionState.catalog.getRawTempView(name)
+        .flatMap(_.tableMeta.viewText)
+    val node = plan match {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+          !shadow.contains(u.multipartIdentifier.head.toLowerCase) =>
+        viewText(u.multipartIdentifier.head) match {
+          case Some(text) =>
+            val body = spark.sessionState.sqlParser.parsePlan(text)
+            // nested views resolve in a fresh scope (outer CTEs are
+            // not visible inside a view body, like sqlite)
+            SubqueryAlias(u.multipartIdentifier.head,
+              inlineViews(spark, body, Set.empty, depth + 1))
+          case None => u
+        }
+      case w: UnresolvedWith =>
+        val shadowed = shadow ++ w.cteRelations.map(_._1.toLowerCase)
+        w.copy(
+          child = inlineViews(spark, w.child, shadowed, depth),
+          cteRelations = w.cteRelations.map { case (n, s, opt) =>
+            (n, inlineViews(spark, s, shadowed, depth).asInstanceOf[SubqueryAlias], opt)
+          })
+      case other =>
+        other.mapChildren(inlineViews(spark, _, shadow, depth))
+    }
+    node.transformExpressions {
+      case s: SubqueryExpression =>
+        s.withNewPlan(inlineViews(spark, s.plan, shadow, depth))
+    }
+  }
+
   /** `spark.sql` for a script statement, with the dialect rewrite.
     * After analysis, ORDER BY over computed value-provenance
     * expressions gets the storage-class sort key (the analyzed plan
@@ -137,7 +184,8 @@ object SqliteArith {
     * optimizer may collapse it into union branches, too late). */
   def sql(spark: SparkSession, text: String): DataFrame = {
     val plan = spark.sessionState.sqlParser.parsePlan(text)
-    fixup(spark, org.apache.spark.sql.GraftSqlShim.ofRows(spark, rewritePlan(plan)))
+    fixup(spark, org.apache.spark.sql.GraftSqlShim.ofRows(spark,
+      rewritePlan(inlineViews(spark, plan, Set.empty, 0))))
   }
 
   /** Apply the post-analysis script rewrites (storage-class

@@ -861,6 +861,84 @@ object Ingest {
              |  SELECT * FROM ins UNION ALL
              |  SELECT * FROM upd UNION ALL
              |  SELECT * FROM del)
+             |ORDER BY ev, k""".stripMargin)),
+
+    // i29/round 9: INSTEAD OF triggers on views — view DML never
+    // touches the view; each affected VIEW row (computed columns
+    // included — rx = r*10 below, NEW.rx/10 must round-trip) fires
+    // the INSTEAD OF body instead. The script routes INSERT / UPDATE
+    // OF with WHEN / DELETE through triggers into the base table plus
+    // an audit log; sqlite3-pinned offline (incl. the upd→del
+    // interaction on k=6: the delete logs the ALREADY-lowercased
+    // name). The oracle recomputes base-table end state and audit
+    // rows relationally, so the hash compare verifies routing, WHEN
+    // gating, OLD/NEW view-row binding and statement ordering.
+    QDef(
+      "i29_instead_of_triggers",
+      (s, d) => {
+        graft.Tables.nation(s, d).createOrReplaceTempView("g_nat_iv")
+        val sw = new java.io.StringWriter
+        ScriptRunner.run(s,
+          """CREATE TABLE tb AS
+            |  SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS r
+            |  FROM g_nat_iv;
+            |CREATE VIEW v AS SELECT k, nm, r * 10 AS rx FROM tb WHERE k < 20;
+            |CREATE TABLE vlog (ev TEXT, k INTEGER, x TEXT);
+            |CREATE TRIGGER vi INSTEAD OF INSERT ON v
+            |  BEGIN
+            |    INSERT INTO tb VALUES (NEW.k, NEW.nm, NEW.rx / 10);
+            |    INSERT INTO vlog VALUES ('ins', NEW.k, NEW.nm);
+            |  END;
+            |CREATE TRIGGER vu INSTEAD OF UPDATE OF nm ON v WHEN NEW.k % 2 = 0
+            |  BEGIN
+            |    UPDATE tb SET nm = NEW.nm WHERE k = OLD.k;
+            |    INSERT INTO vlog VALUES ('upd', OLD.k, NEW.nm);
+            |  END;
+            |CREATE TRIGGER vd INSTEAD OF DELETE ON v
+            |  BEGIN
+            |    DELETE FROM tb WHERE k = OLD.k;
+            |    INSERT INTO vlog VALUES ('del', OLD.k, OLD.nm);
+            |  END;
+            |INSERT INTO v VALUES (200, 'zz', 30);
+            |UPDATE v SET nm = lower(nm) WHERE k % 3 = 0;
+            |DELETE FROM v WHERE k % 5 = 1""".stripMargin,
+          new AwkSerializer(sw))
+        val rows = s.table("tb").select(
+          lit("row").as("ev"), col("k").cast("long").as("k"),
+          concat(col("nm"), lit("#"), col("r").cast("string")).as("x"))
+        val out = rows
+          .unionAll(s.table("vlog").select(
+            col("ev"), col("k").cast("long").as("k"), col("x")))
+          .orderBy("ev", "k")
+        Seq("vlog", "tb", "v", "g_nat_iv")
+          .foreach(v => try s.catalog.dropTempView(v) catch { case _: Throwable => () })
+        out
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm,
+             |         CAST(n_regionkey AS BIGINT) AS r
+             |  FROM nation
+             |), t1 AS (
+             |  SELECT * FROM base UNION ALL SELECT 200, 'zz', 3
+             |), t2 AS (
+             |  SELECT k,
+             |    CASE WHEN k < 20 AND k % 3 = 0 AND k % 2 = 0
+             |         THEN lower(nm) ELSE nm END AS nm, r
+             |  FROM t1
+             |), t3 AS (
+             |  SELECT * FROM t2 WHERE NOT (k < 20 AND k % 5 = 1)
+             |), logs AS (
+             |  SELECT 'ins' AS ev, CAST(200 AS BIGINT) AS k, 'zz' AS x
+             |  UNION ALL
+             |  SELECT 'upd', k, lower(nm) FROM base
+             |  WHERE k < 20 AND k % 3 = 0 AND k % 2 = 0
+             |  UNION ALL
+             |  SELECT 'del', k, nm FROM t2 WHERE k < 20 AND k % 5 = 1
+             |)
+             |SELECT ev, k, x FROM (
+             |  SELECT 'row' AS ev, k, nm || '#' || CAST(r AS VARCHAR) AS x
+             |  FROM t3
+             |  UNION ALL SELECT ev, k, x FROM logs)
              |ORDER BY ev, k""".stripMargin))
   )
 }

@@ -1575,6 +1575,100 @@ class CliSpec extends SparkSpec {
         "UPDATE tgd SET a=4; SELECT a FROM tgd", f) == (0, "4\n"))
   }
 
+  test("INSTEAD OF triggers route view DML through the body (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // INSERT: the view is never touched; the body stores a transform
+    assert(sqawk(
+      "CREATE TABLE ioit(a, b); INSERT INTO ioit VALUES (1,'x');" +
+        "CREATE VIEW ioiv AS SELECT a, b FROM ioit;" +
+        "CREATE TRIGGER ioii INSTEAD OF INSERT ON ioiv BEGIN " +
+        "INSERT INTO ioit VALUES (NEW.a*10, NEW.b||'!'); END;" +
+        "INSERT INTO ioiv VALUES (5,'z');" +
+        "SELECT a, b FROM ioit ORDER BY a", f) == (0, "1 x\n50 z!\n"))
+    // UPDATE OF + WHEN + DELETE over a computed view column; the
+    // sqlite3 probe ends with t = {(1,'x'), (2,'q')}
+    assert(sqawk(
+      "CREATE TABLE iout(a, b); INSERT INTO iout VALUES (1,'x'),(2,'y'),(3,'z');" +
+        "CREATE VIEW iouv AS SELECT a, b FROM iout;" +
+        "CREATE TRIGGER iouu INSTEAD OF UPDATE OF b ON iouv " +
+        "WHEN NEW.b <> 'skip' BEGIN " +
+        "UPDATE iout SET b = NEW.b WHERE a = OLD.a; END;" +
+        "CREATE TRIGGER ioud INSTEAD OF DELETE ON iouv BEGIN " +
+        "DELETE FROM iout WHERE a = OLD.a; END;" +
+        "UPDATE iouv SET b='q' WHERE a>=2;" +
+        "UPDATE iouv SET b='skip' WHERE a=1;" +
+        "DELETE FROM iouv WHERE a=3;" +
+        "SELECT a, b FROM iout ORDER BY a", f) == (0, "1 x\n2 q\n"))
+    // OLD binds the COMPUTED view column
+    assert(sqawk(
+      "CREATE TABLE ioct(a, b); INSERT INTO ioct VALUES (1,'x');" +
+        "CREATE VIEW iocv AS SELECT a, b, a*100 AS c FROM ioct;" +
+        "CREATE TRIGGER iocu INSTEAD OF UPDATE ON iocv BEGIN " +
+        "UPDATE ioct SET b = NEW.b || OLD.c WHERE a = OLD.a; END;" +
+        "UPDATE iocv SET b='q' WHERE a=1; SELECT b FROM ioct", f) == (0, "q100\n"))
+    // partial column list: missing columns propose NULL
+    assert(sqawk(
+      "CREATE TABLE iopt(a, b);" +
+        "CREATE VIEW iopv AS SELECT a, b FROM iopt;" +
+        "CREATE TRIGGER iopi INSTEAD OF INSERT ON iopv BEGIN " +
+        "INSERT INTO iopt VALUES (NEW.a, quote(NEW.b)); END;" +
+        "INSERT INTO iopv(b) VALUES ('z');" +
+        "SELECT coalesce(a,'<null>'), b FROM iopt", f) == (0, "<null> 'z'\n"))
+    // two triggers fire newest-first, per row
+    assert(sqawk(
+      "CREATE TABLE iolg(s); CREATE TABLE iont(a);" +
+        "CREATE VIEW ionv AS SELECT * FROM iont;" +
+        "CREATE TRIGGER ion1 INSTEAD OF INSERT ON ionv BEGIN " +
+        "INSERT INTO iolg VALUES ('first:'||NEW.a); END;" +
+        "CREATE TRIGGER ion2 INSTEAD OF INSERT ON ionv BEGIN " +
+        "INSERT INTO iolg VALUES ('second:'||NEW.a); END;" +
+        "INSERT INTO ionv VALUES (1),(2); SELECT s FROM iolg", f) ==
+      (0, "second:1\nfirst:1\nsecond:2\nfirst:2\n"))
+    // RETURNING reports the PROPOSED row, not what the body stored
+    assert(sqawk(
+      "CREATE TABLE iort(a, b);" +
+        "CREATE VIEW iorv AS SELECT a, b FROM iort;" +
+        "CREATE TRIGGER iori INSTEAD OF INSERT ON iorv BEGIN " +
+        "INSERT INTO iort VALUES (NEW.a*10, NEW.b); END;" +
+        "INSERT INTO iorv VALUES (5,'z') RETURNING a, b", f) == (0, "5 z\n"))
+  }
+
+  test("INSTEAD OF trigger placement and fallthrough errors (sqlite3-pinned)") {
+    val f = tempFile("x\n")
+    // sqlite3: "cannot create INSTEAD OF trigger on table: t"
+    val (c1, _) = sqawk(
+      "CREATE TABLE iot1(a);" +
+        "CREATE TRIGGER bad INSTEAD OF INSERT ON iot1 BEGIN SELECT 1; END", f)
+    assert(c1 == 1)
+    // view DML without a matching trigger still rejects...
+    val (c2, _) = sqawk(
+      "CREATE TABLE iot2(a); CREATE VIEW iov2 AS SELECT * FROM iot2;" +
+        "INSERT INTO iov2 VALUES (1)", f)
+    assert(c2 == 1)
+    // ...including an UPDATE whose SET list misses the UPDATE OF cols
+    val (c3, _) = sqawk(
+      "CREATE TABLE iot3(a, b); INSERT INTO iot3 VALUES (1,'x');" +
+        "CREATE VIEW iov3 AS SELECT a, b FROM iot3;" +
+        "CREATE TRIGGER iou3 INSTEAD OF UPDATE OF b ON iov3 BEGIN " +
+        "UPDATE iot3 SET b = NEW.b WHERE a = OLD.a; END;" +
+        "UPDATE iov3 SET a=9 WHERE a=1", f)
+    assert(c3 == 1)
+    // DROP VIEW drops its triggers: the recreated view rejects DML
+    val (c4, _) = sqawk(
+      "CREATE TABLE iot4(a); CREATE VIEW iov4 AS SELECT * FROM iot4;" +
+        "CREATE TRIGGER ioi4 INSTEAD OF INSERT ON iov4 BEGIN " +
+        "INSERT INTO iot4 VALUES (NEW.a); END;" +
+        "DROP VIEW iov4; CREATE VIEW iov4 AS SELECT * FROM iot4;" +
+        "INSERT INTO iov4 VALUES (1)", f)
+    assert(c4 == 1)
+    // arity errors resolve before trigger dispatch
+    val (c5, _) = sqawk(
+      "CREATE TABLE iot5(a, b); CREATE VIEW iov5 AS SELECT a, b FROM iot5;" +
+        "CREATE TRIGGER ioi5 INSTEAD OF INSERT ON iov5 BEGIN SELECT 1; END;" +
+        "INSERT INTO iov5 VALUES (1,2,3)", f)
+    assert(c5 == 1)
+  }
+
   test("expression / COLLATE / partial UNIQUE indexes enforce (sqlite3-pinned)") {
     val f = tempFile("x\n")
     // expression index: lower(a) — sqlite3: "UNIQUE constraint

@@ -37,12 +37,19 @@ import org.apache.spark.sql.SparkSession
   * INSERT / UPDATE OF / DELETE with WHEN and OLD/NEW logging into a
   * side table, pinned by a final ordered SELECT over it).
   *
-  * Not generated (documented gaps / nondeterminism): expression/
-  * partial/COLLATE indexes, RETURNING (row order is engine-private),
-  * group_concat (concatenation order), random(), typeof() around
-  * arithmetic results, numeric-looking text in no-affinity value
-  * positions (the engine's one documented value-provenance
-  * deviation).
+  * Round 9 additions: expression / COLLATE NOCASE / partial UNIQUE
+  * indexes (upgraded from "not generated" when round 8 made them
+  * enforced); ATTACH/DETACH with cross-schema DDL+DML+joins (each
+  * seed attaches a fresh per-seed path — [[runSqlite]] unlinks it
+  * first so sqlite3 starts from the same empty schema graft sees);
+  * INSTEAD OF triggers on the generated view with INSERT / UPDATE /
+  * DELETE routed through a log table.
+  *
+  * Not generated (documented gaps / nondeterminism): RETURNING (row
+  * order is engine-private), group_concat (concatenation order),
+  * random(), typeof() around arithmetic results, numeric-looking
+  * text in no-affinity value positions (the engine's one documented
+  * value-provenance deviation).
   */
 object SqlScriptFuzz {
 
@@ -105,6 +112,26 @@ object SqlScriptFuzz {
         s"CASE WHEN ${pred(rnd, cols, depth + 1)} THEN ${expr(rnd, cols, depth + 1)} " +
           s"ELSE ${expr(rnd, cols, depth + 1)} END"
       case _ => s"(${expr(rnd, cols, depth + 1)}) + (${expr(rnd, cols, depth + 1)})"
+    }
+  }
+
+  /** An expression with NUMERIC (or NULL) result in both engines —
+    * for assignments into NO-affinity columns, where a string-typed
+    * result (upper(x), substr(x), coalesce of a TEXT value) carries
+    * TEXT storage in sqlite but would classify by value under graft's
+    * canonical model (the documented provenance deviation — fuzz
+    * seed 104 leaked it through SET a = upper(c)). Arithmetic over
+    * ANY column is safe: both engines coerce to numbers. */
+  private def numExpr(rnd: Random, cols: Vector[Col]): String = {
+    val c = colRef(rnd, cols)
+    rnd.nextInt(7) match {
+      case 0 => s"$c + ${intLits(rnd.nextInt(intLits.size))}"
+      case 1 => s"$c - ${intLits(rnd.nextInt(intLits.size))}"
+      case 2 => s"$c * 2"
+      case 3 => s"$c / 2"
+      case 4 => s"$c % 3"
+      case 5 => s"abs($c)"
+      case _ => s"length($c)"
     }
   }
 
@@ -239,11 +266,27 @@ object SqlScriptFuzz {
         s"BEGIN INSERT INTO alog VALUES ($ref.${c.name}); END"
     }
 
-    // --- optional unique index (t1 only, plain columns) ------------
+    // --- optional unique index: plain / expression / COLLATE /
+    // partial (round 9 — round 8 made the variants enforced). Only
+    // the plain form feeds the ON CONFLICT target below (an
+    // expression index needs a matching expression conflict target).
     val indexed = if (rnd.nextInt(10) < 3) {
       val c = cols(rnd.nextInt(cols.size)).name
-      stmts += s"CREATE UNIQUE INDEX i1 ON t1 ($c)"
-      Some(c)
+      rnd.nextInt(5) match {
+        case 0 | 1 =>
+          stmts += s"CREATE UNIQUE INDEX i1 ON t1 ($c)"
+          Some(c)
+        case 2 =>
+          stmts += s"CREATE UNIQUE INDEX i1 ON t1 (lower($c))"
+          None
+        case 3 =>
+          stmts += s"CREATE UNIQUE INDEX i1 ON t1 ($c COLLATE NOCASE)"
+          None
+        case _ =>
+          val w = if (rnd.nextBoolean()) s"$c IS NOT NULL" else s"$c > 0"
+          stmts += s"CREATE UNIQUE INDEX i1 ON t1 ($c) WHERE $w"
+          None
+      }
     } else None
 
     // --- DML block, sometimes inside a transaction ------------------
@@ -253,7 +296,9 @@ object SqlScriptFuzz {
     for (_ <- 1 to nDml) rnd.nextInt(6) match {
       case 0 | 1 =>
         val target = cols(rnd.nextInt(cols.size))
-        stmts += s"UPDATE t1 SET ${target.name} = ${expr(rnd, cols)} " +
+        val rhs = if (target.decl.isEmpty) numExpr(rnd, cols)
+                  else expr(rnd, cols)
+        stmts += s"UPDATE t1 SET ${target.name} = $rhs " +
           s"WHERE ${pred(rnd, cols)}"
       case 2 =>
         stmts += s"DELETE FROM t1 WHERE ${pred(rnd, cols)}"
@@ -282,12 +327,72 @@ object SqlScriptFuzz {
       }
     }
 
+    // --- optional ATTACH block (round 9): fresh per-seed path, a
+    // second-schema table, cross-schema DML and a join back to main.
+    // ATTACH sits outside the transaction block above (sqlite3
+    // forbids it inside one). runSqlite unlinks the path first so
+    // both engines see the same empty schema.
+    val hasAttach = rnd.nextInt(5) == 0
+    if (hasAttach) {
+      stmts += s"ATTACH DATABASE '${attachPath(seed)}' AS aux1"
+      stmts += "CREATE TABLE aux1.t2 (p INTEGER, q)"
+      val nRows = 2 + rnd.nextInt(2)
+      val rows = Seq.fill(nRows)(
+        s"(${intLits(rnd.nextInt(intLits.size))}, " +
+          s"${safeTextLits(rnd.nextInt(safeTextLits.size))})")
+      stmts += s"INSERT INTO aux1.t2 VALUES ${rows.mkString(", ")}"
+      rnd.nextInt(3) match {
+        case 0 => stmts += s"UPDATE aux1.t2 SET q = upper(q) " +
+          s"WHERE p > ${intLits(rnd.nextInt(intLits.size))}"
+        case 1 => stmts += s"DELETE FROM aux1.t2 " +
+          s"WHERE p < ${intLits(rnd.nextInt(intLits.size))}"
+        case _ => ()
+      }
+      // unqualified resolution falls through main to the attached
+      // schema when the bare name is free (sqlite3 name resolution)
+      val rel = if (rnd.nextBoolean()) "aux1.t2" else "t2"
+      stmts += s"SELECT * FROM $rel ORDER BY 1, 2"
+      stmts += s"SELECT count(*) FROM t1, aux1.t2 WHERE aux1.t2.p >= 0"
+      if (rnd.nextBoolean()) stmts += "DETACH aux1"
+    }
+
     // --- optional view ---------------------------------------------
     val hasView = rnd.nextInt(10) < 3
+    var viewCols: Vector[Col] = Vector.empty
     if (hasView) {
-      val vcols = rnd.shuffle(cols).take(2)
-      stmts += s"CREATE TEMP VIEW v1 AS SELECT ${vcols.map(_.name).mkString(", ")} " +
+      viewCols = rnd.shuffle(cols).take(2)
+      stmts += s"CREATE TEMP VIEW v1 AS SELECT ${viewCols.map(_.name).mkString(", ")} " +
         s"FROM t1 WHERE ${pred(rnd, cols)}"
+    }
+
+    // --- optional INSTEAD OF trigger + view DML (round 9) -----------
+    // the body logs one NEW/OLD view-column value; the final ordered
+    // SELECT over vlog pins per-row firing and binding. The logged
+    // column is non-TEXT (the provenance guard the audit trigger
+    // uses: numeric-looking TEXT storage would classify differently).
+    val hasViewTrigger = hasView &&
+      viewCols.exists(_.decl != "TEXT") && rnd.nextInt(3) == 0
+    if (hasViewTrigger) {
+      stmts += "CREATE TABLE vlog (w)"
+      val logCands = viewCols.filter(_.decl != "TEXT")
+      val lc = logCands(rnd.nextInt(logCands.size))
+      val (event, ref) = rnd.nextInt(3) match {
+        case 0 => ("INSERT", "NEW")
+        case 1 => ("UPDATE", "NEW")
+        case _ => ("DELETE", "OLD")
+      }
+      stmts += s"CREATE TRIGGER vtr INSTEAD OF $event ON v1 " +
+        s"BEGIN INSERT INTO vlog VALUES ($ref.${lc.name}); END"
+      event match {
+        case "INSERT" =>
+          val vals = viewCols.map(c => valueFor(rnd, c))
+          stmts += s"INSERT INTO v1 VALUES (${vals.mkString(", ")})"
+        case "UPDATE" =>
+          stmts += s"UPDATE v1 SET ${lc.name} = ${valueFor(rnd, lc)} " +
+            s"WHERE ${pred(rnd, viewCols)}"
+        case _ =>
+          stmts += s"DELETE FROM v1 WHERE ${pred(rnd, viewCols)}"
+      }
     }
 
     // --- final SELECTs (always fully ordered) -----------------------
@@ -324,9 +429,18 @@ object SqlScriptFuzz {
         stmts += s"SELECT count(*) FROM t1 WHERE ${pred(rnd, cols)}"
     }
     if (hasTrigger) stmts += "SELECT v FROM alog ORDER BY 1"
+    if (hasViewTrigger) stmts += "SELECT w FROM vlog ORDER BY 1"
 
     stmts.result().mkString(";\n") + ";\n"
   }
+
+  /** Per-seed ATTACH target; [[runSqlite]] unlinks it before running
+    * so sqlite3 creates it fresh (graft attaches a missing store as an
+    * empty schema — same starting state). */
+  private def attachPath(seed: Long): String =
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graftfuzz_att_$seed.db"
+
+  private val AttPathRe = """'(\S*/graftfuzz_att_-?\d+\.db)'""".r
 
   // ---------------------------------------------------------------- //
   //  execution                                                       //
@@ -345,12 +459,18 @@ object SqlScriptFuzz {
           try ser.close() catch { case _: Throwable => () }
           (true, sw.toString)
       }
-    for (t <- Seq("t1", "v1", "alog")) spark.catalog.dropTempView(t)
+    for (t <- Seq("t1", "v1", "alog", "vlog", "t2", "graft_att_aux1_t2"))
+      spark.catalog.dropTempView(t)
     r
   }
 
-  /** (errored, stdout) from the sqlite3 CLI, script on stdin. */
+  /** (errored, stdout) from the sqlite3 CLI, script on stdin. Any
+    * generated ATTACH target is unlinked first: a leftover file from
+    * a previous run of the same seed would carry its old tables and
+    * make CREATE TABLE in the attached schema diverge. */
   def runSqlite(script: String): (Boolean, String) = {
+    for (m <- AttPathRe.findAllMatchIn(script))
+      new java.io.File(m.group(1)).delete()
     val pb = new ProcessBuilder("sqlite3", "-batch", "-bail", "-list",
       "-noheader", "-separator", Sep, ":memory:")
     pb.redirectErrorStream(false)
