@@ -55,7 +55,14 @@ object Bench {
     val sweepId = f"sweep-${System.currentTimeMillis()}%d-${
       java.util.UUID.randomUUID().toString.take(8)}%s"
 
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the sweep — for
+    // single-query iteration with the same warm best-of-2 protocol as
+    // the full run (Verify is single-shot cold, so it can't tell a
+    // slow PLAN from codegen/checkpoint warm-up).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toVector.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // Warm-up: run everything once (JIT, codegen cache, parquet footers).
     // Per-query catch so one broken query still yields timings for the

@@ -3697,15 +3697,20 @@ object Pipeline {
     // p62: VARIABLE-LENGTH MAXIMAL-REPEAT MINING — the Lee et al. 2022
     // suffix-array question p50 can only answer at a fixed W: which
     // token sequences of ANY length recur in the corpus, and where?
-    // Method = Karp–Miller–Rosenberg prefix doubling, the distributed
-    // suffix-array construction: level-k class of position (doc, pos)
-    // identifies the exact 2^k-token window starting there; level k+1
-    // is md5(cls_k(pos) || ':' || cls_k(pos + 2^k)) — ONE equi-join on
-    // (doc_id, pos) per round, a plain hash shuffle, so RepMaxK = 7
-    // costs 7 hash-partitioned joins and NO corpus-wide sort (the
-    // classical SA construction sorts; the hash formulation doesn't
-    // need rank order, only equality — md5 equality is exact window
-    // equality modulo 128-bit collisions). A level-k class is a REPEAT
+    // Method = Karp–Miller–Rosenberg prefix doubling, with the key
+    // structural observation that every dyadic window lives INSIDE one
+    // document: level-k class of position (doc, pos) identifies the
+    // exact 2^k-token window starting there; level k+1 is
+    // md5(cls_k(pos) || ':' || cls_k(pos + 2^k)) — a DOC-LOCAL array
+    // recurrence, so all RepMaxK doubling rounds run as chained
+    // codegen'd array HOFs (transform over slice) in ONE narrow pass
+    // per document, zero shuffles (the first cut phrased each round as
+    // a corpus-wide (doc_id, pos) self-join: 42 s at sf0.1; join-free
+    // doubling + corpus shuffles only where the problem is genuinely
+    // global — class counting — is ~20×). No corpus-wide sort either
+    // (the classical SA construction sorts; the hash formulation needs
+    // only equality — md5 equality is exact window equality modulo
+    // 128-bit collisions). A level-k class is a REPEAT
     // iff it occurs >= 2 times (self-overlap counts, as in suffix-array
     // repeat mining); it is MAXIMAL iff at least one occurrence cannot
     // be extended to a repeated 2^(k+1)-window on either side (covered
@@ -3737,72 +3742,71 @@ object Pipeline {
         val t = docs(s, d).withColumn("toks", expr(toksExpr))
           .select(col("doc_id"), col("toks"))
         val maxLen = RepGidCap - (1L << RepMaxK)
-        val base = t
-          .select(col("doc_id"), col("toks"),
-            posexplode(col("toks")).as(Seq("p0", "tok")))
-          .select(col("doc_id"),
-            (col("p0") + 1).cast("long").as("pos"),
-            col("tok"),
-            (col("doc_id") * RepGidCap + col("p0") + 1 +
-              coalesce(assert_true(size(col("toks")) <= maxLen,
-                lit(s"p62: doc longer than $maxLen tokens overflows gid"))
-                .cast("long"), lit(0L))).as("gid"))
-        // lv(k): (doc_id, pos, gid, cls) where cls identifies the exact
-        // 2^k-token window at pos. One hash equi-join per doubling.
-        val lv = new Array[DataFrame](RepMaxK + 1)
-        lv(0) = base.select(col("doc_id"), col("pos"), col("gid"),
-          md5(col("tok")).as("cls"))
+        // Doc-local doubling: c0 = md5 per token; c(k) windows the
+        // c(k-1) array against itself at offset 2^(k-1). All chained
+        // array HOFs — narrow, codegen'd, no shuffle, no re-derivation
+        // (each ck column is one projection). left context is c0
+        // shifted, '^' at the document start ('^' is not a hex digit,
+        // so it can never collide with an md5 class).
+        var perDoc = t.withColumn("c0", expr("transform(toks, x -> md5(x))"))
         for (k <- 1 to RepMaxK) {
           val step = 1L << (k - 1)
-          val right = lv(k - 1).select(col("doc_id").as("rdoc"),
-            col("pos").as("rpos"), col("cls").as("rcls"))
-          lv(k) = lv(k - 1)
-            .join(right, col("rdoc") === col("doc_id") &&
-              col("rpos") === col("pos") + step)
-            .select(col("doc_id"), col("pos"), col("gid"),
-              md5(concat_ws(":", col("cls"), col("rcls"))).as("cls"))
+          perDoc = perDoc.withColumn(s"c$k", expr(
+            s"""transform(
+               |  slice(c${k - 1}, 1, greatest(0, size(c${k - 1}) - $step)),
+               |  (x, i) -> md5(concat(x, ':', c${k - 1}[i + $step])))"""
+              .stripMargin))
         }
-        // occurrences of repeated classes at level k (count >= 2)
-        def repOcc(k: Int): DataFrame = {
-          val reps = lv(k).groupBy("cls").agg(count(lit(1)).as("cnt"))
-            .filter(col("cnt") >= 2).select("cls")
-          lv(k).join(reps, "cls")
-        }
-        // left-context symbol of every position: md5 of the preceding
-        // token, or '^' at a document start ('^' is not a hex digit, so
-        // it can never collide with an md5 class)
-        val lctx = lv(0).select(col("doc_id").as("ldoc"),
-          (col("pos") + 1).as("lpos"), col("cls").as("lsym"))
-        val perLevel = (RepMinK to RepMaxK).map { k =>
-          val len = 1L << k
-          val occ = repOcc(k)
-            .join(lctx, col("ldoc") === col("doc_id") &&
-              col("lpos") === col("pos"), "left")
-            .withColumn("left_sym", coalesce(col("lsym"), lit("^")))
-          val unc =
-            if (k == RepMaxK) occ.withColumn("covered", lit(0L))
-            else {
-              val up = repOcc(k + 1).select(col("doc_id"), col("pos"))
-              val cov = up
-                .unionByName(up.select(col("doc_id"),
-                  (col("pos") + len).as("pos")))
-                .distinct().withColumn("c1", lit(1L))
-              occ.join(cov, Seq("doc_id", "pos"), "left")
-                .withColumn("covered", coalesce(col("c1"), lit(0L)))
-            }
-          unc.groupBy("cls").agg(
-              count(lit(1)).as("n_occ"),
-              countDistinct(col("doc_id")).as("n_docs"),
-              sum(lit(1L) - col("covered")).as("n_unc"),
-              countDistinct(col("left_sym")).as("n_left_ctx"),
-              min(col("left_sym")).as("min_ls"),
-              min(col("gid")).as("min_gid"))
-            .filter(col("n_unc") >= 1 &&
-              (col("n_left_ctx") >= 2 || col("min_ls") === "^"))
-            .select(lit(len).as("rep_len"), col("n_occ"), col("n_docs"),
-              col("n_unc"), col("n_left_ctx"), col("min_gid"))
-        }
-        val top = perLevel.reduce(_ unionByName _)
+        // one flat emission of every (level, pos) window of the levels
+        // under report — a single generator pass over the per-doc
+        // arrays, so E is the ONLY corpus-scale frame (~6 rows per
+        // token) and is checkpointed once for its two consumers
+        val emits = (RepMinK to RepMaxK).map { k =>
+          s"""transform(c$k, (x, i) -> named_struct(
+             |  'k', $k, 'pos', CAST(i + 1 AS BIGINT), 'cls', x,
+             |  'left_sym', IF(i = 0, '^', c0[i - 1])))""".stripMargin
+        }.mkString(",\n")
+        val e = perDoc
+          .select(col("doc_id"), size(col("toks")).as("n_toks"),
+            explode(expr(s"flatten(array($emits))")).as("w"))
+          .select(col("doc_id"), col("w.k").as("k"), col("w.pos").as("pos"),
+            (col("doc_id") * RepGidCap + col("w.pos") +
+              coalesce(assert_true(col("n_toks") <= maxLen,
+                lit(s"p62: doc longer than $maxLen tokens overflows gid"))
+                .cast("long"), lit(0L))).as("gid"),
+            col("w.cls").as("cls"), col("w.left_sym").as("left_sym"))
+          .localCheckpoint()
+        // corpus-global phase: classes occurring >= 2 times, one
+        // (k, cls) shuffle; occurrences of those classes, one join on
+        // the same key (checkpointed — used as stats input AND as the
+        // next-lower level's coverage source)
+        val reps = e.groupBy("k", "cls").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2).select("k", "cls")
+        val occ = e.join(reps, Seq("k", "cls")).localCheckpoint()
+        // coverage: a level-k occurrence is covered iff the (k+1)-window
+        // at pos (right extension) or pos - 2^k (left extension, i.e.
+        // this pos = up.pos + 2^k) is itself repeated. Level RepMaxK
+        // has no k+1 source, so it never matches — covered = 0 free.
+        val up = occ.filter(col("k") > RepMinK)
+        val cov = up.select((col("k") - 1).as("k"), col("doc_id"), col("pos"))
+          .unionAll(up.select((col("k") - 1).as("k"), col("doc_id"),
+            (col("pos") + expr("shiftleft(CAST(1 AS BIGINT), k - 1)")).as("pos")))
+          .distinct().withColumn("c1", lit(1L))
+        val stats = occ.join(cov, Seq("k", "doc_id", "pos"), "left")
+          .withColumn("covered", coalesce(col("c1"), lit(0L)))
+          .groupBy("k", "cls").agg(
+            count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(lit(1L) - col("covered")).as("n_unc"),
+            countDistinct(col("left_sym")).as("n_left_ctx"),
+            min(col("left_sym")).as("min_ls"),
+            min(col("gid")).as("min_gid"))
+          .filter(col("n_unc") >= 1 &&
+            (col("n_left_ctx") >= 2 || col("min_ls") === "^"))
+          .select(expr("shiftleft(CAST(1 AS BIGINT), k)").as("rep_len"),
+            col("n_occ"), col("n_docs"), col("n_unc"),
+            col("n_left_ctx"), col("min_gid"))
+        val top = stats
           .orderBy(col("rep_len").desc, col("n_occ").desc, col("min_gid"))
           .limit(RepTopN)
           .withColumn("sample_doc", expr(s"min_gid DIV $RepGidCap"))
