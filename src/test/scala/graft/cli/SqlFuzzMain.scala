@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object SqlFuzzMain {
   def main(args: Array[String]): Unit = {
+    // fuzz tables are < 30 rows: wide sessions only add scheduling
+    // overhead per statement (8-task exchanges), and standalone
+    // sweeps run several JVMs side by side
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -496,10 +496,19 @@ object SqlScriptFuzz {
       val script = genScript(seed)
       val g = runGraft(spark, script)
       val s = runSqlite(script)
-      if (g != s) bad += Divergence(seed, script, g, s)
+      if (g != s) {
+        bad += Divergence(seed, script, g, s)
+        // report immediately (and flush — stdout is block-buffered
+        // when redirected to a file): long standalone sweeps get
+        // killed on time budgets and must not lose findings
+        println(s"[fuzz] DIVERGENT seed=$seed")
+        Console.out.flush()
+      }
       i += 1
-      if (progressEvery > 0 && i % progressEvery == 0)
+      if (progressEvery > 0 && i % progressEvery == 0) {
         println(s"[fuzz] $i/$n done, ${bad.result().size} divergent")
+        Console.out.flush()
+      }
     }
     bad.result()
   }
