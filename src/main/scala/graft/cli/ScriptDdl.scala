@@ -608,7 +608,22 @@ object ScriptDdl {
       cd.defaultVal.foreach(v => metaB.putString(DefaultKey, v))
       cd.defaultSql.foreach(s => metaB.putString(DefaultSqlKey, s))
       if (cd.notNull) metaB.putString(Affinity.NotNullKey, "1")
-      val added = lit(cd.defaultVal.orNull).cast(StringType).as(colName, metaB.build())
+      // TEXT-affinity backfill keeps a numeric literal's ORIGINAL
+      // SPELLING ('1e2', not '100.0'): sqlite3 backfills from the
+      // schema text but evaluates the default on later INSERTs — see
+      // parseConstantDefault's scaladoc and the CliSpec pin
+      val backfill = cd.defaultVal.map { evaluated =>
+        val raw = cd.defaultSql.map(_.trim).map(t =>
+          if (t.startsWith("(") && t.endsWith(")"))
+            t.substring(1, t.length - 1).trim
+          else t)
+        raw match {
+          case Some(r) if Affinity.hasAffinity(cd.declType) == "TEXT" &&
+              r.matches("""[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?""") => r
+          case _ => evaluated
+        }
+      }
+      val added = lit(backfill.orNull).cast(StringType).as(colName, metaB.build())
       commitTable(spark, name,
         target.select((target.columns.map(c => col(s"`$c`")) :+ added).toIndexedSeq: _*))
       Done
@@ -2476,7 +2491,8 @@ object ScriptDdl {
       notNull = """(?is).*\bnot\s+null\b.*""".r.matches(d),
       unique = """(?is).*\bunique\b.*""".r.matches(d),
       defaultSql = dfltText,
-      defaultVal = dfltText.flatMap(parseConstantDefault))
+      defaultVal = dfltText.flatMap(v => parseConstantDefault(v,
+        Affinity.hasAffinity(typeTokens.mkString(" ")))))
   }
 
   /** The DEFAULT clause's value text: a quoted string ('' escapes), a
@@ -2506,22 +2522,46 @@ object ScriptDdl {
   }
 
   /** Parse an ADD COLUMN / column-def DEFAULT as a constant literal,
-    * returning its canonical stored text (None for NULL). SQLite
-    * refuses anything else — including deterministic function calls —
-    * with "Cannot add a column with non-constant default"; same here,
-    * except the message also covers CREATE TABLE defs. */
-  private[cli] def parseConstantDefault(raw: String): Option[String] = {
+    * returning its stored text (None for NULL). SQLite refuses
+    * anything else — including deterministic function calls — with
+    * "Cannot add a column with non-constant default"; same here,
+    * except the message also covers CREATE TABLE defs.
+    *
+    * The stored text is fixed at DDL time by the column's AFFINITY
+    * (sqlite3-pinned, found by fuzz seed 3097's `ADD COLUMN z REAL
+    * DEFAULT 1e2` backfilling 100 where sqlite3 stores 100.0):
+    * INTEGER/REAL/NUMERIC convert the literal (REAL 1e2 → 100.0,
+    * INTEGER 1e2 → 100, INTEGER '7' → 7, INTEGER 'abc' → abc
+    * verbatim); TEXT and no-affinity columns keep the literal's own
+    * storage class (integer literal stays integer, real literal stays
+    * real: 1e2 → '100.0', 2.50 → '2.5', oversize int → real). This is
+    * the text the omitted-column INSERT fill uses; the ADD COLUMN
+    * BACKFILL of a TEXT-affinity column instead keeps the literal's
+    * ORIGINAL SPELLING ('1e2', '2.50') — sqlite3 backfills from the
+    * schema text but evaluates the default on later INSERTs, and the
+    * two genuinely differ there (pinned in CliSpec). */
+  private[cli] def parseConstantDefault(raw: String,
+      affinity: String = "BLOB"): Option[String] = {
     var t = raw.trim
     // one level of parens is allowed around the literal: DEFAULT (7)
     if (t.startsWith("(") && t.endsWith(")")) t = t.substring(1, t.length - 1).trim
     val StringLit = """(?s)'((?:[^']|'')*)'""".r
     val NumberLit = """[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?""".r
+    val IntLit = """[-+]?\d+""".r
     t match {
-      case StringLit(body) => Some(body.replace("''", "'"))
-      case s if NumberLit.matches(s) => Some(Affinity.canonicalize(s, "NUMERIC"))
+      case StringLit(body) =>
+        Some(Affinity.canonicalize(body.replace("''", "'"), affinity))
+      case s if NumberLit.matches(s) => affinity match {
+        case "TEXT" | "BLOB" => Some(Affinity.canonicalize(s,
+          if (IntLit.matches(s)) "NUMERIC" else "REAL"))
+        case a => Some(Affinity.canonicalize(s, a))
+      }
       case s if s.equalsIgnoreCase("null") => None
-      case s if s.equalsIgnoreCase("true") => Some("1")
-      case s if s.equalsIgnoreCase("false") => Some("0")
+      // true/false are the integer literals 1/0 (REAL affinity → 1.0)
+      case s if s.equalsIgnoreCase("true") =>
+        Some(Affinity.canonicalize("1", affinity))
+      case s if s.equalsIgnoreCase("false") =>
+        Some(Affinity.canonicalize("0", affinity))
       case _ => throw new IllegalArgumentException(
         "Cannot add a column with non-constant default")
     }

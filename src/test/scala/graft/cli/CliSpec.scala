@@ -1110,6 +1110,37 @@ class CliSpec extends SparkSpec {
     for (v <- Seq("at2", "at3", "only1", "av")) spark.catalog.dropTempView(v)
   }
 
+  test("DEFAULT stored text follows column affinity (sqlite3-pinned, fuzz seed 3097)") {
+    val f = tempFile("x\n")
+    // sqlite3 pin session: REAL DEFAULT 1e2 backfills 100.0 (not 100);
+    // INTEGER converts 1e2→100 and '7'→7 but keeps 'abc' verbatim;
+    // TEXT keeps a numeric literal's ORIGINAL SPELLING (1e2, 2.50);
+    // NUMERIC '5.5'→5.5; a NO-affinity column keeps the literal's own
+    // storage class (real literal 1e2 → 100.0); REAL DEFAULT true →
+    // 1.0. Later omitted-column INSERTs fill the same stored text.
+    val (c, o) = sqawk(
+      "create table ad (a); insert into ad values (1); " +
+        "alter table ad add column z real default 1e2; " +
+        "alter table ad add column i integer default '7'; " +
+        "alter table ad add column i2 integer default 1e2; " +
+        "alter table ad add column i3 integer default 'abc'; " +
+        "alter table ad add column s text default 1e2; " +
+        "alter table ad add column s2 text default 2.50; " +
+        "alter table ad add column n numeric default '5.5'; " +
+        "alter table ad add column o default 1e2; " +
+        "alter table ad add column r2 real default true; " +
+        "select z, i, i2, i3, s, s2, n, o, r2 from ad; " +
+        "insert into ad (a) values (2); " +
+        "select z, i, i2, i3, s, s2, n, o, r2 from ad where a = 2", f)
+    // the two rows differ on the TEXT columns: the BACKFILL keeps the
+    // literal's original spelling (1e2, 2.50), the later INSERT fill
+    // evaluates it (100.0, 2.5) — sqlite3 does exactly this
+    assert((c, o) == (0,
+      "100.0 7 100 abc 1e2 2.50 5.5 100.0 1.0\n" +
+        "100.0 7 100 abc 100.0 2.5 5.5 100.0 1.0\n"))
+    spark.catalog.dropTempView("ad")
+  }
+
   test("WITH RECURSIVE runs through the script dialect (sqlite3-pinned)") {
     val f = tempFile("x\n")
     assert(sqawk("with recursive c(x) as (select 1 union all select x+1 from c where x < 5) " +
