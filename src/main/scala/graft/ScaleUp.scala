@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
   *    reason (bucket pair count grows k² in cluster size k). Rotated
   *    text keeps length/token-shape statistics while making each
   *    copy's shingle set disjoint from the others.
-  *  - `embeddings.embedding` gets one component nudged per copy
-  *    (cosine-visible — pure scaling would be invisible to cosine),
-  *    so ANN top-k does not degenerate to "the 9 clones of the probe".
+  *  - `embeddings.embedding` components rotate by `i` positions per
+  *    copy: a rotation preserves the norm and every within-copy
+  *    cosine but points each copy of a vector in an unrelated
+  *    direction, so LSH/IVF bucket occupancy scales ~linearly. (A
+  *    first cut nudged one component instead; the 10 near-clones of
+  *    every vector then shared buckets, candidate pairs grew ×100
+  *    for ×10 data, and p09/p14 measured ~12.5× — an artifact of the
+  *    synthesis, not the plans.)
   */
 object ScaleUp {
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
@@ -105,10 +110,12 @@ object ScaleUp {
       },
       "embeddings" -> copies(embs) { (df, i) =>
         df.withColumn("vec_id", shiftKey(vecD, i)(col("vec_id")))
-          .withColumn("embedding",
-            transform(col("embedding"), (v, j) =>
-              when(j === lit(i % 16), v + lit(0.37f * i)).otherwise(v))
-            .cast("array<float>"))
+          .withColumn("embedding", expr(
+            s"""CAST(concat(
+               |  slice(embedding, $i % size(embedding) + 1,
+               |        size(embedding) - $i % size(embedding)),
+               |  slice(embedding, 1, $i % size(embedding)))
+               |AS ARRAY<FLOAT>)""".stripMargin))
       }
     )
 

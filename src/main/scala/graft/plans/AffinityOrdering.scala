@@ -139,21 +139,82 @@ object AffinityOrdering extends Rule[LogicalPlan] {
           case a: Aggregate => a.aggregateExpressions
           case _ => Seq.empty
         }).collect { case al @ Alias(c, _) => al.exprId -> c }.toMap
-        s.copy(order = order.map { so =>
+        // conditionals mixing text-storage branches (upper/substr/
+        // literals) with value-mode branches need the PER-BRANCH key
+        // ([[provKey]]); an alias-resolved one must evaluate against
+        // the Project's INPUT, so the key rides in as a hidden
+        // projection column (round-9 fuzz seed 2172)
+        val extra = Vector.newBuilder[NamedExpression]
+        val newOrder = order.map { so =>
           so.child match {
             case ar: AttributeReference
                 if ar.dataType == StringType &&
                   !ar.metadata.contains(AffinityKey) &&
                   aliased.get(ar.exprId).exists(valueModeExpr) =>
-              so.copy(child = sortKey(ar))
+              val ce = aliased(ar.exprId)
+              if (mixedProvenance(ce) && child.isInstanceOf[Project]) {
+                val al = Alias(provKey(ce), s"__graft_sortkey_${ar.exprId.id}")()
+                extra += al
+                so.copy(child = al.toAttribute)
+              } else so.copy(child = sortKey(ar))
             case e
                 if e.dataType == StringType && !isAffinityAttr(e) &&
                   valueModeExpr(e) =>
-              so.copy(child = sortKey(e))
+              so.copy(child = provKey(e))
             case _ => so
           }
-        })
+        }
+        val keys = extra.result()
+        if (keys.isEmpty) s.copy(order = newOrder)
+        else {
+          val p = child.asInstanceOf[Project]
+          Project(p.output,
+            s.copy(order = newOrder,
+              child = p.copy(projectList = p.projectList ++ keys)))
+        }
     }
+
+  /** True iff a conditional tree mixes a value-mode branch with a
+    * text-STORAGE string branch (upper/substr/CAST AS TEXT results,
+    * string literals) — exactly the case where classifying the final
+    * VALUE misorders rows: SQLite ranks upper(a)'s '100.0' in the
+    * TEXT tier even though the characters look numeric. */
+  private def mixedProvenance(e: Expression): Boolean = {
+    def textStorage(v: Expression): Boolean =
+      v.dataType == StringType && !valueModeExpr(v)
+    e match {
+      case CaseWhen(bs, el) =>
+        val vs = bs.map(_._2) ++ el
+        (vs.exists(textStorage) && vs.exists(valueModeExpr)) ||
+          vs.exists(mixedProvenance)
+      case If(_, t, f) =>
+        val vs = Seq(t, f)
+        (vs.exists(textStorage) && vs.exists(valueModeExpr)) ||
+          vs.exists(mixedProvenance)
+      case Coalesce(cs) =>
+        (cs.exists(textStorage) && cs.exists(valueModeExpr)) ||
+          cs.exists(mixedProvenance)
+      case graft.functions.SqliteDynText(c) => mixedProvenance(c)
+      case _ => false
+    }
+  }
+
+  /** Per-branch storage-class sort key: distributes through the
+    * conditional structure so each row's key reflects the branch its
+    * value actually came from (a leaf's key never returns non-null
+    * for a NULL value, so Coalesce over keys picks the key of the
+    * same child Coalesce over values picks). */
+  private def provKey(e: Expression): Expression = e match {
+    case CaseWhen(bs, el) =>
+      CaseWhen(bs.map { case (p, v) => (p, provKey(v)) }, el.map(provKey))
+    case If(p, t, f) => If(p, provKey(t), provKey(f))
+    case Coalesce(cs) => Coalesce(cs.map(provKey))
+    case graft.functions.SqliteDynText(c) =>
+      if (c.dataType == StringType) provKey(c) else numKey(c)
+    case v if valueModeExpr(v) => sortKey(v)
+    case v if v.dataType == StringType => textKey(v)
+    case v => numKey(v)
+  }
 
   /** The comparison-matrix rewrite alone (same cases the optimizer
     * rule applies). Script statements ALSO run this on their ANALYZED

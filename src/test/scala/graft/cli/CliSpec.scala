@@ -1482,6 +1482,23 @@ class CliSpec extends SparkSpec {
     assert(sqawk("select min(a1), max(a1) from a", f) == (0, "3 10\n"))
   }
 
+  test("ORDER BY keeps per-branch storage class in conditionals (sqlite3-pinned, fuzz seed 2172)") {
+    val f = tempFile("x\n")
+    // sqlite3 pin: upper(a) produces TEXT storage even when the
+    // characters look numeric ('100.0'), b+1 produces a number; the
+    // CASE's rows rank by the class of the branch each value came
+    // from — numerics (1, 4, 10) first, then TEXT lexicographically
+    // ('100.0' < '2.5'). Same per-branch rule through coalesce.
+    val setup = "create table pt (a REAL, b); insert into pt values " +
+      "(100.0, 2.5), (2.5, 0.5), (-1, 3), (-2, 'zz'), (NULL, 9); "
+    assert(sqawk(setup +
+      "select case when a > 0 then upper(a) else b + 1 end as x " +
+      "from pt order by 1", f) == (0, "1\n4\n10\n100.0\n2.5\n"))
+    assert(sqawk("select coalesce(upper(a), b) from pt order by 1", f) ==
+      (0, "9\n-1.0\n-2.0\n100.0\n2.5\n"))
+    spark.catalog.dropTempView("pt")
+  }
+
   test("IS / IS NOT null-safe comparison (sqlite3-verified)") {
     // sqlite3> SELECT 1 IS 1, NULL IS NULL, 'a' IS 'b', 1 IS NOT 2,
     //   NULL IS NOT 1  →  1|1|0|1|1
