@@ -71,8 +71,29 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
 
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, sfDir).foreach(_ => ()) catch { case _: Throwable => }
+    // rows>0 sanity gate (VERDICT r9 #6): the round-9 sf1.0 sweep
+    // recorded 12 fast streaming rows that had silently measured an
+    // EMPTY stream (the file source discovered zero files). A query
+    // that returns no rows is vacuous — it must be flagged, never
+    // timed as if it did the work. Counted once here in the warm-up
+    // lap (a foreach-with-accumulator, so the pass still materializes
+    // the full plan) to keep the timed laps pure. Documented
+    // exceptions — genuinely empty answers at small SFs:
+    //   p13_dedup_ngram_jaccard (no candidate pair reaches Jaccard
+    //   0.5 on the synthetic corpus), q09_join_anti / q21_except
+    //   (their predicates exclude every row by construction).
+    val mayBeEmpty = Set("p13_dedup_ngram_jaccard", "q09_join_anti", "q21_except")
+    val vacuous = scala.collection.mutable.Set[String]()
+    ordered.foreach { case (name, fn) =>
+      try {
+        val acc = spark.sparkContext.longAccumulator
+        fn(spark, sfDir).foreach(_ => acc.add(1))
+        if (acc.value == 0 && !mayBeEmpty(name)) {
+          vacuous += name
+          System.err.println(
+            s"[bench] $name returned ZERO rows — vacuous query, refusing to time it")
+        }
+      } catch { case _: Throwable => }
       finally dropOrphanedCheckpoints()
     }
 
@@ -85,7 +106,8 @@ object Bench {
         dropOrphanedCheckpoints()
         dt
       }
-      try name -> math.min(once(), once())
+      if (vacuous(name)) { failed = true; name -> -1.0 }
+      else try name -> math.min(once(), once())
       catch {
         case e: Throwable =>
           failed = true

@@ -40,6 +40,15 @@ object ScaleUp {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "/tmp/sf1.0"
     val factor = if (args.length > 2) args(2).toInt else 10
+    // The text rotation (i % 26) and embedding rotation (i % dim) are
+    // only collision-free below their modulus: at factor 27 copy 26
+    // would carry copy 0's text verbatim, silently reintroducing the
+    // factor-sized exact-dup clusters the rotation exists to prevent
+    // (a superlinear LSH measurement would then look like a plan
+    // defect). Fail loudly instead of skewing measurements.
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (got $factor): the per-copy text/embedding " +
+        "rotations repeat past 26 copies and would reintroduce exact-dup clusters")
 
     val spark = SparkSession.builder()
       .master(s"local[${Runtime.getRuntime.availableProcessors()}]")

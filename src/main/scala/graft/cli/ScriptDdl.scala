@@ -260,6 +260,17 @@ object ScriptDdl {
       * through either is visible through both, as in sqlite3). */
     private[ScriptDdl] val attached =
       scala.collection.mutable.LinkedHashMap.empty[String, AttachedDb]
+    /** Tentative attach bindings seen by [[rewriteAttached]] during
+      * the CURRENT statement: (schema key, lowercase table) → view.
+      * A qualified name first seen mid-script only becomes a real
+      * binding if the statement actually leaves the view behind
+      * (ADVICE r9: eager registration bound `aux1.x` on a mere `DROP
+      * TABLE IF EXISTS aux1.x`, so a LATER `CREATE TABLE x` in main
+      * silently resolved through the attached schema and DETACH
+      * dropped main's table). Committed by
+      * [[commitPendingAttachBindings]], wiped at statement end. */
+    private[ScriptDdl] val pendingAttach =
+      scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
   }
 
   /** One attached database: the path text as given, the lowercase
@@ -304,16 +315,18 @@ object ScriptDdl {
             val db = state.attached(k)
             val view = db.views.getOrElse(tbl.toLowerCase, {
               // a name first seen AFTER attach (a CREATE TABLE into
-              // the attached schema, round 9 — fuzz seed 25): bind it
-              // like attach-time loading — the bare name when free,
-              // the schema-mangled view otherwise — and remember the
-              // binding so later qualified AND bare references agree
-              val v = if (!spark.catalog.tableExists(tbl)) tbl
-                      else attViewName(k, tbl)
-              state.attached += k -> db.copy(
-                views = db.views + (tbl.toLowerCase -> v),
-                owned = db.owned :+ v)
-              v
+              // the attached schema, round 9 — fuzz seed 25): resolve
+              // it like attach-time loading — the bare name when
+              // free, the schema-mangled view otherwise — but only
+              // TENTATIVELY: the binding commits after the statement
+              // iff the view actually exists then (i.e. the statement
+              // created it), so a failed statement or a no-op like
+              // DROP TABLE IF EXISTS never captures a name another
+              // schema later creates (ADVICE r9).
+              state.pendingAttach.getOrElseUpdate((k, tbl.toLowerCase), {
+                if (!spark.catalog.tableExists(tbl)) tbl
+                else attViewName(k, tbl)
+              })
             })
             return rewriteAttached(spark, sql.substring(0, a.start) +
               s"`$view`" + sql.substring(b.end), state)
@@ -324,6 +337,28 @@ object ScriptDdl {
     }
     sql
   }
+
+  /** Promote tentative attach bindings whose backing view now exists
+    * (the statement created it) into the attach registry; entries
+    * whose view never materialized stay pending and are wiped by
+    * [[clearPendingAttachBindings]] at the statement boundary. Called
+    * after a statement executes successfully. */
+  def commitPendingAttachBindings(spark: SparkSession, state: State): Unit = {
+    if (state.pendingAttach.isEmpty) return
+    val done = state.pendingAttach.filter { case ((k, tblL), v) =>
+      spark.catalog.tableExists(v) && state.attached.contains(k) && {
+        val db = state.attached(k)
+        state.attached += k -> db.copy(
+          views = db.views + (tblL -> v), owned = db.owned :+ v)
+        true
+      }
+    }
+    done.keys.foreach(state.pendingAttach -= _)
+  }
+
+  /** Drop all tentative attach bindings (statement over or failed). */
+  def clearPendingAttachBindings(state: State): Unit =
+    state.pendingAttach.clear()
 
   /** The enforced uniqueness keysets of `table` beyond its PRIMARY
     * KEY: one column list per UNIQUE index / constraint. */
@@ -832,7 +867,12 @@ object ScriptDdl {
       if (triggersFor(state, name, "INSTEAD OF", "INSERT", Nil).isEmpty)
         rejectViewDml(spark, name)
       val (body1, retText) = splitAtTopLevelKeyword(body0, "returning")
-      val (body, _) = splitAtTopLevelKeyword(body1, "on conflict")
+      val (body, upsertTail) = splitAtTopLevelKeyword(body1, "on conflict")
+      // sqlite3 rejects UPSERT against a view outright (ADVICE r9 —
+      // previously the clause was silently stripped and the insert
+      // proceeded plain)
+      if (upsertTail.exists(_.trim.nonEmpty))
+        throw new IllegalArgumentException("cannot UPSERT a view")
       val target = spark.table(name)
       val rowsDf =
         if ("""(?is)\s*default\s+values\s*""".r.matches(body))
@@ -1520,6 +1560,9 @@ object ScriptDdl {
               case _ => ()
             }
           }
+          // commit (don't clear) so the outer statement's own
+          // tentative bindings survive the nested execution
+          commitPendingAttachBindings(spark, state)
         } finally state.firing -= t.name.toLowerCase
       }
     }

@@ -183,22 +183,27 @@ object ScriptRunner {
         // PRAGMAs answer rows of their own; the side-effecting dialect
         // statements (CREATE TABLE/INSERT/DROP/transactions) bind temp
         // views and emit none; everything else is a query for spark.sql.
-        ScriptDdl.pragmaRows(spark, sql, ddlState) match {
-          case Some(df) =>
-            if (df.schema.nonEmpty) pump(df, serializer)
-          case None =>
-            ScriptDdl.executeRows(spark, sql, ddlState) match {
-              case ScriptDdl.NotHandled =>
-                // script-dialect arithmetic: SQLite per-value typing
-                val df: DataFrame = SqliteArith.sql(spark, sql)
-                if (df.schema.nonEmpty) pump(df, serializer)
-              case ScriptDdl.Handled(Some(rows)) =>
-                // a RETURNING clause: the DML statement emits rows
-                // through the one serializer like any query statement
-                pump(rows, serializer)
-              case ScriptDdl.Handled(None) => ()
-            }
-        }
+        try {
+          ScriptDdl.pragmaRows(spark, sql, ddlState) match {
+            case Some(df) =>
+              if (df.schema.nonEmpty) pump(df, serializer)
+            case None =>
+              ScriptDdl.executeRows(spark, sql, ddlState) match {
+                case ScriptDdl.NotHandled =>
+                  // script-dialect arithmetic: SQLite per-value typing
+                  val df: DataFrame = SqliteArith.sql(spark, sql)
+                  if (df.schema.nonEmpty) pump(df, serializer)
+                case ScriptDdl.Handled(Some(rows)) =>
+                  // a RETURNING clause: the DML statement emits rows
+                  // through the one serializer like any query statement
+                  pump(rows, serializer)
+                case ScriptDdl.Handled(None) => ()
+              }
+          }
+          // a qualified name first seen this statement becomes a real
+          // attach binding only if the statement left the view behind
+          ScriptDdl.commitPendingAttachBindings(spark, ddlState)
+        } finally ScriptDdl.clearPendingAttachBindings(ddlState)
       }
     } finally {
       spark.conf.set("spark.sql.ansi.enabled", savedAnsi)

@@ -142,8 +142,15 @@ object AffinityOrdering extends Rule[LogicalPlan] {
         // conditionals mixing text-storage branches (upper/substr/
         // literals) with value-mode branches need the PER-BRANCH key
         // ([[provKey]]); an alias-resolved one must evaluate against
-        // the Project's INPUT, so the key rides in as a hidden
-        // projection column (round-9 fuzz seed 2172)
+        // the child's INPUT, so the key rides in as a hidden output
+        // column — of the Project's list (round-9 fuzz seed 2172) or
+        // the Aggregate's aggregateExpressions (ADVICE r9: a GROUP BY
+        // SELECT fell back to the whole-value key, so the seed-2172
+        // misordering class persisted for aggregated SELECTs; the key
+        // expression is built from the SAME analyzed alias child, so
+        // it only references grouping/aggregate results).
+        val canInject =
+          child.isInstanceOf[Project] || child.isInstanceOf[Aggregate]
         val extra = Vector.newBuilder[NamedExpression]
         val newOrder = order.map { so =>
           so.child match {
@@ -152,7 +159,7 @@ object AffinityOrdering extends Rule[LogicalPlan] {
                   !ar.metadata.contains(AffinityKey) &&
                   aliased.get(ar.exprId).exists(valueModeExpr) =>
               val ce = aliased(ar.exprId)
-              if (mixedProvenance(ce) && child.isInstanceOf[Project]) {
+              if (mixedProvenance(ce) && canInject) {
                 val al = Alias(provKey(ce), s"__graft_sortkey_${ar.exprId.id}")()
                 extra += al
                 so.copy(child = al.toAttribute)
@@ -166,11 +173,18 @@ object AffinityOrdering extends Rule[LogicalPlan] {
         }
         val keys = extra.result()
         if (keys.isEmpty) s.copy(order = newOrder)
-        else {
-          val p = child.asInstanceOf[Project]
-          Project(p.output,
-            s.copy(order = newOrder,
-              child = p.copy(projectList = p.projectList ++ keys)))
+        else child match {
+          case p: Project =>
+            Project(p.output,
+              s.copy(order = newOrder,
+                child = p.copy(projectList = p.projectList ++ keys)))
+          case a: Aggregate =>
+            Project(a.output,
+              s.copy(order = newOrder,
+                child = a.copy(
+                  aggregateExpressions = a.aggregateExpressions ++ keys)))
+          case other => // unreachable: keys only collect under canInject
+            s.copy(order = newOrder, child = other)
         }
     }
 
@@ -389,6 +403,19 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     case CaseWhen(branches, elseV) =>
       branches.exists(b => valueModeExpr(b._2)) || elseV.exists(valueModeExpr)
     case If(_, t, f) => valueModeExpr(t) || valueModeExpr(f)
+    // min/max are VALUE-PRESERVING: they return one of the argument's
+    // values with its storage class, so they carry the argument's
+    // provenance (ADVICE r9: coalesce(upper(max(a)), min(b)) over a
+    // GROUP BY must rank min(b)'s numeric-storage values before the
+    // TEXT-storage upper() branch). Other aggregates produce fresh
+    // numeric/text values and keep the default.
+    case ae: AggregateExpression => ae.aggregateFunction match {
+      case Min(c) => valueModeExpr(c)
+      case Max(c) => valueModeExpr(c)
+      case MinBy(v, _) => valueModeExpr(v)
+      case MaxBy(v, _) => valueModeExpr(v)
+      case _ => false
+    }
     case _ => false
   }
 

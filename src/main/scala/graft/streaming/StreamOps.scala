@@ -684,18 +684,49 @@ object StreamOps {
     }
   }
 
-  /** The events table consumed as a bounded stream — the file source
-    * streams the sf dir filtered to the events file — with `ts`
+  /** The events table consumed as a bounded stream, with `ts`
     * normalized to µs TimestampType across the representations the
     * driver's generator has shipped: raw TIMESTAMP(NANOS) longs
     * (legacy nanosAsLong read) and unadjusted TIMESTAMP(MICROS) read
     * as TIMESTAMP_NTZ (value-preserving cast under the UTC session
-    * timezone). Same normalization as [[graft.Tables.events]]. */
+    * timezone). Same normalization as [[graft.Tables.events]].
+    *
+    * Handles BOTH table layouts: a single parquet FILE named
+    * `events.parquet` (the driver's testdata) and the standard
+    * Spark-written DIRECTORY `events.parquet/part-*.parquet` (what
+    * any `df.write.parquet` — including ScaleUp — produces). The
+    * round-9 sf1.0 sweep showed why this must be explicit: a
+    * `pathGlobFilter=events.parquet` over the parent dir matches no
+    * leaf file in the directory layout, so every streaming query
+    * silently measured an EMPTY stream. We therefore (a) branch on
+    * the actual layout and (b) refuse to return a zero-file stream —
+    * an empty discovery is an error, never an answer. */
   private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val tablePath = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(tablePath).schema
+    val hp = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val status = fs.getFileStatus(hp) // throws if the table is absent
+    val raw =
+      if (status.isDirectory) {
+        // Same leaf-file discovery the stream will do: non-recursive
+        // children minus the `_`/`.`-prefixed metadata files Spark's
+        // file listing always skips (_SUCCESS, .crc sidecars). No
+        // extension glob — part files aren't guaranteed a .parquet
+        // suffix, and batch/stream must discover the same set.
+        val leaves = fs.listStatus(hp).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        require(leaves.nonEmpty,
+          s"streaming source discovered zero data files under $tablePath — " +
+            "refusing to stream an empty table")
+        spark.readStream.schema(schema).parquet(tablePath)
+      } else {
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      }
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // Integral DIV: `/` would be DOUBLE division and lose sub-µs

@@ -401,6 +401,43 @@ class CliSpec extends SparkSpec {
       == (0, "0 main \n1 e2 /tmp/graft-no-such-store\n"))
   }
 
+  test("a failed/no-op qualified reference never captures a later main table (ADVICE r9)") {
+    val db = Files.createTempDirectory("graft-attp").resolve("pdb").toString
+    // sqlite3-pinned: DROP TABLE IF EXISTS aux.x on an absent x is a
+    // no-op that must NOT bind aux.x — a later CREATE TABLE x in main
+    // leaves aux.x unresolvable ("no such table" in sqlite3)...
+    assert(sqawk("-noinput",
+      s"attach '$db' as aux1; drop table if exists aux1.x; " +
+        "create table x(a); insert into x values (42); " +
+        "select a from aux1.x")._1 == 1)
+    spark.catalog.dropTempView("x")
+    // ...and DETACH must not drop main's x (the eager binding used to
+    // register x as aux1-owned, so DETACH destroyed main's table)
+    assert(sqawk("-noinput",
+      s"attach '$db' as aux1; drop table if exists aux1.x; " +
+        "create table x(a); insert into x values (42); " +
+        "detach aux1; select a from x") == (0, "42\n"))
+    spark.catalog.dropTempView("x")
+    // the round-9 behavior this refines stays: CREATE TABLE INTO the
+    // attached schema binds, and the binding survives for later
+    // qualified AND bare references
+    assert(sqawk("-noinput",
+      s"attach '$db' as aux1; create table aux1.y(a); " +
+        "insert into aux1.y values (7); select a from y; detach aux1") == (0, "7\n"))
+  }
+
+  test("UPSERT against a view is rejected (sqlite3: cannot UPSERT a view)") {
+    val (code, _) = sqawk("-noinput",
+      "create table t(a integer primary key); " +
+        "create view v as select * from t; " +
+        "create trigger vi instead of insert on v begin " +
+        "insert into t values (new.a); end; " +
+        "insert into v values (1) on conflict do nothing")
+    assert(code == 1)
+    spark.catalog.dropTempView("t")
+    spark.catalog.dropTempView("v")
+  }
+
   test("-dbfile generations compact past the threshold; content survives") {
     import java.nio.file.{Files => F, Paths}
     import scala.jdk.CollectionConverters._
@@ -1496,6 +1533,23 @@ class CliSpec extends SparkSpec {
       "from pt order by 1", f) == (0, "1\n4\n10\n100.0\n2.5\n"))
     assert(sqawk("select coalesce(upper(a), b) from pt order by 1", f) ==
       (0, "9\n-1.0\n-2.0\n100.0\n2.5\n"))
+    spark.catalog.dropTempView("pt")
+  }
+
+  test("ORDER BY keeps per-branch storage class over GROUP BY (sqlite3-pinned, ADVICE r9)") {
+    // The seed-2172 rule through an Aggregate child: the hidden
+    // per-branch key must ride in as an extra aggregateExpression
+    // (the Project-only injection fell back to the whole-value key,
+    // ranking TEXT-storage '100.0' with the numerics). Each b-group
+    // is a single row, so the branch mix matches the seed-2172 pin.
+    val f = tempFile("x\n")
+    val setup = "create table pt (a REAL, b); insert into pt values " +
+      "(100.0, 2.5), (2.5, 0.5), (-1, 3), (-2, 'zz'), (NULL, 9); "
+    assert(sqawk(setup +
+      "select case when max(a) > 0 then upper(max(a)) else min(b) + 1 end as x " +
+      "from pt group by b order by 1", f) == (0, "1\n4\n10\n100.0\n2.5\n"))
+    assert(sqawk("select coalesce(upper(max(a)), min(b)) as x " +
+      "from pt group by b order by 1", f) == (0, "9\n-1.0\n-2.0\n100.0\n2.5\n"))
     spark.catalog.dropTempView("pt")
   }
 

@@ -383,7 +383,7 @@ object SqlScriptFuzz {
       }
       stmts += s"CREATE TRIGGER vtr INSTEAD OF $event ON v1 " +
         s"BEGIN INSERT INTO vlog VALUES ($ref.${lc.name}); END"
-      event match {
+      def viewDml(): Unit = event match {
         case "INSERT" =>
           val vals = viewCols.map(c => valueFor(rnd, c))
           stmts += s"INSERT INTO v1 VALUES (${vals.mkString(", ")})"
@@ -392,6 +392,27 @@ object SqlScriptFuzz {
             s"WHERE ${pred(rnd, viewCols)}"
         case _ =>
           stmts += s"DELETE FROM v1 WHERE ${pred(rnd, viewCols)}"
+      }
+      viewDml()
+      // --- trigger-registry rollback across SAVEPOINT (round 10,
+      // VERDICT r9 ask #8): a SECOND trigger on the same view is
+      // created inside a savepoint with view DML interleaved.
+      // ROLLBACK TO must undo both the DML and the registry entry —
+      // later view DML fires only the surviving trigger — while the
+      // RELEASE path keeps both. The final ordered vlog SELECT pins
+      // the exact firing set either way ('m2' is a non-numeric-
+      // looking marker, safe under the provenance deviation).
+      if (rnd.nextInt(2) == 0) {
+        stmts += "SAVEPOINT sv1"
+        stmts += s"CREATE TRIGGER vtr2 INSTEAD OF $event ON v1 " +
+          s"BEGIN INSERT INTO vlog VALUES ('m2'); END"
+        viewDml()
+        if (rnd.nextBoolean()) {
+          stmts += "ROLLBACK TO sv1"
+          viewDml() // vtr2 is gone: only vtr may fire
+        }
+        stmts += "RELEASE sv1"
+        viewDml()
       }
     }
 

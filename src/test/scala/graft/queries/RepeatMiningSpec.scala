@@ -30,6 +30,19 @@ class RepeatMiningSpec extends SparkSpec {
   private lazy val rows =
     graft.SparkEntry.queries("p62_repeat_mining")(spark, d).collect()
 
+  test("p62 at-scale path (no localCheckpoint) matches the pinned path") {
+    // Above repCheckpointMaxDocs the plan must run without executor-
+    // block materialization (cluster safety — VERDICT r9 #5). Force
+    // that path via the test hook and pin it to the default answer.
+    val prop = "graft.p62.checkpoint.maxdocs"
+    System.setProperty(prop, "0")
+    try {
+      val unpinned = graft.SparkEntry.queries("p62_repeat_mining")(spark, d).collect()
+      assert(unpinned.length == rows.length)
+      assert(unpinned.map(_.toString).sorted.sameElements(rows.map(_.toString).sorted))
+    } finally System.clearProperty(prop)
+  }
+
   test("p62 reports repeats at more than one length") {
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[Long]("rep_len")).distinct.length >= 2)

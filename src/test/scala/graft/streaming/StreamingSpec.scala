@@ -213,6 +213,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("directory-shaped events table streams identically to the single-file layout") {
+    // The round-9 sf1.0 sweep's silent hole: a Spark-WRITTEN events
+    // table is a DIRECTORY events.parquet/part-*.parquet, which the
+    // old pathGlobFilter=events.parquet discovery matched zero files
+    // of — every streaming query returned empty without erroring.
+    // Pin both layouts to the same answer.
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$d/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirlayout").toString
+    raw.repartition(3).write.parquet(s"$dir/events.parquet")
+    val single = StreamOps.windowedEventCounts(spark, d)
+    val asDir = StreamOps.windowedEventCounts(spark, dir)
+    assert(asDir.count() > 0, "directory layout streamed an empty result")
+    assert(asDir.count() === single.count())
+    assert(asDir.exceptAll(single).isEmpty && single.exceptAll(asDir).isEmpty)
+  }
+
+  test("an events table with zero data files is an error, not an empty stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptytable")
+    java.nio.file.Files.createDirectory(dir.resolve("events.parquet"))
+    java.nio.file.Files.createFile(dir.resolve("events.parquet").resolve("_SUCCESS"))
+    // Empty discovery must surface loudly (schema inference or the
+    // zero-file guard) — never as a zero-row streaming answer.
+    assertThrows[Exception] {
+      StreamOps.windowedEventCounts(spark, dir.toString).count()
+    }
+  }
+
   test("sliding windows put every event in exactly window/slide windows") {
     // 1-hour window / 30-minute slide → each event contributes to 2
     // windows, so the total event count across windows is exactly 2×
