@@ -192,10 +192,17 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     * text-STORAGE string branch (upper/substr/CAST AS TEXT results,
     * string literals) — exactly the case where classifying the final
     * VALUE misorders rows: SQLite ranks upper(a)'s '100.0' in the
-    * TEXT tier even though the characters look numeric. */
+    * TEXT tier even though the characters look numeric. A
+    * string-typed branch that is only a type-coercion Cast over a
+    * NUMERIC expression (`coalesce(c, 42)` — Spark casts the 42 to
+    * match c's string type) is NOT text storage: the sqlite literal
+    * keeps numeric storage (round-10 fuzz seed 2535; explicit `CAST
+    * (x AS TEXT)` spellings reach this rule as SqliteCastText, never
+    * a bare Cast, so stripping casts is safe). */
   private def mixedProvenance(e: Expression): Boolean = {
     def textStorage(v: Expression): Boolean =
-      v.dataType == StringType && !valueModeExpr(v)
+      v.dataType == StringType && !valueModeExpr(v) &&
+        stripCasts(v).dataType == StringType
     e match {
       case CaseWhen(bs, el) =>
         val vs = bs.map(_._2) ++ el
@@ -226,7 +233,13 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     case graft.functions.SqliteDynText(c) =>
       if (c.dataType == StringType) provKey(c) else numKey(c)
     case v if valueModeExpr(v) => sortKey(v)
-    case v if v.dataType == StringType => textKey(v)
+    case v if v.dataType == StringType =>
+      // a type-coercion Cast over a numeric expression carries the
+      // NUMERIC storage class of its child (fuzz seed 2535: the 42 in
+      // coalesce(c, 42) reaches here as Cast(42 AS STRING)); only a
+      // natively-string branch is TEXT storage
+      val v0 = stripCasts(v)
+      if (v0.dataType != StringType) numKey(v0) else textKey(v)
     case v => numKey(v)
   }
 

@@ -1536,6 +1536,23 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("pt")
   }
 
+  test("numeric literals in conditionals keep numeric storage (sqlite3-pinned, fuzz seed 2535)") {
+    // Spark's type coercion casts the bare 42 to STRING to match the
+    // affinity column's type; the per-branch key must still rank it
+    // in the NUMERIC tier (a quoted '42' would be TEXT storage).
+    val f = tempFile("x\n")
+    val setup = "create table pt (a REAL, b); insert into pt values " +
+      "(100.0, 2.5), (2.5, 0.5), (-1, 3), (-2, 'zz'), (NULL, 9); "
+    assert(sqawk(setup + "select coalesce(a, 42) from pt order by 1", f) ==
+      (0, "-2.0\n-1.0\n2.5\n42\n100.0\n"))
+    // genuinely mixed: TEXT branch (upper), numeric literal branch,
+    // value branch — sqlite3: -2.0, -1.0, 42, '100.0', '2.5'
+    assert(sqawk("select case when a > 0 then upper(a) " +
+      "when b = 9 then 42 else a end as x from pt order by 1", f) ==
+      (0, "-2.0\n-1.0\n42\n100.0\n2.5\n"))
+    spark.catalog.dropTempView("pt")
+  }
+
   test("ORDER BY keeps per-branch storage class over GROUP BY (sqlite3-pinned, ADVICE r9)") {
     // The seed-2172 rule through an Aggregate child: the hidden
     // per-branch key must ride in as an extra aggregateExpression
