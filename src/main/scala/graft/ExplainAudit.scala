@@ -22,7 +22,7 @@ object ExplainAudit {
     var bad = List.empty[String]
     for (n <- Seq("p02_dedup_minhash_lsh", "p09_ann_lsh", "p08_knn_brute",
         "p11_modality_join", "p13_dedup_ngram_jaccard", "p14_dedup_embed_cosine",
-        "p15_ann_ivf", "p19_curation_funnel", "p24_decontaminate",
+        "p15_ann_ivf", "p64_ann_ivfpq", "p19_curation_funnel", "p24_decontaminate",
         "p27_bm25", "p30_dedup_connected", "p36_span_dedup",
         "p37_semantic_dedup", "p39_mixture_sample", "p42_incremental_dedup",
         "p44_simhash_neardup", "p45_bloom_decontaminate", "p46_cms_heavy_hitters",
@@ -30,7 +30,7 @@ object ExplainAudit {
         "p50_substring_dedup", "p51_kmeans_cluster",
         "p55_wordpiece_tokenize", "p56_bpe_train", "p57_token_fertility",
         "p58_event_funnel", "p59_url_dedup", "p60_markov_transitions",
-        "p61_paragraph_dedup", "p62_repeat_mining",
+        "p61_paragraph_dedup", "p62_repeat_mining", "p65_fuzzy_entity_match",
         "q39_asof_join", "q40_range_join", "q43_subquery_exists")) {
       println(s"==== $n")
       val df = SparkEntry.queries(n)(spark, d)

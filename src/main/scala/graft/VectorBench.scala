@@ -109,6 +109,25 @@ object VectorBench {
     })
     occupancy("occupancy_k2", ranked2.toDF())
 
+    // Stage 3 (round 10): the PRODUCTION arity rule — p09/p14 now
+    // derive composite-key arity from the corpus count (the r9 sf1.0
+    // sweep measured the fixed-arity operator at ~12.5× for 10× data;
+    // with the rule it measures 1.5×). Self-falsifying: for every
+    // corpus size the chosen k must keep MEAN primary-bucket
+    // occupancy n/128^k at or below the 128-target (the bound that
+    // makes per-bucket self-join cost constant in n), while k stays
+    // minimal (k-1 would overfill, except at the k=1 floor).
+    for (nn <- Seq(500L, 2000L, 20000L, 1000000L, 1000000000L, 1000000000000L)) {
+      val k = graft.queries.Pipeline.annArity(nn)
+      val occ = nn / math.pow(128.0, k)
+      println(f"[vector-bench] arity n=$nn%-13d k=$k occupancy=$occ%.2f")
+      assert(k >= 1 && k <= 8, s"arity out of range: $k")
+      assert(k == 8 || occ <= 128.0 + 1e-9,
+        f"arity $k leaves mean occupancy $occ%.1f above the 128 target at n=$nn")
+      assert(k == 1 || nn / math.pow(128.0, k - 1) > 128.0,
+        s"arity $k is not minimal at n=$nn")
+    }
+
     spark.stop()
   }
 }

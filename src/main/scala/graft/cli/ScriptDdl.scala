@@ -2108,9 +2108,16 @@ object ScriptDdl {
     import org.apache.spark.sql.functions.broadcast
     val rows = batchDf.collect()
     if (rows.isEmpty) return (order(target), batchDf.limit(0))
+    // metadata rides along so the affinity machinery sees the batch
+    // side exactly like the stored side: a partial index's WHERE
+    // (`a > 0` under INTEGER affinity) must rank a TEXT-storage 'x'
+    // ABOVE the numerics — sqlite's comparison matrix — not coerce it
+    // to NULL (round-10 fuzz seed 5141: the second 'x' row must hit
+    // the partial UNIQUE index)
     def localDf(rs: Seq[Row]): DataFrame = spark.createDataFrame(
       java.util.Arrays.asList(rs: _*),
-      StructType(schema.fields.map(f => StructField(f.name, f.dataType))))
+      StructType(schema.fields.map(f =>
+        StructField(f.name, f.dataType, nullable = true, f.metadata))))
     // Evaluate each keyset ONCE for the whole batch (round 7: keysets
     // may be expressions / COLLATE folds / partial WHERE filters, not
     // only columns): per row, None = the row is NOT in the index (a

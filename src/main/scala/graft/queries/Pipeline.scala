@@ -187,7 +187,9 @@ object Pipeline {
   // sides agree at every SF. Upper clamp 8: keys pack into a Long
   // (7 bits/slot), and 128^8 buckets is past any real corpus.
   private val AnnTargetOccupancy = 128.0
-  private def annArity(n: Long): Int =
+  /** private[graft]: VectorBench asserts the occupancy bound this
+    * formula guarantees across the n sweep. */
+  private[graft] def annArity(n: Long): Int =
     math.max(1, math.min(8,
       math.ceil(math.log(n / AnnTargetOccupancy) / math.log(2.0 * AnnDim)).toInt))
 
@@ -218,6 +220,34 @@ object Pipeline {
   // shape is unchanged at any K.
   private val IvfCells = 8
   private val IvfProbes = 4
+
+  // p64 parameters: IVF-PQ (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search") — the memory shape that makes 100 TB
+  // ANN serving fit in RAM: each 64-float vector compresses to PqSub
+  // codebook codes (8 bytes here), and query scoring is asymmetric
+  // distance computation (ADC) — integer table lookups against the
+  // candidate's CODES, never a float dot product on the candidate
+  // side. Codebook centroids are md5-derived integers in
+  // [-1024, 1023] and vector components quantize to floor(x · 1024)
+  // (p51's scheme), so every encode decision and every ADC distance
+  // is an exact int64 both engines reproduce bit-identically.
+  private val PqSub = 8
+  private val PqSubDim = AnnDim / PqSub // 8 dims per subvector
+  private val PqK = 16
+  private val PqQuantScale = 1024L
+
+  // p65 parameters: trigram fuzzy-match entity resolution. The clean
+  // universe is |sources| × EntVariants md5-derived 12-hex-char names
+  // (640 entities at every SF); each doc carries ONE dirty variant
+  // (md5-chosen substitute/delete/duplicate edit, or clean). EntDfCap
+  // prunes trigrams held by more than that many ENTITIES from the
+  // candidate index (prefix-filtering-family stopword rule, p13's
+  // pattern — candidate generation only; verification always runs on
+  // the FULL trigram sets); FuzzMinShared rare trigrams gate a
+  // candidate pair.
+  private val EntVariants = 32
+  private val EntDfCap = 64
+  private val FuzzMinShared = 2
 
   // p26: per-source document quota (domain capping).
   private val QuotaK = 10
@@ -659,6 +689,26 @@ object Pipeline {
       "p15_ann_ivf",
       (s, d) => ivfTopK(s, d),
       Some(ivfOracle)),
+
+    // ------------------------------------------------------------------
+    // p64: IVF-PQ ANN SEARCH (round 10) — the production serving shape
+    // on top of p15's coarse quantizer: every vector is ENCODED to
+    // PqSub=8 codebook codes (64 floats → 8 bytes — the compression
+    // that lets a 100 TB corpus's index live in executor RAM), queries
+    // probe their IvfProbes nearest cells exactly like p15, and
+    // scoring inside the probed cells is asymmetric distance
+    // computation over the candidate's CODES — per-candidate constant
+    // integer work, no float vector on the candidate side of the
+    // join. Encode is a typed zero-shuffle kernel (argmin over 16
+    // centroids per subvector, ties to the smaller code — same
+    // deterministic tie rule as the oracle's ORDER BY dist, c); all
+    // distances are exact int64 (quantized components × integer
+    // codebook), so the DuckDB oracle replays codebook, encode, ADC
+    // and the top-5 ranking bit-identically.
+    QDef(
+      "p64_ann_ivfpq",
+      (s, d) => pqTopK(s, d),
+      Some(pqOracle)),
 
     // ------------------------------------------------------------------
     // p13: EXACT N-GRAM JACCARD DEDUP — the exact counterpart to p02's
@@ -4036,7 +4086,31 @@ object Pipeline {
              |  CAST(w * h * 3 AS BIGINT) AS n_bytes_raw,
              |  st.pix_sum, st.pix_min, st.pix_max, st.pix_wsum,
              |  fh.n_f0, fh.n_f1, fh.n_f2, fh.n_f3, fh.n_f4
-             |FROM dims d JOIN st USING (doc_id) JOIN fh USING (doc_id)""".stripMargin))
+             |FROM dims d JOIN st USING (doc_id) JOIN fh USING (doc_id)""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // p65: TRIGRAM FUZZY-MATCH ENTITY RESOLUTION (round 10) — the
+    // dirty-data joining stage every crawl/metadata pipeline needs:
+    // match corrupted surface strings against a canonical entity
+    // table WITHOUT an equality key. Shape = set-similarity join via
+    // a character-trigram inverted index (the prefix-filtering
+    // family, p13's pattern applied cross-table): dirty names explode
+    // to distinct trigrams (zero-shuffle projection first), the
+    // entity index is DF-capped (a trigram held by > EntDfCap
+    // entities never generates candidates — at 100 TB that bounds
+    // every posting list, so the index join can never blow up),
+    // candidates need FuzzMinShared shared rare trigrams, then exact
+    // trigram-set Jaccard over the FULL sets verifies (integer
+    // compare: jac ≥ 0.5 ⇔ 2·inter ≥ union), and each doc keeps its
+    // best match (jac desc — one IEEE division, bit-identical cross-
+    // engine — then entity asc). Synthesis is md5-deterministic on
+    // both sides (substitute/delete/duplicate edits), so the oracle
+    // replays corruption, indexing, capping, candidacy, verification
+    // and ranking — the full algorithm hash-verifies.
+    QDef(
+      "p65_fuzzy_entity_match",
+      (s, d) => fuzzyEntityMatch(s, d),
+      Some(fuzzyMatchOracle))
   )
 
   /** p56/p57 shared core: the BpeK-round BPE training loop — ONE
@@ -4475,6 +4549,251 @@ object Pipeline {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
+
+  /** The p64 codebook: PqSub × PqK × PqSubDim integer centroids,
+    * component (s, c, li) = md5("pq<s>:<c>:<li>")'s first 52 bits
+    * mod 2048 − 1024 — the same md5-to-integer derivation family as
+    * p15's centroids, exactly mirrored by the oracle's pqcb CTE. */
+  private def pqCodebook(): Array[Array[Array[Long]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5") // digest() resets it
+    Array.tabulate(PqSub, PqK, PqSubDim) { (sb, c, li) =>
+      val hex = md.digest(s"pq$sb:$c:${li + 1}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 13), 16) % 2048L - 1024L
+    }
+  }
+
+  /** The p64 core: quantize → PQ-encode (typed kernel, zero shuffle)
+    * → IVF candidate join (p15's probed-cells shape) → ADC scoring
+    * over codes → exact-integer top-5 per query. The ~8 KB codebook
+    * ships in the task closure (at 100 TB it would broadcast, same as
+    * p15's centroid note). */
+  private def pqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cb = pqCodebook()
+    val nSub = PqSub
+    val nK = PqK
+    val nSd = PqSubDim
+    // quantized integer components (floor(x · 1024), p51's scheme):
+    // the SAME frame is the encode input AND the query side of ADC
+    val quant = emb(s, d).select(col("vec_id"), expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $PqQuantScale) AS BIGINT))")
+      .as("qv"))
+    val codes = quant.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (id, q) =>
+          val out = new Array[Int](nSub)
+          var sb = 0
+          while (sb < nSub) {
+            // argmin over the 16 subvector centroids; strict < with
+            // ascending c keeps the smaller code on ties (= the
+            // oracle's ORDER BY dist, c)
+            var best = 0
+            var bestD = Long.MaxValue
+            var c = 0
+            while (c < nK) {
+              var dist = 0L
+              var i = 0
+              while (i < nSd) {
+                val dd = q(sb * nSd + i) - cb(sb)(c)(i)
+                dist += dd * dd
+                i += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            out(sb) = best
+            sb += 1
+          }
+          (id, out)
+        }
+      }.toDF("vec_id", "codes")
+    val cells = ivfCells(s, d)
+    val cand = cells.filter(col("vec_id") < 20).as("x")
+      .join(cells.filter(col("rn") === 1).as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("qid"), col("y.vec_id").as("nid"))
+      .distinct()
+    val scored = cand
+      .join(codes, col("nid") === codes("vec_id")).drop("vec_id")
+      .join(quant, col("qid") === quant("vec_id")).drop("vec_id")
+      .select(col("qid"), col("nid"), col("codes"), col("qv"))
+      .as[(Long, Long, Array[Int], Array[Long])]
+      .mapPartitions { it =>
+        it.map { case (qid, nid, cs, q) =>
+          var adist = 0L
+          var sb = 0
+          while (sb < nSub) {
+            val cc = cb(sb)(cs(sb))
+            var i = 0
+            while (i < nSd) {
+              val dd = q(sb * nSd + i) - cc(i)
+              adist += dd * dd
+              i += 1
+            }
+            sb += 1
+          }
+          (qid, nid, adist)
+        }
+      }.toDF("qid", "nid", "adist")
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("nid"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("nid"), col("rank"), col("adist"))
+  }
+
+  /** DuckDB mirror of p64: same codebook, quantization, encode tie
+    * rule, IVF candidates, ADC arithmetic and ranking. */
+  private def pqOracle: String =
+    s"""WITH $ivfAssignCtes, pqcb AS (
+       |  SELECT CAST(s AS INT) AS s, CAST(c AS INT) AS c, CAST(li AS INT) AS li,
+       |    CAST(('0x' || substr(md5('pq' || s || ':' || c || ':' || li), 1, 13)) AS BIGINT)
+       |      % 2048 - 1024 AS w
+       |  FROM range(0, $PqSub) t0(s), range(0, $PqK) t1(c), range(1, ${PqSubDim + 1}) t2(li)
+       |), qv AS (
+       |  SELECT vec_id, i, CAST(floor(x * $PqQuantScale) AS BIGINT) AS q FROM el
+       |), enc AS (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT qv.vec_id, p.s, p.c,
+       |      row_number() OVER (PARTITION BY qv.vec_id, p.s
+       |                         ORDER BY sum((qv.q - p.w) * (qv.q - p.w)), p.c) AS rn
+       |    FROM qv JOIN pqcb p ON qv.i = p.s * $PqSubDim + p.li
+       |    GROUP BY qv.vec_id, p.s, p.c
+       |  ) WHERE rn = 1
+       |), cand AS (
+       |  SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+       |  FROM ranked x JOIN ranked y
+       |    ON x.c = y.c AND y.rn = 1 AND x.vec_id < 20 AND x.vec_id <> y.vec_id
+       |), ad AS (
+       |  SELECT cand.qid, cand.nid, sum((q.q - p.w) * (q.q - p.w)) AS adist
+       |  FROM cand
+       |  JOIN enc ON enc.vec_id = cand.nid
+       |  JOIN pqcb p ON p.s = enc.s AND p.c = enc.c
+       |  JOIN qv q ON q.vec_id = cand.qid AND q.i = p.s * $PqSubDim + p.li
+       |  GROUP BY 1, 2
+       |)
+       |SELECT qid, nid, rank, adist FROM (
+       |  SELECT qid, nid,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS BIGINT) AS rank,
+       |    adist
+       |  FROM ad
+       |) WHERE rank <= 5""".stripMargin
+
+  /** The p65 core: synthesize clean entities + per-doc dirty names,
+    * trigram-index with a DF cap, candidate join, exact-Jaccard
+    * verify on full sets, best match per doc. See the QDef comment
+    * for the plan-shape argument. */
+  private def fuzzyEntityMatch(s: SparkSession, d: String): DataFrame = {
+    def md5i(tag: String) =
+      s"CAST(conv(substr(md5(concat('$tag:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    // clean entity universe: |sources| × EntVariants 12-hex names
+    val ent = docs(s, d).select(col("source")).distinct()
+      .select(col("source"), explode(expr(s"sequence(0, ${EntVariants - 1})")).as("j"))
+      .select(concat(col("source"), lit(":"), col("j").cast("string")).as("ename"),
+        expr("substr(md5(concat('ent:', source, ':', CAST(j AS STRING))), 1, 12)").as("name"))
+    // one dirty variant per doc: md5-chosen edit of an md5-chosen
+    // entity of the doc's own source (op 3 = left clean)
+    val dirty = docs(s, d)
+      .select(col("doc_id"),
+        expr(s"""substr(md5(concat('ent:', source, ':',
+                 CAST(${md5i("pick")} % $EntVariants AS STRING))), 1, 12)""").as("base"),
+        expr(s"${md5i("op")} % 4").as("op"),
+        expr(s"CAST(1 + ${md5i("pos")} % 12 AS INT)").as("pos"),
+        expr("substr(md5(concat('chr:', CAST(doc_id AS STRING))), 1, 1)").as("rep"))
+      .select(col("doc_id"), expr(
+        """CASE op
+          |  WHEN 0 THEN concat(substr(base, 1, pos - 1), rep, substr(base, pos + 1, 12))
+          |  WHEN 1 THEN concat(substr(base, 1, pos - 1), substr(base, pos + 1, 12))
+          |  WHEN 2 THEN concat(substr(base, 1, pos), substr(base, pos, 1), substr(base, pos + 1, 12))
+          |  ELSE base END""".stripMargin).as("dname"))
+    // distinct character trigrams of each side (positions 1..len-2)
+    def trigrams(df: DataFrame, key: String, nameCol: String): DataFrame =
+      df.select(col(key), explode(expr(
+          s"transform(sequence(1, length($nameCol) - 2), p -> substring($nameCol, p, 3))"))
+        .as("tg")).distinct()
+    val dtg = trigrams(dirty, "doc_id", "dname")
+    val etg = trigrams(ent, "ename", "name")
+    // candidate index: entity trigrams minus the > EntDfCap stopwords
+    val edf = etg.groupBy("tg").agg(count(lit(1)).as("df"))
+    val idx = etg.join(edf.filter(col("df") <= EntDfCap), "tg")
+    val cand = dtg.join(idx, "tg")
+      .groupBy("doc_id", "ename").agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= FuzzMinShared)
+      .select("doc_id", "ename")
+    // exact verification on the FULL sets of candidate pairs only
+    val dn = dtg.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val en = etg.groupBy("ename").agg(count(lit(1)).as("nb"))
+    val inter = cand
+      .join(dtg, "doc_id")
+      .join(etg, Seq("ename", "tg"))
+      .groupBy("doc_id", "ename").agg(count(lit(1)).as("shared"))
+    val scored = inter.join(dn, "doc_id").join(en, "ename")
+      .withColumn("uni", col("na") + col("nb") - col("shared"))
+      .filter(col("shared") * 2 >= col("uni"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy((col("shared").cast("double") / col("uni")).desc, col("ename"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("ename").as("entity"),
+        col("shared"), col("uni"),
+        round(col("shared").cast("double") / col("uni"), 4).as("jac"))
+  }
+
+  /** DuckDB mirror of p65: same synthesis, index cap, candidate rule,
+    * verification and ranking. */
+  private def fuzzyMatchOracle: String =
+    s"""WITH ent AS (
+       |  SELECT s.source || ':' || j AS ename,
+       |         substr(md5('ent:' || s.source || ':' || j), 1, 12) AS name
+       |  FROM (SELECT DISTINCT source FROM documents) s, range(0, $EntVariants) t(j)
+       |), dirty AS (
+       |  SELECT doc_id,
+       |    CASE op
+       |      WHEN 0 THEN substr(base, 1, pos - 1) || rep || substr(base, pos + 1, 12)
+       |      WHEN 1 THEN substr(base, 1, pos - 1) || substr(base, pos + 1, 12)
+       |      WHEN 2 THEN substr(base, 1, pos) || substr(base, pos, 1) || substr(base, pos + 1, 12)
+       |      ELSE base END AS dname
+       |  FROM (
+       |    SELECT doc_id,
+       |      substr(md5('ent:' || source || ':' ||
+       |        (CAST(('0x' || substr(md5('pick:' || doc_id), 1, 13)) AS BIGINT) % $EntVariants)), 1, 12) AS base,
+       |      CAST(('0x' || substr(md5('op:' || doc_id), 1, 13)) AS BIGINT) % 4 AS op,
+       |      CAST(1 + CAST(('0x' || substr(md5('pos:' || doc_id), 1, 13)) AS BIGINT) % 12 AS INT) AS pos,
+       |      substr(md5('chr:' || doc_id), 1, 1) AS rep
+       |    FROM documents
+       |  )
+       |), dtg AS (
+       |  SELECT DISTINCT doc_id, substr(dname, CAST(p AS INT), 3) AS tg
+       |  FROM dirty, unnest(generate_series(1, length(dname) - 2)) AS u(p)
+       |), etg AS (
+       |  SELECT DISTINCT ename, substr(name, CAST(p AS INT), 3) AS tg
+       |  FROM ent, unnest(generate_series(1, length(name) - 2)) AS u(p)
+       |), idx AS (
+       |  SELECT ename, tg FROM etg
+       |  WHERE tg IN (SELECT tg FROM etg GROUP BY tg HAVING count(*) <= $EntDfCap)
+       |), cand AS (
+       |  SELECT doc_id, ename FROM dtg JOIN idx USING (tg)
+       |  GROUP BY 1, 2 HAVING count(*) >= $FuzzMinShared
+       |), dn AS (SELECT doc_id, count(*) AS na FROM dtg GROUP BY 1
+       |), en AS (SELECT ename, count(*) AS nb FROM etg GROUP BY 1
+       |), inter AS (
+       |  SELECT c.doc_id, c.ename, count(*) AS shared
+       |  FROM cand c JOIN dtg d ON c.doc_id = d.doc_id
+       |              JOIN etg e ON c.ename = e.ename AND d.tg = e.tg
+       |  GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT i.doc_id, i.ename, shared, na + nb - shared AS uni
+       |  FROM inter i JOIN dn USING (doc_id) JOIN en USING (ename)
+       |  WHERE 2 * shared >= na + nb - shared
+       |)
+       |SELECT doc_id, ename AS entity, CAST(shared AS BIGINT) AS shared,
+       |       CAST(uni AS BIGINT) AS uni,
+       |       round(CAST(shared AS DOUBLE) / uni, 4) AS jac
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY CAST(shared AS DOUBLE) / uni DESC, ename) AS rn
+       |  FROM scored
+       |) WHERE rn = 1""".stripMargin
 
   /** Shared DuckDB CTE prefix for p15/p37: the md5-derived centroid
     * matrix, unpacked embedding elements, and the per-vector cell

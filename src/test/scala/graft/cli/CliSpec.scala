@@ -1536,6 +1536,26 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("pt")
   }
 
+  test("partial-index WHERE applies the comparison-affinity matrix (sqlite3-pinned, fuzz seed 5141)") {
+    // sqlite3: under INTEGER affinity, TEXT-storage 'x' ranks above
+    // every numeric, so `a > 0` COVERS 'x' — the second 'x' row must
+    // violate the partial UNIQUE index (Spark's numeric coercion
+    // would yield NULL and silently skip the index).
+    val (code, _) = sqawk("-noinput",
+      "create table t1 (a INTEGER); " +
+        "create unique index i1 on t1 (a) where a > 0; " +
+        "insert into t1 values ('x'); insert into t1 values ('x')")
+    assert(code == 1)
+    spark.catalog.dropTempView("t1")
+    // and values the WHERE genuinely excludes still insert freely
+    assert(sqawk("-noinput",
+      "create table t1 (a INTEGER); " +
+        "create unique index i1 on t1 (a) where a > 0; " +
+        "insert into t1 values (0); insert into t1 values (0); " +
+        "select count(*) from t1") == (0, "2\n"))
+    spark.catalog.dropTempView("t1")
+  }
+
   test("numeric literals in conditionals keep numeric storage (sqlite3-pinned, fuzz seed 2535)") {
     // Spark's type coercion casts the bare 42 to STRING to match the
     // affinity column's type; the per-branch key must still rank it

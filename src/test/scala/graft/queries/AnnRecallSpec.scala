@@ -88,4 +88,62 @@ class AnnRecallSpec extends SparkSpec {
     // shape, not the unreachable exact answer
     assert(recall >= 0.45, f"recall@5 $recall%.3f below floor")
   }
+
+  test("p64 IVF-PQ matches a driver-side third implementation row-for-row") {
+    // Independent plain-Scala replay of the whole operator — IVF cell
+    // ranking, PQ codebook, quantize, encode, ADC, top-5 — so the
+    // Spark kernels and the DuckDB oracle are checked against a THIRD
+    // derivation (the TokenizerOpsSpec pattern). Constants mirror the
+    // Pipeline declarations (part of the pinned contract).
+    val (cellsN, probes, dim, nSub, nSd, nK, scale) = (8, 4, 64, 8, 8, 16, 1024L)
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    // IVF centroids + per-vector probed/home cells (ivfCells' rule)
+    val cents = Array.tabulate(cellsN, dim) { (c, i) =>
+      java.lang.Long.parseLong(md5hex(s"ivf$c:${i + 1}").substring(0, 13), 16) /
+        4503599627370496.0 * 2 - 1 }
+    val cnorm = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def cellRanks(v: Array[Double]): Seq[Int] =
+      (0 until cellsN).map { c =>
+        var dot = 0.0; var i = 0
+        while (i < math.min(dim, v.length)) { dot += v(i) * cents(c)(i); i += 1 }
+        (dot / cnorm(c), c)
+      }.sortBy { case (s, c) => (-s, c) }.take(probes).map(_._2)
+    // PQ codebook + quantize + encode (pqCodebook/pqTopK's rules)
+    val cb = Array.tabulate(nSub, nK, nSd) { (sb, c, li) =>
+      java.lang.Long.parseLong(md5hex(s"pq$sb:$c:${li + 1}").substring(0, 13), 16) %
+        2048L - 1024L }
+    val quant = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * scale).toLong) }.toMap
+    val codes = quant.map { case (id, q) =>
+      id -> Array.tabulate(nSub) { sb =>
+        (0 until nK).map { c =>
+          var dd = 0L; var i = 0
+          while (i < nSd) { val d0 = q(sb * nSd + i) - cb(sb)(c)(i); dd += d0 * d0; i += 1 }
+          (dd, c)
+        }.min._2
+      } }
+    val homes = vecs.map { case (id, v) => id -> cellRanks(v).head }.toMap
+    val expect = vecs.filter(_._1 < 20).flatMap { case (qid, qv) =>
+      val probed = cellRanks(qv).toSet
+      val cand = vecs.map(_._1).filter(n => n != qid && probed.contains(homes(n)))
+      cand.map { nid =>
+        var adist = 0L; var sb = 0
+        while (sb < nSub) {
+          val cc = cb(sb)(codes(nid)(sb)); var i = 0
+          while (i < nSd) { val d0 = quant(qid)(sb * nSd + i) - cc(i); adist += d0 * d0; i += 1 }
+          sb += 1
+        }
+        (qid, nid, adist)
+      }.sortBy { case (_, nid, ad) => (ad, nid) }.take(5).zipWithIndex
+        .map { case ((q, n, ad), r) => (q, n, (r + 1).toLong, ad) }
+    }.toSet
+    val got = graft.SparkEntry.queries("p64_ann_ivfpq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expect.nonEmpty && got.size == expect.size, s"${got.size} vs ${expect.size}")
+    assert(got == expect, s"diff: ${(got diff expect).take(3)} / ${(expect diff got).take(3)}")
+  }
 }
