@@ -500,6 +500,19 @@ object ScriptDdl {
     * affinity tags — survives the checkpoint. */
   private val CollapseNodes = 128
 
+  /** EXPRESSION-size twin of [[CollapseNodes]] (round-10 fuzz seed
+    * 2665): a handful of DML rebinds whose predicates carry
+    * storage-class comparison keys stays well under CollapseNodes
+    * PLAN nodes, but each key references its operand ~6 times — and
+    * once the optimizer pushes those predicates through the stacked
+    * rebind projections, every reference inlines the full lower
+    * projection, growing the OPTIMIZED expression tree exponentially
+    * with statement count (a 6-row table OOMed a 4 GB heap at rebind
+    * depth ~7). Checkpointing once the ANALYZED expression count
+    * passes this bound keeps the pushdown base small, so the blowup
+    * can never compound across statements. */
+  private val CollapseExprNodes = 2048
+
   /** Batch-size bound for [[applyInsert]]'s driver-resident pk fast
     * path: below it, key probes ship as a pushed-down IN filter over
     * the stored table; above it, the plan-safe set-based joins run
@@ -507,8 +520,14 @@ object ScriptDdl {
   private val MaxDriverProbeKeys = 1000
 
   private def collapseIfDeep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val nodes = df.queryExecution.analyzed.collect { case p => p }.size
-    if (nodes > CollapseNodes) df.localCheckpoint() else df
+    val analyzed = df.queryExecution.analyzed
+    val nodes = analyzed.collect { case p => p }.size
+    lazy val exprNodes = analyzed.collect { case p =>
+      p.expressions.iterator.map(e => e.collect { case x => x }.size).sum
+    }.sum
+    if (nodes > CollapseNodes || exprNodes > CollapseExprNodes)
+      df.localCheckpoint()
+    else df
   }
 
   /** Handle `stmt` if it is a side-effecting dialect statement.

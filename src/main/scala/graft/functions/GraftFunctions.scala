@@ -141,7 +141,14 @@ object GraftFunctions {
     // Marker builder for AffinityValue (a custom expression cannot be
     // built through the public Column API; the registry can). Used by
     // both the ingest pipeline and the script DDL layer so affinity
-    // provenance survives projection collapse.
+    // provenance survives projection collapse. IDEMPOTENT: every DML
+    // rebind re-applies the marker to the column it rebinds, so a
+    // long script used to stack wrappers one level per statement —
+    // and each comparison/sort key rewrite then multiplied the
+    // ever-deeper operand into its 6 key slots, growing expression
+    // trees exponentially with script length (round-10 fuzz seed
+    // 2665 OOMed a 4 GB heap on a 6-row table). A re-wrap now
+    // collapses to depth 1, keeping the NEWEST affinity.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_affinity_value",
       { children =>
@@ -149,7 +156,11 @@ object GraftFunctions {
           case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
           case other => other.eval(null).toString
         }
-        graft.plans.AffinityValue(children.head, aff)
+        children.head match {
+          case av: graft.plans.AffinityValue =>
+            if (av.affinity == aff) av else graft.plans.AffinityValue(av.child, aff)
+          case c => graft.plans.AffinityValue(c, aff)
+        }
       },
       "scala_udf")
     registerStatic(spark, "graft_fold_accents", StringType, 1,

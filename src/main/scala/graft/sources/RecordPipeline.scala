@@ -206,6 +206,8 @@ object RecordPipeline {
 
     // Marker builder for AffinityValue (a custom expression cannot be
     // built through the public Column API; the registry can).
+    // Idempotent — re-wrapping collapses to depth 1 (see the twin
+    // builder in GraftFunctions for the expression-blowup story).
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_affinity_value",
       { children =>
@@ -213,7 +215,11 @@ object RecordPipeline {
           case org.apache.spark.sql.catalyst.expressions.Literal(s, _) => s.toString
           case other => other.eval(null).toString
         }
-        graft.plans.AffinityValue(children.head, aff)
+        children.head match {
+          case av: graft.plans.AffinityValue =>
+            if (av.affinity == aff) av else graft.plans.AffinityValue(av.child, aff)
+          case c => graft.plans.AffinityValue(c, aff)
+        }
       },
       "scala_udf")
 
