@@ -943,10 +943,17 @@ object ScriptDdl {
       val assignedCols = assigns.map(_._1)
       if (triggersFor(state, name, "INSTEAD OF", "UPDATE", assignedCols).isEmpty)
         rejectViewDml(spark, name)
-      // no storeCanonical here: view rows carry no declared affinity
+      // sqlite3-pinned (round-10 fuzz seed 1597): the INSTEAD OF
+      // UPDATE arm applies the view column's UNDERLYING affinity to
+      // each assigned NEW value (UPDATE v SET a = 100.0 binds NEW.a
+      // as integer 100 when a's base column is NUMERIC) — while the
+      // INSTEAD OF INSERT arm applies none (100.0 stays real there).
+      // Direct-projection view columns carry the base column's
+      // declared-affinity metadata, so storeCanonical resolves it;
+      // computed view columns carry none and pass through.
       def newValue(c: String): Option[org.apache.spark.sql.Column] =
         assigns.reverse.find(_._1.equalsIgnoreCase(c))
-          .map { case (_, t) => expr(t) }
+          .map { case (_, t) => storeCanonical(target, target, c, expr(t)) }
       val base = whereOpt
         .map(w => SqliteArith.fixup(spark, target.where(expr(w))))
         .getOrElse(target)
@@ -1664,12 +1671,22 @@ object ScriptDdl {
     else "NONE"
 
   /** True when keyset position `i` compares as TEXT: a plain (or
-    * COLLATE'd) column whose declared affinity is TEXT. Expression
-    * keys have no affinity in SQLite → value-class comparison. */
+    * COLLATE'd) column whose declared affinity is TEXT, or an
+    * expression key whose top-level function PRODUCES text storage —
+    * sqlite's lower()/upper()/substr()/… always return TEXT, so an
+    * index on lower(c) holds TEXT keys and '100' vs '100.0' are
+    * DISTINCT (round-10 fuzz seed 7651: the value-class collapse
+    * merged them and rejected an insert sqlite3 accepts). Other
+    * expression keys keep value-class comparison (arithmetic results
+    * are numeric storage). */
+  private val TextFnKeyRe =
+    """(?is)\s*(lower|upper|substr|substring|trim|ltrim|rtrim|replace|hex|quote|typeof|char|printf|format|concat|group_concat)\s*\(.*""".r
+
   private def keyTextAffinity(schema: StructType, ks: KeySpec, i: Int): Boolean =
-    ks.display.nonEmpty && ks.display.size == ks.exprs.size &&
+    (ks.display.nonEmpty && ks.display.size == ks.exprs.size &&
       schema.fields.find(_.name.equalsIgnoreCase(ks.display(i)))
-        .exists(f => f.dataType == StringType && fieldAffinity(f) == "TEXT")
+        .exists(f => f.dataType == StringType && fieldAffinity(f) == "TEXT")) ||
+      TextFnKeyRe.matches(ks.exprs(i))
 
   /** Creation-time / UPDATE-time uniqueness over an evaluated keyset
     * (expression, COLLATE, partial). */

@@ -157,7 +157,8 @@ object AffinityOrdering extends Rule[LogicalPlan] {
             case ar: AttributeReference
                 if ar.dataType == StringType &&
                   !ar.metadata.contains(AffinityKey) &&
-                  aliased.get(ar.exprId).exists(valueModeExpr) =>
+                  aliased.get(ar.exprId)
+                    .exists(ce => valueModeExpr(ce) || mixedProvenance(ce)) =>
               val ce = aliased(ar.exprId)
               if (mixedProvenance(ce) && canInject) {
                 val al = Alias(provKey(ce), s"__graft_sortkey_${ar.exprId.id}")()
@@ -166,7 +167,7 @@ object AffinityOrdering extends Rule[LogicalPlan] {
               } else so.copy(child = sortKey(ar))
             case e
                 if e.dataType == StringType && !isAffinityAttr(e) &&
-                  valueModeExpr(e) =>
+                  (valueModeExpr(e) || mixedProvenance(e)) =>
               so.copy(child = provKey(e))
             case _ => so
           }
@@ -203,17 +204,24 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     def textStorage(v: Expression): Boolean =
       v.dataType == StringType && !valueModeExpr(v) &&
         stripCasts(v).dataType == StringType
+    // the "other" side of a mix: a branch whose values carry numeric
+    // storage — value-mode (classifies per value), or a numeric-typed
+    // expression behind a type-coercion cast (a bare -5 next to a
+    // TEXT column — round-10 fuzz seed 3940: sqlite ranks that
+    // literal in the numeric tier while the column's values are TEXT)
+    def numStorage(v: Expression): Boolean =
+      valueModeExpr(v) || stripCasts(v).dataType != StringType
     e match {
       case CaseWhen(bs, el) =>
         val vs = bs.map(_._2) ++ el
-        (vs.exists(textStorage) && vs.exists(valueModeExpr)) ||
+        (vs.exists(textStorage) && vs.exists(numStorage)) ||
           vs.exists(mixedProvenance)
       case If(_, t, f) =>
         val vs = Seq(t, f)
-        (vs.exists(textStorage) && vs.exists(valueModeExpr)) ||
+        (vs.exists(textStorage) && vs.exists(numStorage)) ||
           vs.exists(mixedProvenance)
       case Coalesce(cs) =>
-        (cs.exists(textStorage) && cs.exists(valueModeExpr)) ||
+        (cs.exists(textStorage) && cs.exists(numStorage)) ||
           cs.exists(mixedProvenance)
       case graft.functions.SqliteDynText(c) => mixedProvenance(c)
       case _ => false

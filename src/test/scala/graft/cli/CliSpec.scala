@@ -1536,6 +1536,56 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("pt")
   }
 
+  test("lower() expression-index keys are TEXT storage (sqlite3-pinned, fuzz seed 7651)") {
+    // sqlite's lower() always returns TEXT, so lower(1e2)='100.0' and
+    // lower(100)='100' are DISTINCT index keys — the value-class
+    // collapse must not merge them...
+    assert(sqawk("-noinput",
+      "create table t1 (a REAL, c); " +
+        "create unique index i1 on t1 (lower(c)); " +
+        "insert into t1 values (1, 1e2); insert into t1 values (2, 100); " +
+        "select count(*) from t1") == (0, "2\n"))
+    spark.catalog.dropTempView("t1")
+    // ...while genuine case-folded duplicates still violate
+    assert(sqawk("-noinput",
+      "create table t1 (c); create unique index i1 on t1 (lower(c)); " +
+        "insert into t1 values ('ABC'); insert into t1 values ('abc')")._1 == 1)
+    spark.catalog.dropTempView("t1")
+  }
+
+  test("INSTEAD OF UPDATE applies the underlying column affinity to NEW (sqlite3-pinned, fuzz seed 1597)") {
+    // sqlite3: UPDATE v SET a = 100.0 binds NEW.a as INTEGER 100 when
+    // the view column's base column is NUMERIC; the INSERT arm applies
+    // NO affinity (100.0 stays real) — both pinned.
+    assert(sqawk("-noinput",
+      "create table t1 (a NUMERIC); insert into t1 values (1); " +
+        "create temp view v as select a from t1; create table log(w); " +
+        "create trigger vt instead of update on v begin " +
+        "insert into log values (NEW.a); end; " +
+        "update v set a = 100.0; select w from log") == (0, "100\n"))
+    spark.catalog.dropTempView("t1"); spark.catalog.dropTempView("v")
+    spark.catalog.dropTempView("log")
+    assert(sqawk("-noinput",
+      "create table t1 (a NUMERIC); " +
+        "create temp view v as select a from t1; create table log(w); " +
+        "create trigger vt instead of insert on v begin " +
+        "insert into log values (NEW.a); end; " +
+        "insert into v values (100.0); select w from log") == (0, "100.0\n"))
+    spark.catalog.dropTempView("t1"); spark.catalog.dropTempView("v")
+    spark.catalog.dropTempView("log")
+  }
+
+  test("coalesce over a TEXT column and a numeric literal ranks per branch (sqlite3-pinned, fuzz seed 3940)") {
+    // a TEXT-affinity column's values are TEXT storage; the coerced
+    // numeric literal stays numeric — sqlite: -5, '', '-3', '5'
+    val f = tempFile("x\n")
+    assert(sqawk("create table pt (a TEXT); " +
+      "insert into pt values ('-3'), (NULL), ('5'), (''); " +
+      "select coalesce(a, -5) from pt order by 1", f) ==
+      (0, "-5\n\n-3\n5\n"))
+    spark.catalog.dropTempView("pt")
+  }
+
   test("partial-index WHERE applies the comparison-affinity matrix (sqlite3-pinned, fuzz seed 5141)") {
     // sqlite3: under INTEGER affinity, TEXT-storage 'x' ranks above
     // every numeric, so `a > 0` COVERS 'x' — the second 'x' row must
