@@ -170,6 +170,21 @@ object SqlScriptFuzz {
         }
     }
 
+  /** Values for VIEW DML positions: sqlite applies NO affinity to an
+    * INSTEAD OF INSERT's NEW row, so a quoted numeric-looking literal
+    * ('-3' aimed at an INTEGER base column) keeps TEXT storage there
+    * and then flows into the no-affinity log table — the documented
+    * value-provenance deviation by another door (round-10 seeds
+    * 2295/3423). View DML therefore draws only provenance-safe
+    * values, like any no-affinity position. */
+  private def viewValueFor(rnd: Random, c: Col): String =
+    if (!c.notNull && rnd.nextInt(8) == 0) "NULL"
+    else rnd.nextInt(3) match {
+      case 0 => intLits(rnd.nextInt(intLits.size))
+      case 1 => realLits(rnd.nextInt(realLits.size))
+      case _ => safeTextLits(rnd.nextInt(safeTextLits.size))
+    }
+
   /** Generate one deterministic script for a seed. */
   def genScript(seed: Long): String = {
     val rnd = new Random(seed)
@@ -385,10 +400,10 @@ object SqlScriptFuzz {
         s"BEGIN INSERT INTO vlog VALUES ($ref.${lc.name}); END"
       def viewDml(): Unit = event match {
         case "INSERT" =>
-          val vals = viewCols.map(c => valueFor(rnd, c))
+          val vals = viewCols.map(c => viewValueFor(rnd, c))
           stmts += s"INSERT INTO v1 VALUES (${vals.mkString(", ")})"
         case "UPDATE" =>
-          stmts += s"UPDATE v1 SET ${lc.name} = ${valueFor(rnd, lc)} " +
+          stmts += s"UPDATE v1 SET ${lc.name} = ${viewValueFor(rnd, lc)} " +
             s"WHERE ${pred(rnd, viewCols)}"
         case _ =>
           stmts += s"DELETE FROM v1 WHERE ${pred(rnd, viewCols)}"
