@@ -61,8 +61,73 @@ object Bench {
     // slow PLAN from codegen/checkpoint warm-up).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // The streaming family runs in a FRESH FORKED JVM (VERDICT r10 #4):
+    // measured r9/r10, s-rows inflate 1.5-2.5× inside a 150-query
+    // sweep vs fresh-JVM runs (codegen-cache/GC pressure from the 140
+    // queries before them — JVM state, not code), which kept poisoning
+    // cross-round comparisons. The child runs the same Bench main with
+    // SPARK_GRAFT_BENCH_ONLY=<s-rows>, its own warm-up lap, vacuous
+    // gate and best-of-2, and its rows merge into this sweep's JSON —
+    // so BENCH_r{N} s-rows ARE fresh-JVM numbers by construction.
+    // Fork only in a full sweep (a BENCH_ONLY run is already the
+    // isolated protocol); SPARK_GRAFT_NO_FORK=1 restores in-sweep
+    // timing for A/B-ing the contamination itself.
+    val allNames = SparkEntry.queries.keys.toVector.sorted
+    val sNames = allNames.filter(_.startsWith("s"))
+    val forkS = only.isEmpty && sNames.nonEmpty &&
+      !sys.env.get("SPARK_GRAFT_NO_FORK").contains("1")
+
+    var failed = false
+
+    // Fork the streaming family FIRST (its CPU use must not overlap
+    // this JVM's warm-up or timed laps), replicating this JVM's
+    // flags/classpath; on ANY fork failure fall back to in-sweep rows
+    // rather than losing the family.
+    val sForked: Option[Vector[(String, Double)]] = if (!forkS) None else {
+      try {
+        val outFile = java.nio.file.Files.createTempFile("graft-bench-s", ".json")
+        val javaBin = java.nio.file.Paths.get(
+          System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val cmd = new java.util.ArrayList[String]()
+        cmd.add(javaBin)
+        jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+        cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+        cmd.add("graft.Bench")
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_BENCH_ONLY", sNames.mkString(","))
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val rc = pb.start().waitFor()
+        val txt = java.nio.file.Files.readString(outFile)
+        java.nio.file.Files.deleteIfExists(outFile)
+        val rowRe = """"(s[0-9][^"]*)":(-?[0-9]+(?:\.[0-9]+)?)""".r
+        val rows = rowRe.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toVector.filter { case (k, _) => sNames.contains(k) }
+        if (rc != 0 || rows.exists(_._2 < 0) ||
+            rows.map(_._1).toSet != sNames.toSet) {
+          failed = true
+          System.err.println(
+            s"[bench] s-family fork rc=$rc rows=${rows.size}/${sNames.size}")
+        }
+        if (rows.map(_._1).toSet == sNames.toSet) Some(rows) else None
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] s-family fork failed (${e.getMessage}); " +
+            "falling back to in-sweep streaming rows")
+          None
+      }
+    }
+
     val ordered = SparkEntry.queries.toVector.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filterNot { case (n, _) => sForked.isDefined && n.startsWith("s") }
 
     // Warm-up: run everything once (JIT, codegen cache, parquet footers).
     // Per-query catch so one broken query still yields timings for the
@@ -97,8 +162,7 @@ object Bench {
       finally dropOrphanedCheckpoints()
     }
 
-    var failed = false
-    val results = ordered.map { case (name, fn) =>
+    val timed = ordered.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).foreach(_ => ())
@@ -115,6 +179,9 @@ object Bench {
           name -> -1.0
       }
     }
+    // Merge the fresh-JVM streaming rows back in, keeping name order
+    // so the JSON stays diffable across rounds.
+    val results = (timed ++ sForked.getOrElse(Vector.empty)).sortBy(_._1)
     // 4-decimal seconds: sub-ms resolution, and the one-line JSON
     // shrinks ~30% (the harness that collects this line keeps only a
     // bounded stdout tail — BENCH_r04.json lost the head of the

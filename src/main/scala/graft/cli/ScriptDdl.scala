@@ -1680,13 +1680,42 @@ object ScriptDdl {
     * expression keys keep value-class comparison (arithmetic results
     * are numeric storage). */
   private val TextFnKeyRe =
-    """(?is)\s*(lower|upper|substr|substring|trim|ltrim|rtrim|replace|hex|quote|typeof|char|printf|format|concat|group_concat)\s*\(.*""".r
+    """(?is)\s*(lower|upper|substr|substring|trim|ltrim|rtrim|replace|hex|quote|typeof|char|printf|format|concat|group_concat)\s*\(""".r
+
+  /** True iff the key expression IS a single text-returning function
+    * call — the call's parens must span the whole expression. A mere
+    * text-function PREFIX is not enough: `lower(c) + 1` is numeric
+    * storage in sqlite (arithmetic coerces), so '100' and '100.0'
+    * must still merge under value-class comparison (ADVICE r10:
+    * the prefix-anchored regex classified it as TEXT and made them
+    * distinct unique-index keys). Single-quoted literals are skipped
+    * when counting parens; the SQL '' escape toggles the in-string
+    * flag twice, which is exactly right. */
+  private def textFnSpansKey(e: String): Boolean =
+    TextFnKeyRe.findPrefixMatchOf(e).exists { m =>
+      var depth = 0
+      var inQ = false
+      var endIdx = -1
+      var i = m.end - 1 // the opening paren the regex just matched
+      while (i < e.length) {
+        val ch = e.charAt(i)
+        if (inQ) { if (ch == '\'') inQ = false }
+        else ch match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0 && endIdx < 0) endIdx = i
+          case _ =>
+        }
+        i += 1
+      }
+      endIdx >= 0 && e.substring(endIdx + 1).isBlank
+    }
 
   private def keyTextAffinity(schema: StructType, ks: KeySpec, i: Int): Boolean =
     (ks.display.nonEmpty && ks.display.size == ks.exprs.size &&
       schema.fields.find(_.name.equalsIgnoreCase(ks.display(i)))
         .exists(f => f.dataType == StringType && fieldAffinity(f) == "TEXT")) ||
-      TextFnKeyRe.matches(ks.exprs(i))
+      textFnSpansKey(ks.exprs(i))
 
   /** Creation-time / UPDATE-time uniqueness over an evaluated keyset
     * (expression, COLLATE, partial). */

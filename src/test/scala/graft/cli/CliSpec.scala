@@ -1553,6 +1553,32 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("t1")
   }
 
+  test("text-fn PREFIX keys stay value-class (sqlite3-pinned, ADVICE r10)") {
+    // lower(c) + 1 is ARITHMETIC — sqlite coerces to numeric storage,
+    // so '100' and '100.0' both key as 101 and the second insert
+    // violates the unique index. A prefix-anchored TEXT classifier
+    // would keep '101' vs '101.0' distinct and wrongly accept it.
+    assert(sqawk("-noinput",
+      "create table t1 (c); create unique index i1 on t1 (lower(c) + 1); " +
+        "insert into t1 values ('100'); insert into t1 values ('100.0')")._1 == 1)
+    spark.catalog.dropTempView("t1")
+    // concat inside a larger expression: still numeric (sqlite3: the
+    // || result feeds arithmetic) — '12' then '12.0' violates
+    assert(sqawk("-noinput",
+      "create table t1 (a, b); " +
+        "create unique index i1 on t1 ((a || b) * 1); " +
+        "insert into t1 values ('1', '2'); insert into t1 values ('1', '2.0')")._1 == 1)
+    spark.catalog.dropTempView("t1")
+    // whole-span call with an embedded quoted paren: still TEXT —
+    // replace(c, ')', '') spans the key, '100' vs '100.0' distinct
+    assert(sqawk("-noinput",
+      "create table t1 (c); " +
+        "create unique index i1 on t1 (replace(c, ')', '')); " +
+        "insert into t1 values ('100'); insert into t1 values ('100.0'); " +
+        "select count(*) from t1") == (0, "2\n"))
+    spark.catalog.dropTempView("t1")
+  }
+
   test("INSTEAD OF UPDATE applies the underlying column affinity to NEW (sqlite3-pinned, fuzz seed 1597)") {
     // sqlite3: UPDATE v SET a = 100.0 binds NEW.a as INTEGER 100 when
     // the view column's base column is NUMERIC; the INSERT arm applies

@@ -37,6 +37,15 @@ import org.apache.spark.sql.SparkSession
   * INSERT / UPDATE OF / DELETE with WHEN and OLD/NEW logging into a
   * side table, pinned by a final ordered SELECT over it).
   *
+  * Round 11 additions (VERDICT r10 #6 — the SELECT side was thinner
+  * than the DML/DDL arms): window functions over affinity columns
+  * (row_number / rank / dense_rank / sum / total / count OVER, with
+  * PARTITION BY and RANGE-peer keys drawn from declared columns
+  * only), correlated subqueries (scalar count + EXISTS / NOT
+  * EXISTS), CTEs referencing the script-created table (expression
+  * projections and a join back to t1), and ORDER BY + LIMIT +
+  * COLLATE NOCASE / DESC / OFFSET compositions.
+  *
   * Round 9 additions: expression / COLLATE NOCASE / partial UNIQUE
   * indexes (upgraded from "not generated" when round 8 made them
   * enforced); ATTACH/DETACH with cross-schema DDL+DML+joins (each
@@ -432,8 +441,25 @@ object SqlScriptFuzz {
     }
 
     // --- final SELECTs (always fully ordered) -----------------------
+    // Round 11 (VERDICT r10 #6): the SELECT side grew four arms —
+    // window functions (5), correlated subqueries (6), CTEs over the
+    // script-created table (7), ORDER BY + LIMIT + COLLATE (8).
+    // Determinism rules the arms obey:
+    //  - keys where EQUALITY matters (rank peers, RANGE-frame peers,
+    //    PARTITION BY, LIMIT cuts) come from DECLARED columns only —
+    //    a no-affinity column can hold int 100 and real 100.0, which
+    //    sqlite's value comparison merges but graft's canonical-text
+    //    storage keeps distinct (the documented provenance deviation,
+    //    same guard as the GROUP BY arm / seed 4110);
+    //  - row_number ties must be INTERCHANGEABLE in the sorted
+    //    output: the select list is exactly the window-order columns,
+    //    so rows tying on the whole key are textually identical and
+    //    either tie order prints the same bytes;
+    //  - LIMIT needs a total order over the SELECTED columns for the
+    //    same reason (rows tying on every printed column are
+    //    interchangeable at the cut).
     val nSel = 1 + rnd.nextInt(3)
-    for (_ <- 1 to nSel) rnd.nextInt(5) match {
+    for (_ <- 1 to nSel) rnd.nextInt(9) match {
       case 0 =>
         val ords = cols.indices.map(i => s"${i + 1}").mkString(", ")
         stmts += s"SELECT * FROM t1 ORDER BY $ords"
@@ -463,6 +489,66 @@ object SqlScriptFuzz {
         stmts += s"SELECT $g, $agg FROM t1 GROUP BY $g$having ORDER BY 1"
       case 3 if hasView =>
         stmts += "SELECT * FROM v1 ORDER BY 1, 2"
+      case 5 if cols.exists(_.decl.nonEmpty) =>
+        // window functions over affinity columns
+        val dNames = cols.filter(_.decl.nonEmpty).map(_.name)
+        rnd.nextInt(4) match {
+          case 0 =>
+            val oc = dNames.mkString(", ")
+            val ords = (1 to dNames.size + 1).mkString(", ")
+            stmts += s"SELECT $oc, row_number() OVER (ORDER BY $oc) " +
+              s"FROM t1 ORDER BY $ords"
+          case 1 =>
+            val k = dNames(rnd.nextInt(dNames.size))
+            val f = if (rnd.nextBoolean()) "rank" else "dense_rank"
+            stmts += s"SELECT $k, $f() OVER (ORDER BY $k) FROM t1 ORDER BY 1, 2"
+          case 2 =>
+            val p = dNames(rnd.nextInt(dNames.size))
+            val f = if (rnd.nextBoolean()) "sum" else "total"
+            stmts += s"SELECT $p, $f(${colRef(rnd, cols)}) " +
+              s"OVER (PARTITION BY $p) FROM t1 ORDER BY 1, 2"
+          case _ =>
+            val k = dNames(rnd.nextInt(dNames.size))
+            stmts += s"SELECT $k, count(*) OVER (ORDER BY $k) FROM t1 ORDER BY 1, 2"
+        }
+      case 6 =>
+        // correlated subqueries (scalar + EXISTS/NOT EXISTS)
+        val c1 = colRef(rnd, cols)
+        val c2 = colRef(rnd, cols)
+        rnd.nextInt(3) match {
+          case 0 =>
+            stmts += s"SELECT $c1, (SELECT count(*) FROM t1 x " +
+              s"WHERE x.$c1 < t1.$c1) FROM t1 ORDER BY 1, 2"
+          case 1 =>
+            stmts += s"SELECT count(*) FROM t1 WHERE EXISTS " +
+              s"(SELECT 1 FROM t1 x WHERE x.$c1 = t1.$c1 AND x.$c2 <> t1.$c2)"
+          case _ =>
+            stmts += s"SELECT count(*) FROM t1 WHERE NOT EXISTS " +
+              s"(SELECT 1 FROM t1 x WHERE x.$c1 > t1.$c1)"
+        }
+      case 7 =>
+        // CTEs over the script-created table
+        val c1 = colRef(rnd, cols)
+        if (rnd.nextBoolean()) {
+          stmts += s"WITH w AS (SELECT $c1 AS u, ${expr(rnd, cols)} AS v " +
+            s"FROM t1 WHERE ${pred(rnd, cols)}) SELECT u, v FROM w ORDER BY 1, 2"
+        } else {
+          stmts += s"WITH w AS (SELECT $c1 AS u FROM t1 WHERE ${pred(rnd, cols)}) " +
+            s"SELECT count(*) FROM t1, w WHERE t1.$c1 = w.u"
+        }
+      case 8 if cols.exists(_.decl.nonEmpty) =>
+        // ORDER BY + LIMIT (+ COLLATE / DESC / OFFSET) compositions
+        val dNames = cols.filter(_.decl.nonEmpty).map(_.name)
+        val k = dNames(rnd.nextInt(dNames.size))
+        val mod = rnd.nextInt(3) match {
+          case 0 => " COLLATE NOCASE"
+          case 1 => " DESC"
+          case _ => ""
+        }
+        val off = if (rnd.nextBoolean()) s" OFFSET ${rnd.nextInt(3)}" else ""
+        val ords = (1 to dNames.size).mkString(", ")
+        stmts += s"SELECT ${dNames.mkString(", ")} FROM t1 " +
+          s"ORDER BY $k$mod, $ords LIMIT ${1 + rnd.nextInt(4)}$off"
       case _ =>
         stmts += s"SELECT count(*) FROM t1 WHERE ${pred(rnd, cols)}"
     }
