@@ -510,8 +510,20 @@ object ScriptDdl {
     * with statement count (a 6-row table OOMed a 4 GB heap at rebind
     * depth ~7). Checkpointing once the ANALYZED expression count
     * passes this bound keeps the pushdown base small, so the blowup
-    * can never compound across statements. */
-  private val CollapseExprNodes = 2048
+    * can never compound across statements.
+    *
+    * Bound sized for CODEGEN, not just memory (round 11): the dialect
+    * expressions (SqliteArithExpr, storage-class comparison keys,
+    * canonical-text wrappers) emit hundreds of bytes of Java each, so
+    * a stacked-rebind plan well under the old 2048-node memory bound
+    * still blew janino's 64 KB method limit in WholeStageCodegen —
+    * every later query over the table then paid a failed compile +
+    * interpreted fallback (round-11 fuzz seeds 113/274/302 logged
+    * "Code grows beyond 64 KB"; results stayed correct via the
+    * fallback). 384 nodes × ~worst-case emission keeps processNext()
+    * comfortably under the limit; the extra localCheckpoints are
+    * CLI-sized table writes. */
+  private val CollapseExprNodes = 384
 
   /** Batch-size bound for [[applyInsert]]'s driver-resident pk fast
     * path: below it, key probes ship as a pushed-down IN filter over

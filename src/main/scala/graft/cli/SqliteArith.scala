@@ -125,10 +125,30 @@ object SqliteArith {
         })
     }
 
-  def rewritePlan(plan: LogicalPlan): LogicalPlan =
+  def rewritePlan(plan: LogicalPlan): LogicalPlan = {
+    // UnresolvedWith is a UnaryNode: its CTE DEFINITIONS are not plan
+    // children, so the generic expression transforms below never
+    // visit them — arithmetic inside `WITH w AS (SELECT a+b …)` kept
+    // Spark's double/NULL typing while the outer query got the
+    // dialect (round-11 fuzz seeds 109/175/180/302/345/391, all one
+    // root cause). Rewrite each definition recursively first, exactly
+    // like inlineViews walks them explicitly.
+    // WITH RECURSIVE definitions are left alone: the STRING-typed
+    // dialect arithmetic in the recursive leg (x+1) cannot type-merge
+    // with the anchor under UnionLoop's set-operation widening
+    // (CANNOT_MERGE_INCOMPATIBLE_DATA_TYPE) — recursive bodies keep
+    // Spark typing, as they did before this rewrite existed.
+    import org.apache.spark.sql.catalyst.plans.logical.{SubqueryAlias, UnresolvedWith}
+    val withCtes = plan.transformDownWithSubqueries {
+      case w: UnresolvedWith if !w.allowRecursion =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, s, o) =>
+          (n, rewritePlan(s).asInstanceOf[SubqueryAlias], o)
+        })
+    }
     resolveOrdinals(
-      plan.transformAllExpressionsWithSubqueries(arithRewrite)
+      withCtes.transformAllExpressionsWithSubqueries(arithRewrite)
         .transformAllExpressionsWithSubqueries(sortRewrite))
+  }
 
   /** Pre-analysis VIEW inlining (round 9): a script temp VIEW stores
     * its TEXT and re-resolves at use — but Spark's analyzer expands it

@@ -1579,6 +1579,27 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("t1")
   }
 
+  test("arithmetic inside CTE bodies gets the dialect rewrite (sqlite3-pinned, fuzz seed 109)") {
+    // UnresolvedWith keeps CTE definitions out of `children`, so the
+    // pre-analysis arithmetic rewrite never saw them: 'B' - 0.5 kept
+    // Spark typing (NULL) instead of sqlite's text-coerces-to-0
+    // (-0.5). One root cause behind round-11 fuzz seeds
+    // 109/175/180/302/345/391.
+    assert(sqawk("-noinput",
+      "create table t1 (c NUMERIC); " +
+        "insert into t1 values ('B'), (''), (42), ('zz'); " +
+        "with w as (select c - 0.5 as v from t1) " +
+        "select v from w order by 1") == (0, "-0.5\n-0.5\n-0.5\n41.5\n"))
+    spark.catalog.dropTempView("t1")
+    // int ⊗ int inside a CTE stays INTEGER (sqlite: -1 + 42 = 41, not
+    // 41.0), and text + int coerces (zz + 42 = 42) — seed 302's CASE
+    assert(sqawk("-noinput",
+      "create table t1 (d); insert into t1 values (-1), ('zz'); " +
+        "with w as (select d + 42 as v from t1) " +
+        "select v from w order by 1") == (0, "41\n42\n"))
+    spark.catalog.dropTempView("t1")
+  }
+
   test("INSTEAD OF UPDATE applies the underlying column affinity to NEW (sqlite3-pinned, fuzz seed 1597)") {
     // sqlite3: UPDATE v SET a = 100.0 binds NEW.a as INTEGER 100 when
     // the view column's base column is NUMERIC; the INSERT arm applies
