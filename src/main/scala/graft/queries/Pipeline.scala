@@ -242,6 +242,36 @@ object Pipeline {
   private val IvfCells = 8
   private val IvfProbes = 4
 
+  // p37 parameters: SemDeDup's cluster count is DATA-DRIVEN (the
+  // paper sizes K to the corpus; the r10 build reused p15's fixed 8
+  // cells and the sf2.6 sweep measured the price: 52k vectors / 8
+  // cells → 169M intra-cell pairs, each carrying two 64-float vectors
+  // through the join — ~90 GB of spill, ~100× the sf1.0 wall time for
+  // 2.6× the data). K ≈ √n balances the two costs that pull in
+  // opposite directions — assignment is O(n·K), intra-cell pairs are
+  // O(n²/K); K = √n makes both O(n^1.5), the standard cluster-count
+  // tradeoff (a per-cell-occupancy target instead makes assignment
+  // O(n²/target) — measured 4.7× for 2.6× data before this ladder).
+  // Exact integer arithmetic (same discipline as annArity — no libm
+  // sqrt whose ULP could diverge): K = the smallest power of two with
+  // K² ≥ n, clamped [8, SemMaxCells]; the oracle mirrors the same
+  // thresholds as a CASE chain. SemMaxCells bounds the oracle's
+  // static centroid range and the closure-shipped centroid matrix
+  // (4096 × 64 doubles ≈ 2 MB).
+  private val SemMaxCells = 4096
+  private def semCells(n: Long): Int = {
+    var k = 8
+    while (k < SemMaxCells && k.toLong * k < n) k *= 2
+    k
+  }
+  /** DuckDB mirror of [[semCells]]: CASE over the exact thresholds
+    * K² for K = 8, 16, …, SemMaxCells/2 (else SemMaxCells). */
+  private def semCellsCaseSql(cnt: String): String = {
+    val whens = Iterator.iterate(8)(_ * 2).takeWhile(_ < SemMaxCells)
+      .map(k => s"WHEN $cnt <= ${k.toLong * k} THEN $k").mkString(" ")
+    s"CASE $whens ELSE $SemMaxCells END"
+  }
+
   // p64 parameters: IVF-PQ (Jégou et al., "Product Quantization for
   // Nearest Neighbor Search") — the memory shape that makes 100 TB
   // ANN serving fit in RAM: each 64-float vector compresses to PqSub
@@ -1964,21 +1994,25 @@ object Pipeline {
 
     // ------------------------------------------------------------------
     // p37: SEMANTIC DEDUP (SemDeDup-style) — cluster-local embedding
-    // dedup: every vector lives in its home IVF cell (p15's coarse
-    // quantizer) and near-dup pairs are searched WITHIN cells only,
-    // so the quadratic pair cost is bounded per cell instead of
-    // corpus-wide; survivors by the greedy min-id rule (p14's
-    // ledger). At 100 TB the cell count scales ~sqrt(n) (sampled
-    // k-means centroids), keeping per-cell join cost flat — the
-    // SemDeDup paper's exact recipe; the only shuffles are the cell
-    // assignment groupBy-free kernel pass, one per-cell self-join and
-    // one groupBy(ib). Tau = 0.30 keeps the drop set populated on
-    // this isotropic corpus (see the parameter note).
+    // dedup: every vector lives in its home cell of a DATA-DRIVEN
+    // coarse quantizer (K ≈ √n cells on an exact power-of-two ladder
+    // — the SemDeDup paper's recipe, cluster count sized to the
+    // corpus; see the semCells note for the measured sf2.6 blowup the
+    // fixed-K reuse of p15's quantizer caused, and why √n beats an
+    // occupancy target) and
+    // near-dup pairs are searched WITHIN cells only; survivors by the
+    // greedy min-id rule (p14's ledger). The only shuffles are the
+    // cell-assignment kernel pass, one per-cell self-join and one
+    // groupBy(ib). Tau = 0.30 keeps the drop set populated on this
+    // isotropic corpus (see the parameter note). The oracle computes
+    // the same K from count(*) with the same integer arithmetic.
     QDef(
       "p37_semantic_dedup",
       (s, d) => {
         graft.functions.DotProduct.register(s)
-        val home = ivfCells(s, d).filter(col("rn") === 1)
+        // K from a metadata-only parquet count (like annArity)
+        val k = semCells(emb(s, d).count())
+        val home = ivfCellsK(s, d, k, 1)
           .select(col("vec_id"), col("cell"))
         val vecs = withNorm(s, emb(s, d)).select(col("vec_id"), col("v"), col("nrm"))
         val pairs = home.as("x").join(home.as("y"),
@@ -1995,7 +2029,30 @@ object Pipeline {
           .select(col("vec_id"), col("cell").cast("long").as("cell"),
             col("min_nbr").isNull.as("kept"), col("min_nbr"))
       },
-      Some(s"""WITH $ivfAssignCtes, home AS (
+      Some(s"""WITH p37k AS (
+              |  SELECT ${semCellsCaseSql("count(*)")} AS kk
+              |  FROM embeddings
+              |), cent AS (
+              |  SELECT CAST(c AS INT) AS c, CAST(i AS INT) AS i,
+              |    CAST(('0x' || substr(md5('ivf' || c || ':' || i), 1, 13)) AS BIGINT)
+              |      / 4503599627370496.0 * 2 - 1 AS w
+              |  FROM range(0, $SemMaxCells) t0(c), range(1, ${AnnDim + 1}) t1(i)
+              |  WHERE c < (SELECT kk FROM p37k)
+              |), cnorm AS (
+              |  SELECT c, sqrt(sum(w * w)) AS cn FROM cent GROUP BY c
+              |), el AS (
+              |  SELECT vec_id, CAST(i AS INT) AS i,
+              |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+              |  FROM embeddings, range(1, ${AnnDim + 1}) t(i)
+              |), ranked AS (
+              |  SELECT vec_id, c,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY dot / cn DESC, c) AS rn
+              |  FROM (
+              |    SELECT vec_id, c, sum(x * w) AS dot
+              |    FROM el JOIN cent USING (i) GROUP BY vec_id, c
+              |  ) JOIN cnorm USING (c)
+              |  QUALIFY rn = 1
+              |), home AS (
               |  SELECT vec_id, c AS cell FROM ranked WHERE rn = 1
               |), nrm AS (
               |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
@@ -2331,23 +2388,32 @@ object Pipeline {
     // map-side partials; the self-join is a hash equi-join on
     // (block, key) — no all-pairs stage; verification is bit
     // arithmetic on the joined row (no re-join for fingerprints: the
-    // banding rows carry them). At 100 TB the 8-bit blocks saturate
-    // (every bucket ~n/256 docs): the production knob is Manku's
-    // 64-bit fingerprint with ~log2(n)-bit blocks — block width
-    // chosen so bucket occupancy stays constant — and the pipeline
-    // shape (fingerprint → block equi-join → popcount verify) is
-    // unchanged.
+    // banding rows carry them). Block width is DATA-DRIVEN (round 11
+    // — the sf2.6 sweep charged the saturation the old comment only
+    // documented: at 130k docs the fixed 8-bit blocks held ~508
+    // docs/bucket → ~130M candidate pairs, quadratic in n): within a
+    // 32-bit fingerprint the width must divide 32, so the corpus
+    // count picks 4×8-bit blocks (Hamming ≤ 3 pigeonhole guarantee)
+    // up to 65,536 docs and 2×16-bit blocks (occupancy n/65,536,
+    // guarantee Hamming ≤ 1) beyond. The oracle derives the same
+    // split from count(*). At 100 TB the production extension is
+    // Manku's 64-bit fingerprint + permuted tables — wider keys, not
+    // a different pipeline shape.
     QDef(
       "p44_simhash_neardup",
       (s, d) => {
+        // block count from a metadata-only count (like annArity)
+        val nb = if (docs(s, d).count() <= 65536L) 4 else 2
+        val w = 32 / nb
+        val mask = (1L << w) - 1
         // materialize the fingerprints once — the self-join would
         // otherwise evaluate the whole token→simhash aggregation on
         // both sides (production keeps fingerprints as a table; the
         // checkpoint is 1 tiny row/doc)
         val sim = simhash32(s, d).localCheckpoint()
         val bands = sim.select(col("doc_id"), col("simhash"),
-            explode(expr("sequence(0, 3)")).as("b"))
-          .withColumn("bkey", expr("(simhash >> (8 * b)) & 255"))
+            explode(expr(s"sequence(0, ${nb - 1})")).as("b"))
+          .withColumn("bkey", expr(s"(simhash >> ($w * b)) & $mask"))
         // Pair dedup WITHOUT a distinct exchange: a pair sharing
         // several blocks is emitted only from the SMALLEST shared
         // block — "all lower blocks differ" is bit arithmetic on the
@@ -2356,13 +2422,13 @@ object Pipeline {
         // the per-doc partial aggregation instead of being shuffled
         // once more to dedupe. Equivalent to DISTINCT over (ida, idb)
         // because block-agreement is a function of (sa, sb, b).
+        val lowerDiffer = (1 until nb).map { j =>
+          s"(`x`.b < $j OR (shiftright(`x`.simhash ^ `y`.simhash, ${w * (j - 1)}) & $mask) != 0)"
+        }.mkString(" AND ")
         val cand = bands.as("x").join(bands.as("y"),
             col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
-          .filter(expr(
-            """(`x`.b < 1 OR ((`x`.simhash ^ `y`.simhash) & 255) != 0)
-              |AND (`x`.b < 2 OR (shiftright(`x`.simhash ^ `y`.simhash, 8) & 255) != 0)
-              |AND (`x`.b < 3 OR (shiftright(`x`.simhash ^ `y`.simhash, 16) & 255) != 0)""".stripMargin))
+          .filter(expr(lowerDiffer))
           .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
             expr("CAST(bit_count(`x`.simhash ^ `y`.simhash) AS BIGINT)").as("ham"))
         // symmetrize INLINE (explode to both endpoints) rather than a
@@ -2382,9 +2448,16 @@ object Pipeline {
             coalesce(col("n_near"), lit(0L)).as("n_near"),
             coalesce(col("min_ham"), lit(-1L)).as("min_ham"))
       },
-      Some(s"""$simhashOracleCte, bands AS (
-              |  SELECT doc_id, simhash, b, (simhash >> (8 * CAST(b AS INT))) & 255 AS bkey
-              |  FROM sim, range(0, 4) t(b)
+      Some(s"""$simhashOracleCte, p44nb AS (
+              |  SELECT CASE WHEN count(*) <= 65536 THEN 4 ELSE 2 END AS nb,
+              |         CASE WHEN count(*) <= 65536 THEN 8 ELSE 16 END AS w,
+              |         CASE WHEN count(*) <= 65536 THEN 255 ELSE 65535 END AS mask
+              |  FROM documents
+              |), bands AS (
+              |  SELECT doc_id, simhash, b,
+              |    (simhash >> (w * CAST(b AS INT))) & mask AS bkey
+              |  FROM sim, range(0, 4) t(b), p44nb
+              |  WHERE b < nb
               |), cand AS (
               |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb,
               |                  x.simhash AS sa, y.simhash AS sb
@@ -4300,18 +4373,19 @@ object Pipeline {
         // The candidate set is tiny by construction (band buckets) and
         // consumed three times below — materialize it once so the
         // signature pipeline runs exactly once, not per consumer.
-        // Eager persist, NOT localCheckpoint: the pairs frame is
-        // memoized across consumers ([[minhashPairs]]) and Verify
-        // blanket-unpersists RDDs between queries — a truncated
-        // checkpoint lineage could never recompute, a persisted one
-        // always can.
+        // localCheckpoint (not Dataset.persist): persist registers in
+        // the CacheManager, whose plan-matching made every later
+        // invocation repopulate the columnar cache (p02's bench row
+        // doubled); the checkpoint is invocation-private. Cross-query
+        // reuse doesn't rely on it — [[sharedMinhashPairs]] memoizes
+        // a PARQUET materialization, which no cache cleanup or
+        // lineage truncation can invalidate.
         val cand = buckets.as("x").join(buckets.as("y"),
             col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
           .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        cand.count()
+          .localCheckpoint()
         // verify candidates with exact Jaccard (integer arithmetic),
         // over distinct shingles of candidate docs only
         val candIds = cand.select(col("ida").as("doc_id"))
@@ -4516,11 +4590,20 @@ object Pipeline {
     * against fixed centroids), probe-cell candidate join, exact
     * cosine top-5 per query. Mirrors the p08 output shape so the two
     * are directly comparable. */
-  /** The p15/p37 shared coarse quantizer: every vector's IvfProbes
-    * nearest cells (by cosine against the fixed md5-derived centroid
-    * matrix) as (vec_id, cell, rn) with rn = 1 the home cell. One
-    * typed-kernel pass, IvfProbes rows per vector out, zero shuffle. */
-  private def ivfCells(s: SparkSession, d: String): DataFrame = {
+  /** The p15/p64 shared coarse quantizer instance (fixed IvfCells ×
+    * IvfProbes — their oracles' cell CTEs assume it). p37 uses its
+    * own data-driven instance via [[ivfCellsK]]. */
+  private def ivfCells(s: SparkSession, d: String): DataFrame =
+    ivfCellsK(s, d, IvfCells, IvfProbes)
+
+  /** Coarse quantizer, parametrized: every vector's `nProbes` nearest
+    * of `nCells` cells (by cosine against the fixed md5-derived
+    * centroid matrix) as (vec_id, cell, rn) with rn = 1 the home
+    * cell. One typed-kernel pass, nProbes rows per vector out, zero
+    * shuffle. The K×dim centroid matrix ships in the task closure
+    * (~2 MB at K=4096); at 100 TB it would broadcast, same shape. */
+  private def ivfCellsK(s: SparkSession, d: String,
+      nCellsArg: Int, nProbesArg: Int): DataFrame = {
     import s.implicits._
     // Centroid matrix on the driver: component i of centroid c is
     // md5('ivf<c>:<i>')'s first 52 bits mapped to [-1, 1) — the same
@@ -4529,7 +4612,7 @@ object Pipeline {
     // with the SAME operation order as the oracle's sum(x*w)/cn.
     val md = java.security.MessageDigest.getInstance("MD5") // digest() resets it
     val cents: Array[Array[Double]] =
-      (0 until IvfCells).map { c =>
+      (0 until nCellsArg).map { c =>
         (1 to AnnDim).map { i =>
           val hex = md.digest(s"ivf$c:$i".getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
@@ -4538,8 +4621,8 @@ object Pipeline {
       }.toArray
     val cnorms: Array[Double] =
       cents.map(c => math.sqrt(c.map(x => x * x).sum))
-    val nCells = IvfCells
-    val nProbes = IvfProbes
+    val nCells = nCellsArg
+    val nProbes = nProbesArg
     val nDim = AnnDim
     emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
