@@ -932,9 +932,41 @@ object ScriptDdl {
               s"${rowsDf.columns.length} values were supplied"
           else s"${rowsDf.columns.length} values for ${bound.length} columns")
       val srcCols = rowsDf.columns
+      // sqlite3-pinned (round-11 fuzz seeds 532/1042): the INSTEAD OF
+      // INSERT arm applies NO column affinity to NEW — EXCEPT the
+      // OP_RealAffinity step a REAL-affinity view column always gets:
+      // INTEGER-storage values present as REAL (-1 → -1.0), while
+      // numeric TEXT ('5') stays text and reals/NULL pass through.
+      // (Matrix re-pinned this round: REAL applies, NUMERIC/INTEGER/
+      // TEXT do not — `INSERT INTO v VALUES (7)` over a REAL base logs
+      // 7.0, over NUMERIC logs 100.0 unconverted, over TEXT stays
+      // integer 5.)
+      def realAffinity(c: String): Boolean =
+        target.schema.fields.find(_.name.equalsIgnoreCase(c))
+          .exists(f => f.metadata.contains(Affinity.DeclKey) &&
+            Affinity.hasAffinity(f.metadata.getString(Affinity.DeclKey)) == "REAL")
+      // INTEGER storage is proxied by the VALUES column's native type
+      // (quoted text parses as StringType and must STAY text — '5'
+      // logs as text '5' in sqlite3, only bare integers realify).
+      // Residual corner: an arithmetic expression in the VALUES list
+      // reaches here as canonical TEXT and skips the conversion — the
+      // same value-provenance class as storeCanonical's documented
+      // deviation.
+      def opRealAffinity(c: org.apache.spark.sql.Column,
+          srcType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+        srcType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType =>
+            Affinity.canonicalExpr(c.cast(StringType), "REAL")
+          case _ => c
+        }
       val proposed = rowsDf.select(target.columns.map { c =>
         bound.indexWhere(_.equalsIgnoreCase(c)) match {
           case -1 => lit(null).cast(StringType).as(c)
+          case i if realAffinity(c) =>
+            opRealAffinity(col(s"`${srcCols(i)}`"), rowsDf.schema(i).dataType).as(c)
           case i => col(s"`${srcCols(i)}`").as(c)
         }
       }.toIndexedSeq: _*)

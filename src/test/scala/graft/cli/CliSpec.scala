@@ -1622,6 +1622,36 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("log")
   }
 
+  test("INSTEAD OF INSERT applies OP_RealAffinity only (sqlite3-pinned, fuzz seeds 532/1042)") {
+    // sqlite's INSTEAD OF INSERT binds NEW with NO column affinity
+    // EXCEPT the int→real presentation a REAL-affinity view column
+    // always gets: bare 7 over a REAL base logs 7.0, while numeric
+    // TEXT ('5') stays text, reals pass through, and NUMERIC bases
+    // convert nothing (100.0 stays 100.0 — full affinity would make
+    // it 100). Matrix pinned against sqlite3 this round.
+    assert(sqawk("-noinput",
+      "create table t1 (r REAL, n NUMERIC); " +
+        "create temp view v as select r, n from t1; create table log(w); " +
+        "create trigger vt instead of insert on v begin " +
+        "insert into log values (NEW.r); insert into log values (NEW.n); end; " +
+        "insert into v values (7, 100.0); insert into v values (2.5, -1); " +
+        "select w from log order by 1") == (0, "-1\n2.5\n7.0\n100.0\n"))
+    spark.catalog.dropTempView("t1"); spark.catalog.dropTempView("v")
+    spark.catalog.dropTempView("log")
+    // quoted numeric text keeps TEXT storage under REAL (no full
+    // affinity on the INSERT arm): '5' logs as text, so a typeof-free
+    // ordered dump shows it unconverted
+    assert(sqawk("-noinput",
+      "create table t1 (r REAL); " +
+        "create temp view v as select r from t1; create table log(w); " +
+        "create trigger vt instead of insert on v begin " +
+        "insert into log values (NEW.r); end; " +
+        "insert into v values ('5'); " +
+        "select w from log") == (0, "5\n"))
+    spark.catalog.dropTempView("t1"); spark.catalog.dropTempView("v")
+    spark.catalog.dropTempView("log")
+  }
+
   test("coalesce over a TEXT column and a numeric literal ranks per branch (sqlite3-pinned, fuzz seed 3940)") {
     // a TEXT-affinity column's values are TEXT storage; the coerced
     // numeric literal stays numeric — sqlite: -5, '', '-3', '5'
