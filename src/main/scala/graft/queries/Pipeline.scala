@@ -259,6 +259,32 @@ object Pipeline {
   // static centroid range and the closure-shipped centroid matrix
   // (4096 × 64 doubles ≈ 2 MB).
   private val SemMaxCells = 4096
+
+  /** Per-cell all-pairs bound for p37 (round 12, VERDICT r11 #2): with
+    * K ≈ √n cells, exact all-pairs inside every cell is Σ m_c² ≈ n²/K
+    * = n^1.5 — the one super-linear curve left in the dedup family.
+    * Cells at or below this occupancy keep the exact all-pairs search
+    * (per-cell cost capped at SemHotCell²/2 pairs, total cold cost ≤
+    * SemHotCell/2 · n — LINEAR in n); cells above it are "hot" and
+    * their candidate pairs come from the p09 cross-polytope LSH
+    * machinery RESTRICTED to same-cell pairs ([[cpCandidatePairs]] —
+    * bucket occupancy is bounded by the data-driven arity ladder, so
+    * per-cell pair cost stops growing with cell occupancy). Total
+    * cost: O(n·K) assignment (K capped at SemMaxCells ⇒ linear beyond
+    * n = SemMaxCells², i.e. 16.7M vectors) + O(n) cold pairs + the
+    * p09 candidate cost (its own documented envelope: occupancy²
+    * inside an arity band, ladder reset at each 128^k threshold).
+    * 16 sits below the skewed-tail occupancy at every SF (measured
+    * max cell occupancy: 24 at sf0.01, 45 at sf0.1), so BOTH branches
+    * are hash-verified against the oracle in the driver's own gate,
+    * and below the mean occupancy √n from sf1.0 up (78+), where the
+    * hot path dominates and is what the scale sweeps measure. Recall
+    * trade: inside a hot cell only LSH-candidate pairs are considered
+    * (p09's measured candidate recall ≈ 0.77 at cos ≥ 0.35), exactly
+    * SemDeDup's approximate-within-cluster regime; cold cells stay
+    * exact. */
+  private val SemHotCell = 16
+
   private def semCells(n: Long): Int = {
     var k = 8
     while (k < SemMaxCells && k.toLong * k < n) k *= 2
@@ -1999,25 +2025,52 @@ object Pipeline {
     // — the SemDeDup paper's recipe, cluster count sized to the
     // corpus; see the semCells note for the measured sf2.6 blowup the
     // fixed-K reuse of p15's quantizer caused, and why √n beats an
-    // occupancy target) and
-    // near-dup pairs are searched WITHIN cells only; survivors by the
-    // greedy min-id rule (p14's ledger). The only shuffles are the
-    // cell-assignment kernel pass, one per-cell self-join and one
-    // groupBy(ib). Tau = 0.30 keeps the drop set populated on this
-    // isotropic corpus (see the parameter note). The oracle computes
-    // the same K from count(*) with the same integer arithmetic.
+    // occupancy target) and near-dup pairs are searched WITHIN cells
+    // only; survivors by the greedy min-id rule (p14's ledger).
+    // Round 12 (VERDICT r11 #2 — the n^1.5 pair curve): per-cell
+    // all-pairs is now CAPPED at SemHotCell occupancy. Cold cells
+    // (occ ≤ SemHotCell) keep the exact self-join; hot cells take
+    // their candidate pairs from the p09 cross-polytope LSH machinery
+    // restricted to same-cell pairs, so per-cell pair cost stops
+    // growing with occupancy (see the SemHotCell note for the full
+    // cost accounting). Tau = 0.30 keeps the drop set populated on
+    // this isotropic corpus (see the parameter note). The oracle
+    // mirrors K, the occupancy split and the cp_-prefixed candidate
+    // chain with the same integer arithmetic.
     QDef(
       "p37_semantic_dedup",
       (s, d) => {
         graft.functions.DotProduct.register(s)
         // K from a metadata-only parquet count (like annArity)
         val k = semCells(emb(s, d).count())
+        // one kernel pass, checkpointed: the assignment feeds three
+        // consumers (occupancy, the pair join, the final ledger)
         val home = ivfCellsK(s, d, k, 1)
-          .select(col("vec_id"), col("cell"))
-        val vecs = withNorm(s, emb(s, d)).select(col("vec_id"), col("v"), col("nrm"))
-        val pairs = home.as("x").join(home.as("y"),
+          .select(col("vec_id"), col("cell")).localCheckpoint()
+        val occ = home.groupBy("cell").agg(count(lit(1)).as("occ"))
+        // ≤ SemMaxCells rows — broadcast, never a shuffle
+        val homeOcc = home.join(broadcast(occ), "cell")
+        val cold = homeOcc.filter(col("occ") <= SemHotCell)
+        val coldPairs = cold.as("x").join(cold.as("y"),
             col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+        // Driver gate (one Boolean, bounded like p30's edge-count
+        // gate): the LSH kernel only runs when a hot cell exists.
+        val hasHot = occ.filter(col("occ") > SemHotCell).limit(1).count() > 0
+        val cand = if (!hasHot) coldPairs else {
+          val hot = homeOcc.filter(col("occ") > SemHotCell)
+            .select(col("vec_id"), col("cell"))
+          val hotPairs = cpCandidatePairs(s, d)
+            .join(hot.as("ha"), col("ia") === col("ha.vec_id"))
+            .join(hot.as("hb"),
+              col("ib") === col("hb.vec_id") && col("ha.cell") === col("hb.cell"))
+            .select(col("ia"), col("ib"))
+          // disjoint by construction: a pair lives in ONE home cell,
+          // and that cell is either cold or hot
+          coldPairs.unionByName(hotPairs)
+        }
+        val vecs = withNorm(s, emb(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+        val pairs = cand
           .join(vecs.as("va"), col("ia") === col("va.vec_id"))
           .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
           .withColumn("cos",
@@ -2056,10 +2109,19 @@ object Pipeline {
               |  SELECT vec_id, c AS cell FROM ranked WHERE rn = 1
               |), nrm AS (
               |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
-              |), cpairs AS (
+              |), occ AS (
+              |  SELECT cell, count(*) AS m FROM home GROUP BY cell
+              |), ${cpCandSql("cp_")}, cpairs AS (
               |  SELECT x.vec_id AS ia, y.vec_id AS ib
               |  FROM home x JOIN home y
               |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+              |  JOIN occ o ON o.cell = x.cell AND o.m <= $SemHotCell
+              |  UNION ALL
+              |  SELECT c.ia, c.ib
+              |  FROM cp_cand c
+              |  JOIN home ha ON c.ia = ha.vec_id
+              |  JOIN home hb ON c.ib = hb.vec_id AND ha.cell = hb.cell
+              |  JOIN occ o ON o.cell = ha.cell AND o.m > $SemHotCell
               |), dots AS (
               |  SELECT ia, ib, sum(a.x * b.x) AS dot
               |  FROM cpairs JOIN el a ON ia = a.vec_id
@@ -4475,8 +4537,29 @@ object Pipeline {
     * from the corpus count (annArity — one metadata-only parquet
     * count) so bucket occupancy stays bounded at any scale. */
   private def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     graft.functions.DotProduct.register(s)
+    val cand = cpCandidatePairs(s, d)
+    // Verify with whole-vector dot products via the codegen
+    // `graft_dot` kernel: two id-joins on packed arrays instead of a
+    // 64×-exploded element join — candidates × dim rows never
+    // materialize, and the per-pair cost is one fused loop.
+    val vecs = withNorm(s, emb(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(vecs.as("va"), col("ia") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
+      .withColumn("cos",
+        expr("graft_dot(va.v, vb.v)") / (col("va.nrm") * col("vb.nrm")))
+      .filter(round(col("cos"), 6) >= 0.35)
+      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** The UNVERIFIED candidate stage of [[cosineNearDupPairs]]:
+    * DISTINCT cross-polytope bucket-mate pairs (ia, ib) with ia < ib
+    * and NO similarity threshold applied — p09/p14 verify at ≥ 0.35,
+    * p37's hot-cell path at its own SemTau. */
+  private def cpCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     // k: composite-key arity from the vector count (parquet metadata
     // count — no data scan). m = k+1 ranked planes per table, one
     // leave-one-out key per excluded rank; excl == m is the primary
@@ -4565,25 +4648,12 @@ object Pipeline {
         }
       }
       .toDF("vec_id", "tbl", "bkey", "excl")
-    val cand = ranked.as("x").join(ranked.as("y"),
+    ranked.as("x").join(ranked.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
           col("y.excl") === m && col("x.vec_id") =!= col("y.vec_id"))
       .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
       .distinct()
-    // Verify with whole-vector dot products via the codegen
-    // `graft_dot` kernel: two id-joins on packed arrays instead of a
-    // 64×-exploded element join — candidates × dim rows never
-    // materialize, and the per-pair cost is one fused loop.
-    val vecs = withNorm(s, emb(s, d))
-      .select(col("vec_id"), col("v"), col("nrm"))
-    cand
-      .join(vecs.as("va"), col("ia") === col("va.vec_id"))
-      .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
-      .withColumn("cos",
-        expr("graft_dot(va.v, vb.v)") / (col("va.nrm") * col("vb.nrm")))
-      .filter(round(col("cos"), 6) >= 0.35)
-      .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
   }
 
   /** The p15 core: IVF cell assignment (typed kernel, max-cosine
@@ -5151,42 +5221,50 @@ object Pipeline {
     * probes, verification. Key encodings differ (string_agg here,
     * base-128 Long in the kernel) — both are injective maps of the
     * same sorted-by-j (j, sgn) set, so the candidate SETS agree. */
-  private def annLshOracle: String = {
-    s"""WITH params AS (
+  /** Cross-polytope candidate CTE chain (the oracle twin of
+    * [[cpCandidatePairs]]) with every CTE name prefixed by `p`, so it
+    * can be embedded in oracles that already use `el`/`ranked`/…
+    * names (p37). The final CTE `<p>cand` yields DISTINCT (ia, ib)
+    * with ia < ib and no similarity threshold. */
+  private def cpCandSql(p: String): String =
+    s"""${p}params AS (
        |  SELECT ${annArityCaseSql("count(*)")} AS kk
        |  FROM embeddings
-       |), weights AS (
+       |), ${p}weights AS (
        |  SELECT CAST(tbl AS INT) AS tbl, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
        |    CASE WHEN strpos('89abcdef', substr(md5('cp' || tbl || ':' || j || ':' || i), 1, 1)) > 0
        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
        |  FROM range(0, $CpTables) t0(tbl), range(0, $AnnDim) t1(j), range(1, ${AnnDim + 1}) t2(i)
-       |), el AS (
+       |), ${p}el AS (
        |  SELECT vec_id, CAST(i AS INT) AS i,
        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
        |  FROM embeddings, range(1, ${AnnDim + 1}) t(i)
-       |), ranked AS (
+       |), ${p}ranked AS (
        |  SELECT vec_id, tbl, j, proj > 0 AS sgn,
        |    row_number() OVER (PARTITION BY vec_id, tbl ORDER BY abs(proj) DESC, j) AS rn
        |  FROM (
        |    SELECT vec_id, tbl, j, sum(x * w) AS proj
-       |    FROM el JOIN weights USING (i) GROUP BY vec_id, tbl, j
+       |    FROM ${p}el JOIN ${p}weights USING (i) GROUP BY vec_id, tbl, j
        |  )
-       |  QUALIFY rn <= (SELECT kk + 1 FROM params)
-       |), keys AS (
+       |  QUALIFY rn <= (SELECT kk + 1 FROM ${p}params)
+       |), ${p}keys AS (
        |  SELECT a.vec_id, a.tbl, b.rn AS excl,
        |    string_agg(a.j || CASE WHEN a.sgn THEN 'p' ELSE 'n' END,
        |               ',' ORDER BY a.j) AS bkey
-       |  FROM ranked a JOIN ranked b
+       |  FROM ${p}ranked a JOIN ${p}ranked b
        |    ON a.vec_id = b.vec_id AND a.tbl = b.tbl AND a.rn <> b.rn
        |  GROUP BY a.vec_id, a.tbl, b.rn
-       |), cand AS (
+       |), ${p}cand AS (
        |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS ia,
        |                  greatest(x.vec_id, y.vec_id) AS ib
-       |  FROM keys x JOIN keys y
+       |  FROM ${p}keys x JOIN ${p}keys y
        |    ON x.tbl = y.tbl AND x.bkey = y.bkey
-       |    AND y.excl = (SELECT kk + 1 FROM params)
+       |    AND y.excl = (SELECT kk + 1 FROM ${p}params)
        |    AND x.vec_id <> y.vec_id
-       |), nrm AS (
+       |)""".stripMargin
+
+  private def annLshOracle: String = {
+    s"""WITH ${cpCandSql("")}, nrm AS (
        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM el GROUP BY vec_id
        |), dots AS (
        |  SELECT ia, ib, sum(ea.x * eb.x) AS dot
