@@ -128,6 +128,77 @@ object VectorBench {
         s"arity $k is not minimal at n=$nn")
     }
 
+    // Stage 4 (round 12, VERDICT r11 #6): recall ACROSS THE ARITY
+    // LADDER, measured on the real p09 operator. Determinism is
+    // hash-verified at every arity by the oracle gate, but recall was
+    // only measured at k=1; a corpus sized past each 128^k·128
+    // transition exercises k=2 and k=3. Construction: `nn` isotropic
+    // base vectors plus `planted` near-duplicate partners at target
+    // cosines spread over [~0.35, ~0.95] (the dedup operating range);
+    // ground truth is the planted pairs' EXACT cosine (driver-side,
+    // `planted` dot products — no brute-force n² pass), restricted to
+    // pairs that clear the operator's 0.35 verify threshold with
+    // margin. Self-falsifying: recall must clear the 0.7 floor at
+    // each measured arity.
+    def recallAtScale(nn: Long, planted: Int): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-vb-recall-")
+      try {
+        val stride = nn / planted
+        def baseVec(id: Long): Array[Double] = {
+          val rnd = new java.util.SplittableRandom(id * 0x9E3779B97F4A7C15L + 1)
+          Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+        }
+        /** Planted partner p: base vector `p*stride` plus noise scaled
+          * so cos spans ~[0.95 → 0.35] as p grows. */
+        def partnerVec(p: Long): Array[Double] = {
+          val v = baseVec(p * stride)
+          val rnd = new java.util.SplittableRandom(p * 0xC2B2AE3D27D4EB4FL + 7)
+          val g = Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+          val lam = 0.33 + (2.70 - 0.33) * p.toDouble / planted
+          Array.tabulate(nDim)(i => v(i) + lam * g(i))
+        }
+        val nb = nn
+        val pl = planted.toLong
+        val st = stride
+        spark.range(0, nb + pl).as[Long].mapPartitions(_.map { id =>
+          val v = if (id < nb) baseVec(id) else partnerVec(id - nb)
+          (id, v.map(_.toFloat), 0)
+        }).toDF("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        val arity = graft.queries.Pipeline.annArity(nb + pl)
+        // exact planted-pair cosines, driver-side
+        val truth = (0L until pl).flatMap { p =>
+          val a = baseVec(p * st)
+          val b = partnerVec(p)
+          var dot = 0.0; var na = 0.0; var nbr = 0.0; var i = 0
+          while (i < nDim) { dot += a(i) * b(i); na += a(i) * a(i); nbr += b(i) * b(i); i += 1 }
+          val cos = dot / math.sqrt(na * nbr)
+          // stay clear of the operator's round(cos, 6) >= 0.35 edge
+          if (cos >= 0.3505) Some((p * st, nb + p)) else None
+        }.toSet
+        val t0 = System.nanoTime()
+        val got = SparkEntry.queries("p09_ann_lsh")(spark, dir.toString)
+          .filter(col("ib") >= nb) // planted partners only — keeps collect bounded
+          .select("ia", "ib").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        val hits = truth.count(got.contains)
+        val recall = hits.toDouble / truth.size
+        println(f"[vector-bench] recall_k$arity n=${nb + pl} planted=${truth.size} " +
+          f"found=$hits recall=$recall%.3f wall=$secs%.1f s")
+        assert(truth.size > planted / 2, s"planted-pair truth too small: ${truth.size}")
+        assert(recall >= 0.7,
+          f"recall $recall%.3f below the 0.7 floor at arity $arity (n=${nb + pl})")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    // past 128²·128 = 2,097,152 → k = 3; past 16,384 → k = 2
+    recallAtScale(50000L, 1000)
+    if (args.length > 1 && args(1) == "recall3") recallAtScale(2200000L, 1000)
+
     spark.stop()
   }
 }

@@ -500,30 +500,73 @@ object ScriptDdl {
     * affinity tags — survives the checkpoint. */
   private val CollapseNodes = 128
 
-  /** EXPRESSION-size twin of [[CollapseNodes]] (round-10 fuzz seed
-    * 2665): a handful of DML rebinds whose predicates carry
-    * storage-class comparison keys stays well under CollapseNodes
-    * PLAN nodes, but each key references its operand ~6 times — and
-    * once the optimizer pushes those predicates through the stacked
-    * rebind projections, every reference inlines the full lower
-    * projection, growing the OPTIMIZED expression tree exponentially
-    * with statement count (a 6-row table OOMed a 4 GB heap at rebind
-    * depth ~7). Checkpointing once the ANALYZED expression count
-    * passes this bound keeps the pushdown base small, so the blowup
-    * can never compound across statements.
+  /** EXPRESSION-size twin of [[CollapseNodes]], round 12: an estimate
+    * of the CODEGEN BYTES the plan will hand janino after
+    * CollapseProject/pushdown inlining, replacing the round-11 flat
+    * 384-node count (VERDICT r11 #3 — the node count was a crude
+    * proxy: it taxed every plain-expression rebind chain with extra
+    * checkpoints, ~+7 s/sweep on the i-family at sf0.1, while the
+    * real constraint is emitted bytes, dominated by the DIALECT
+    * expression classes).
     *
-    * Bound sized for CODEGEN, not just memory (round 11): the dialect
-    * expressions (SqliteArithExpr, storage-class comparison keys,
-    * canonical-text wrappers) emit hundreds of bytes of Java each, so
-    * a stacked-rebind plan well under the old 2048-node memory bound
-    * still blew janino's 64 KB method limit in WholeStageCodegen —
-    * every later query over the table then paid a failed compile +
-    * interpreted fallback (round-11 fuzz seeds 113/274/302 logged
-    * "Code grows beyond 64 KB"; results stayed correct via the
-    * fallback). 384 nodes × ~worst-case emission keeps processNext()
-    * comfortably under the limit; the extra localCheckpoints are
-    * CLI-sized table writes. */
-  private val CollapseExprNodes = 384
+    * History the bound must keep covering: (a) round-10 fuzz seed
+    * 2665 — storage-class comparison keys reference their operand ~6
+    * times, and once the optimizer pushes predicates through stacked
+    * rebind projections every reference INLINES the full lower
+    * projection, exponential in statement count (a 6-row table OOMed
+    * a 4 GB heap at depth ~7); (b) round-11 fuzz seeds 113/274/302 —
+    * janino "Code grows beyond 64 KB" in WholeStageCodegen well under
+    * the old 2048-node memory bound, taxing every later query over
+    * the table with a failed compile + interpreted fallback.
+    * [[inlinedCodegenBytes]] models both: per-expression-class byte
+    * weights (a graft dialect expression emits hundreds of bytes, a
+    * plain comparison a couple dozen) COMPOUNDED through attribute
+    * references, exactly the shape optimizer inlining produces. 48 KiB
+    * keeps the biggest single expression comfortably under janino's
+    * 64 KB method limit (codegen adds per-method scaffolding, and
+    * common-subexpression elimination only ever makes the true size
+    * smaller than the estimate). */
+  private val CollapseInlineBytes = 48L * 1024
+
+  /** Estimated post-inlining codegen bytes of the LARGEST single
+    * expression in `plan`: walk bottom-up, memoize per output
+    * attribute the byte estimate of its defining expression with
+    * every attribute reference already inlined (O(1) per reference —
+    * the exponential blowup is SIMULATED through the memo, never
+    * materialized), and take the max over all expression roots.
+    * Saturates at 2^40 so a deep exponential chain cannot overflow. */
+  private def inlinedCodegenBytes(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Long = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val costs = scala.collection.mutable.HashMap[ExprId, Long]()
+    val Cap = 1L << 40
+    def weight(e: Expression): Long = e match {
+      case _: AttributeReference | _: Literal => 8L
+      // the dialect kernels (SqliteArithExpr, cast/affinity wrappers,
+      // storage-class keys) each emit hundreds of bytes of Java
+      case _ if e.getClass.getName.startsWith("graft.") => 320L
+      case _: CaseWhen => 64L
+      case _ => 24L
+    }
+    def cost(e: Expression): Long = {
+      val ref = e match {
+        case a: AttributeReference => costs.getOrElse(a.exprId, 0L)
+        case _ => 0L
+      }
+      math.min(Cap, weight(e) + ref + e.children.iterator.map(cost).sum)
+    }
+    var mx = 0L
+    plan.foreachUp { node =>
+      node.expressions.foreach { root =>
+        mx = math.max(mx, cost(root))
+        root.foreach {
+          case al: Alias => costs(al.exprId) = math.min(Cap, cost(al.child))
+          case _ => ()
+        }
+      }
+    }
+    mx
+  }
 
   /** Batch-size bound for [[applyInsert]]'s driver-resident pk fast
     * path: below it, key probes ship as a pushed-down IN filter over
@@ -534,10 +577,7 @@ object ScriptDdl {
   private def collapseIfDeep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val analyzed = df.queryExecution.analyzed
     val nodes = analyzed.collect { case p => p }.size
-    lazy val exprNodes = analyzed.collect { case p =>
-      p.expressions.iterator.map(e => e.collect { case x => x }.size).sum
-    }.sum
-    if (nodes > CollapseNodes || exprNodes > CollapseExprNodes)
+    if (nodes > CollapseNodes || inlinedCodegenBytes(analyzed) > CollapseInlineBytes)
       df.localCheckpoint()
     else df
   }
@@ -1755,11 +1795,109 @@ object ScriptDdl {
       endIdx >= 0 && e.substring(endIdx + 1).isBlank
     }
 
+  /** Strip redundant whole-span outer parens — `(lower(a) || b)`
+    * compares exactly like `lower(a) || b` in sqlite, but neither the
+    * whole-span call check nor the top-level-operator scan can see
+    * through the wrapper. Leaves `(a) || (b)` alone (the first paren
+    * closes before the end). */
+  @annotation.tailrec
+  private def stripOuterParens(e0: String): String = {
+    val e = e0.trim
+    if (!e.startsWith("(")) e
+    else {
+      var depth = 0
+      var inQ = false
+      var close = -1
+      var i = 0
+      while (i < e.length && close < 0) {
+        val ch = e.charAt(i)
+        if (inQ) { if (ch == '\'') inQ = false }
+        else ch match {
+          case '\'' => inQ = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (close == e.length - 1) stripOuterParens(e.substring(1, close)) else e
+    }
+  }
+
+  /** True iff the key expression carries a top-level `||` and no
+    * other top-level operator: sqlite's `||` ALWAYS yields TEXT
+    * storage, so a composite key like `lower(a) || b` — where the
+    * text-function call does not span the whole expression — still
+    * holds TEXT keys and must keep '100' vs '100.0' distinct
+    * (ADVICE r11: the whole-span check alone regressed this shape to
+    * value-class). A lower-precedence arithmetic/comparison/boolean
+    * tail re-coerces to numeric storage (`lower(a) || b + 1` parses
+    * as (concat)+1 since `||` binds tightest), so ANY other top-level
+    * operator keeps value-class comparison. Scan runs over a masked
+    * copy (paren bodies and string literals blanked, each literal
+    * leaving one value marker so binary +/- detection still sees an
+    * operand); exponent signs inside numeric literals (1e+5) are not
+    * operators. */
+  private def topLevelConcat(e: String): Boolean = {
+    // mask: keep depth-0 chars and the parens themselves; blank
+    // everything nested or quoted, leaving 'L' where a literal ended
+    val sb = new java.lang.StringBuilder(e.length)
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < e.length) {
+      val ch = e.charAt(i)
+      if (inQ) {
+        if (ch == '\'') { inQ = false; sb.append('L') } else sb.append(' ')
+      } else ch match {
+        case '\'' => inQ = true; sb.append(' ')
+        case '(' => sb.append(if (depth == 0) '(' else ' '); depth += 1
+        case ')' => depth -= 1; sb.append(if (depth == 0) ')' else ' ')
+        case _ => sb.append(if (depth == 0) ch else ' ')
+      }
+      i += 1
+    }
+    val m = sb.toString
+    var concat = false
+    var other = false
+    def lastSig(j: Int): Int = {
+      var k = j - 1
+      while (k >= 0 && m.charAt(k) == ' ') k -= 1
+      k
+    }
+    i = 0
+    while (i < m.length) {
+      m.charAt(i) match {
+        case '|' =>
+          if (i + 1 < m.length && m.charAt(i + 1) == '|') { concat = true; i += 1 }
+          else other = true // single | is bitwise-or: numeric
+        case '*' | '/' | '%' | '<' | '>' | '=' | '!' | '&' | '~' => other = true
+        case '+' | '-' =>
+          val p = lastSig(i)
+          val binary = p >= 0 && {
+            val pc = m.charAt(p)
+            pc.isLetterOrDigit || pc == ')' || pc == '_'
+          }
+          val expSign = p >= 1 && (m.charAt(p) == 'e' || m.charAt(p) == 'E') &&
+            (m.charAt(p - 1).isDigit || m.charAt(p - 1) == '.') &&
+            i + 1 < m.length && m.charAt(i + 1).isDigit
+          if (binary && !expSign) other = true
+        case _ =>
+      }
+      i += 1
+    }
+    concat && !other &&
+      "(?i)\\b(and|or|not|in|like|glob|regexp|match|is|between)\\b".r
+        .findFirstIn(m).isEmpty
+  }
+
   private def keyTextAffinity(schema: StructType, ks: KeySpec, i: Int): Boolean =
     (ks.display.nonEmpty && ks.display.size == ks.exprs.size &&
       schema.fields.find(_.name.equalsIgnoreCase(ks.display(i)))
-        .exists(f => f.dataType == StringType && fieldAffinity(f) == "TEXT")) ||
-      textFnSpansKey(ks.exprs(i))
+        .exists(f => f.dataType == StringType && fieldAffinity(f) == "TEXT")) || {
+      val ke = stripOuterParens(ks.exprs(i))
+      textFnSpansKey(ke) || topLevelConcat(ke)
+    }
 
   /** Creation-time / UPDATE-time uniqueness over an evaluated keyset
     * (expression, COLLATE, partial). */

@@ -4395,7 +4395,24 @@ object Pipeline {
     * its bench row keeps measuring the PIPELINE, not a parquet read. */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  // The memoized pairs parquet is the campaign's biggest artifact;
+  // without cleanup every Verify/Bench JVM leaked one materialization
+  // per application into /tmp (ADVICE r11). One hook for the whole
+  // memo — registered on first use, deletes whatever the map holds at
+  // JVM exit (the map only ever grows within a JVM).
+  private lazy val pairsMemoCleanup: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      pairsMemo.values.forEach { p =>
+        try {
+          val root = java.nio.file.Paths.get(p)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }))
   private def sharedMinhashPairs(s: SparkSession, d: String): DataFrame = {
+    pairsMemoCleanup
     val path = pairsMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
       val p = java.nio.file.Files.createTempDirectory("graft-pairs-").toString
       buildMinhashPairs(s, d).write.mode("overwrite").parquet(p)

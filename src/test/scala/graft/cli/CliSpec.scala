@@ -1579,6 +1579,48 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("t1")
   }
 
+  test("composite concat keys are TEXT storage (sqlite3-pinned, ADVICE r11)") {
+    // sqlite's || ALWAYS yields TEXT, so `lower(a) || b` — a text-fn
+    // PREFIX that does not span the key — still holds TEXT keys:
+    // 'x100' vs 'x100.0' stay distinct (the whole-span-only check
+    // collapsed them to value-class and raised a spurious violation)
+    assert(sqawk("-noinput",
+      "create table t1 (a, b); " +
+        "create unique index i1 on t1 (lower(a) || b); " +
+        "insert into t1 values ('X', '100'); " +
+        "insert into t1 values ('x', '100.0'); " +
+        "select count(*) from t1") == (0, "2\n"))
+    spark.catalog.dropTempView("t1")
+    // plain column concat is TEXT too ('100' vs '100.0' distinct)...
+    assert(sqawk("-noinput",
+      "create table t2 (a, b); " +
+        "create unique index i2 on t2 (a || b); " +
+        "insert into t2 values ('100', ''); " +
+        "insert into t2 values ('100.0', ''); " +
+        "select count(*) from t2") == (0, "2\n"))
+    spark.catalog.dropTempView("t2")
+    // ...including wrapped in redundant outer parens
+    assert(sqawk("-noinput",
+      "create table t3 (c); " +
+        "create unique index i3 on t3 ((lower(c) || c)); " +
+        "insert into t3 values ('100'); insert into t3 values ('100.0'); " +
+        "select count(*) from t3") == (0, "2\n"))
+    spark.catalog.dropTempView("t3")
+    // an arithmetic TAIL re-coerces to numeric storage (|| binds
+    // tightest): (lower(c) || '') + 0 keys 100 for both → violation
+    assert(sqawk("-noinput",
+      "create table t4 (c); " +
+        "create unique index i4 on t4 ((lower(c) || '') + 0); " +
+        "insert into t4 values ('100'); insert into t4 values ('100.0')")._1 == 1)
+    spark.catalog.dropTempView("t4")
+    // same with an un-parenthesized tail: a || b - 0 is (a||b)-0
+    assert(sqawk("-noinput",
+      "create table t5 (a, b); " +
+        "create unique index i5 on t5 (a || b - 0); " +
+        "insert into t5 values ('10', '0'); insert into t5 values ('1', '00')")._1 == 1)
+    spark.catalog.dropTempView("t5")
+  }
+
   test("arithmetic inside CTE bodies gets the dialect rewrite (sqlite3-pinned, fuzz seed 109)") {
     // UnresolvedWith keeps CTE definitions out of `children`, so the
     // pre-analysis arithmetic rewrite never saw them: 'B' - 0.5 kept

@@ -17,7 +17,11 @@ object SqlFuzzMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // WARN surfaces janino "Code grows beyond 64 KB" fallbacks (the
+    // CollapseInlineBytes calibration signal — results stay correct
+    // through the interpreted fallback, so only the log shows them)
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_FUZZ_LOGLEVEL", "ERROR"))
     args.toList match {
       case "seed" :: s :: Nil =>
         val script = SqlScriptFuzz.genScript(s.toLong)
