@@ -29,42 +29,42 @@ object ExplainAudit {
   /** (shuffle exchanges, broadcast exchanges) pinned per audited
     * operator from the round-12 plans at sf0.01. */
   private val exchangeBudget: Map[String, (Int, Int)] = Map(
-    "p02_dedup_minhash_lsh" -> (9, 2),
-    "p09_ann_lsh" -> (4, 1),
-    "p08_knn_brute" -> (0, 1),
+    "p02_dedup_minhash_lsh" -> (16, 4),
+    "p08_knn_brute" -> (1, 1),
+    "p09_ann_lsh" -> (1, 3),
     "p11_modality_join" -> (0, 1),
-    "p13_dedup_ngram_jaccard" -> (8, 3),
-    "p14_dedup_embed_cosine" -> (5, 2),
-    "p15_ann_ivf" -> (4, 1),
-    "p64_ann_ivfpq" -> (5, 2),
-    "p19_curation_funnel" -> (1, 1),
-    "p24_decontaminate" -> (4, 0),
-    "p27_bm25" -> (6, 2),
-    "p30_dedup_connected" -> (2, 0),
-    "p36_span_dedup" -> (7, 2),
-    "p37_semantic_dedup" -> (7, 4),
-    "p39_mixture_sample" -> (3, 1),
-    "p42_incremental_dedup" -> (0, 3),
-    "p44_simhash_neardup" -> (6, 2),
-    "p45_bloom_decontaminate" -> (4, 1),
-    "p46_cms_heavy_hitters" -> (3, 1),
-    "p47_hll_distinct" -> (2, 0),
-    "p48_quantile_sample" -> (3, 1),
-    "p49_source_overlap" -> (4, 1),
-    "p50_substring_dedup" -> (8, 2),
-    "p51_kmeans_cluster" -> (1, 0),
-    "p55_wordpiece_tokenize" -> (3, 0),
-    "p56_bpe_train" -> (4, 1),
-    "p57_token_fertility" -> (4, 1),
+    "p13_dedup_ngram_jaccard" -> (16, 4),
+    "p14_dedup_embed_cosine" -> (3, 3),
+    "p15_ann_ivf" -> (2, 3),
+    "p19_curation_funnel" -> (1, 0),
+    "p24_decontaminate" -> (3, 2),
+    "p27_bm25" -> (4, 2),
+    "p30_dedup_connected" -> (1, 1),
+    "p36_span_dedup" -> (2, 2),
+    "p37_semantic_dedup" -> (7, 10),
+    "p39_mixture_sample" -> (2, 1),
+    "p42_incremental_dedup" -> (1, 5),
+    "p44_simhash_neardup" -> (2, 1),
+    "p45_bloom_decontaminate" -> (5, 2),
+    "p46_cms_heavy_hitters" -> (2, 1),
+    "p47_hll_distinct" -> (6, 4),
+    "p48_quantile_sample" -> (4, 3),
+    "p49_source_overlap" -> (12, 4),
+    "p50_substring_dedup" -> (6, 4),
+    "p51_kmeans_cluster" -> (1, 1),
+    "p55_wordpiece_tokenize" -> (0, 0),
+    "p56_bpe_train" -> (0, 0),
+    "p57_token_fertility" -> (2, 1),
     "p58_event_funnel" -> (2, 0),
-    "p59_url_dedup" -> (3, 0),
-    "p60_markov_transitions" -> (2, 0),
-    "p61_paragraph_dedup" -> (5, 1),
-    "p62_repeat_mining" -> (4, 1),
-    "p65_fuzzy_entity_match" -> (9, 3),
+    "p59_url_dedup" -> (2, 0),
+    "p60_markov_transitions" -> (3, 0),
+    "p61_paragraph_dedup" -> (2, 0),
+    "p62_repeat_mining" -> (3, 2),
+    "p64_ann_ivfpq" -> (2, 3),
+    "p65_fuzzy_entity_match" -> (16, 6),
     "q39_asof_join" -> (1, 0),
     "q40_range_join" -> (0, 1),
-    "q43_subquery_exists" -> (2, 1))
+    "q43_subquery_exists" -> (5, 5))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -166,7 +166,42 @@ object Pipeline {
   // measured frontier point; plain hyperplane banding (r3: 8×6 bits)
   // measured .42 @ .13 and blind multiprobe blew the candidate rate
   // past .45 at comparable recall.
+  //
+  // Table count is DATA-DRIVEN from the same arity ladder (round 12,
+  // VERDICT r11 #6): a composite key is a harder coincidence — the
+  // per-table match probability p decays roughly geometrically with
+  // arity (planted-pair gate: p ≈ 0.12 at k=2, ≈ 0.047 at k=3), so a
+  // fixed table count loses recall at every ladder step. The standard
+  // LSH remedy is OR-amplification: DOUBLE the tables per arity step
+  // (8 → 16 → 32), taking per-pair miss (1-p)^T to roughly the same
+  // level at each k. Measured on the VectorBench planted-pair gate
+  // (cos ∈ [0.35, 0.95], floor 0.7): k=2 0.52 (8 tables,
+  // leave-one-out) → 0.81 (16 tables, leave-two-out) at n=51k; k=3
+  // 0.54 (16 tables) → measured again at 32 below; k=1 keeps the
+  // tuned 8-table config unchanged (0.75-0.77 measured). Capped at
+  // 32: k=4 engages past 268M vectors — beyond what this container
+  // can measure — and the cap is the honest boundary of the measured
+  // envelope. Cost: kernel flops and probe rows scale linearly with
+  // T, and the per-bucket join stays occupancy-bounded by the arity
+  // ladder, so the candidate rate grows by the same ~2× per step.
+  // Both sides derive the count from the corpus size (the oracle
+  // filters a 32-table range by the same CASE), so they agree at
+  // every SF.
   private val CpTables = 8
+  private val CpTablesMax = 32
+  /** Tables for the cross-polytope LSH at composite-key arity k. */
+  private[graft] def cpTables(arity: Int): Int =
+    math.min(CpTables << (arity - 1), CpTablesMax)
+  /** Probe depth (extra ranked planes beyond the key arity) at
+    * composite-key arity k: a probe candidate is "B's top-k ⊆ A's
+    * top-(k+extra)". Leave-two-out suffices at k ≤ 2 (planted-pair
+    * recall 0.81 at k=2); at k=3 the subset coincidence is harder
+    * still (0.66 even at 32 tables) and one more rank of slack
+    * closes the gap. Keys per table = C(k+extra, k): 3 / 6 / 20 at
+    * k = 1 / 2 / 3 — bounded, and the per-bucket join stays
+    * occupancy-capped by the arity ladder. */
+  private[graft] def cpProbeExtra(arity: Int): Int =
+    if (arity >= 3) 3 else 2
   private val AnnDim = 64 // embedding length, fixed across all SFs
   // Scale knob (VERDICT r9 #3 — now APPLIED, not just documented):
   // a single signed-argmax key gives 2·AnnDim buckets per table, so
@@ -178,14 +213,17 @@ object Pipeline {
   // with k derived from the corpus count so mean occupancy stays
   // bounded as n grows:
   //   k(n) = clamp(ceil(log_{2·AnnDim}(n / AnnTargetOccupancy)), 1, 8)
-  // Probing generalizes leave-one-out: rank the top k+1 components
-  // and emit every k-subset (k+1 keys); the PRIMARY key is the top-k
-  // subset, and a candidate is any probe-key ∩ primary-key match. At
-  // k=1 this is byte-identical to the tuned signed-argmax + top-2
-  // probe scheme (two keys: {rank1}, {rank2}; primary {rank1}). The
-  // oracle computes k from count(*) with the same formula, so both
-  // sides agree at every SF. Upper clamp 8: keys pack into a Long
-  // (7 bits/slot), and 128^8 buckets is past any real corpus.
+  // Probing (round 12, VERDICT r11 #6): rank the top k+extra
+  // components (extra = cpProbeExtra(k)) and emit every k-subset;
+  // the PRIMARY key is the top-k subset, and a candidate is any
+  // probe-key ∩ primary-key match — i.e. "B's top-k ⊆ A's
+  // top-(k+extra)". The round-11 leave-one-out scheme (k-subsets of
+  // top k+1) measured recall 0.52 at k=2 on the VectorBench
+  // planted-pair gate; the probe-depth + table ladders below restore
+  // ≥ 0.7 at every measured arity for a constant-factor candidate
+  // cost. The oracle computes k from count(*) with the same formula,
+  // so both sides agree at every SF. Upper clamp 8: keys pack into a
+  // Long (7 bits/slot), and 128^8 buckets is past any real corpus.
   private val AnnTargetOccupancy = 128L
   /** private[graft]: VectorBench asserts the occupancy bound this
     * formula guarantees across the n sweep.
@@ -280,9 +318,9 @@ object Pipeline {
     * and below the mean occupancy √n from sf1.0 up (78+), where the
     * hot path dominates and is what the scale sweeps measure. Recall
     * trade: inside a hot cell only LSH-candidate pairs are considered
-    * (p09's measured candidate recall ≈ 0.77 at cos ≥ 0.35), exactly
-    * SemDeDup's approximate-within-cluster regime; cold cells stay
-    * exact. */
+    * (p09's measured candidate recall 0.74-0.82 at cos ≥ 0.35 across
+    * the arity ladder), exactly SemDeDup's approximate-within-cluster
+    * regime; cold cells stay exact. */
   private val SemHotCell = 16
 
   private def semCells(n: Long): Int = {
@@ -736,17 +774,19 @@ object Pipeline {
     // p09: LSH SIMILARITY JOIN — cross-polytope LSH: per table a
     // deterministic md5-derived ±1 projection (64 planes); a vector's
     // bucket is its TOP-k SIGNED components (composite key, arity k
-    // derived from the corpus count — see annArity) and it probes the
-    // k+1 leave-one-out subsets of its top-(k+1) components by
+    // derived from the corpus count — see annArity) and it probes
+    // every k-subset of its top-(k + cpProbeExtra(k)) components by
     // |projection|. Candidates = probe-bucket ∩ primary-bucket pairs;
     // verified with exact cosine ≥ 0.35. This is the 100 TB path: the
     // only joins are per-bucket equi-joins (occupancy bounded by the
-    // data-driven arity, skew-free), never all-pairs. Measured on the
-    // real vectors at k=1 (sf0.01 / sf0.1): recall 0.745 / 0.773 at
-    // cos ≥ 0.35 with candidate rate ≈ 0.21 — near-orthogonal
-    // corpora like this synthetic one are the worst case for angular
-    // LSH, and this config was the best recall-per-candidate point of
-    // the hyperplane/multiprobe/cross-polytope family swept offline.
+    // data-driven arity, skew-free), never all-pairs. Measured recall
+    // at cos ≥ 0.35 (round 12, table + probe-depth ladders): 0.83 at
+    // k=1 on the real sf0.01 vectors (AnnRecallSpec), 0.81 at k=2
+    // (n=51k) and 0.74 at k=3 (n=2.2M) on the VectorBench
+    // planted-pair gate — near-orthogonal corpora like these are the
+    // worst case for angular LSH; the ladders are the measured
+    // recall-per-candidate frontier of the hyperplane/multiprobe/
+    // cross-polytope family swept across rounds 3-12.
     QDef(
       "p09_ann_lsh",
       (s, d) => cosineNearDupPairs(s, d),
@@ -4578,17 +4618,35 @@ object Pipeline {
   private def cpCandidatePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // k: composite-key arity from the vector count (parquet metadata
-    // count — no data scan). m = k+1 ranked planes per table, one
-    // leave-one-out key per excluded rank; excl == m is the primary
-    // (top-k) key.
+    // count — no data scan). m = k + cpProbeExtra(k) ranked planes
+    // per table; a vector emits ONE key per k-subset of its top-m
+    // planes, and the top-k subset itself is the primary key — so a
+    // probe-key ∩ primary-key match realizes exactly "B's top-k
+    // (signed) ⊆ A's top-m (signed)" as a bucket equi-join. Round 12
+    // (VERDICT r11 #6): the previous leave-ONE-out probe set
+    // (k-subsets of top k+1) measured recall 0.52 at arity 2 on the
+    // VectorBench planted-pair gate — a pair was only found when one
+    // side's top-k sat inside the other's top-(k+1), too tight once
+    // two components must both match. Probe depth and table count now
+    // both widen with the arity (see cpProbeExtra / cpTables for the
+    // measured ladder); the per-bucket join stays occupancy-bounded
+    // by the arity ladder, so each widening is a constant-factor
+    // candidate cost, never a blowup.
     val arity = annArity(emb(s, d).count())
-    val m = arity + 1
+    val m = arity + cpProbeExtra(arity)
+    // all arity-sized rank subsets of {0..m-1} as bitmasks, ascending —
+    // subsets(0) == (1<<arity)-1 is the top-k PRIMARY mask
+    val subsets: Array[Int] =
+      (0 until (1 << m)).filter(Integer.bitCount(_) == arity).sorted.toArray
+    val nKeys = subsets.length
+    val nTables = cpTables(arity)
     // Projection weights computed on the driver (8 tables × 64 planes ×
     // 64 components of ±1 from the md5 high bit — same arithmetic as
     // the oracle) and shipped to executors in the task closure
-    // (~256 KB). Each vector computes all 512 projections in a typed
-    // mapPartitions kernel — a fused primitive-double loop — and emits
-    // only its 16 (table, bucket, probe-rank) rows. The r3 shape
+    // (~256 KB at 8 tables, ~1 MB at 32). Each vector computes all
+    // nTables×64 projections in a typed mapPartitions kernel — a
+    // fused primitive-double loop — and emits only its
+    // nTables×C(m,k) key rows. The r3 shape
     // (element-explode joined to a 32k-row weights table, groupBy
     // (vec,tbl,j), then a rank window) materialized vectors×512 rows
     // into a shuffle (164M at sf0.1); a higher-order-function spelling
@@ -4598,21 +4656,20 @@ object Pipeline {
     // before the candidate stage.
     val md = java.security.MessageDigest.getInstance("MD5") // digest() resets it
     val weights: Array[Array[Double]] =
-      (for (t <- 0 until CpTables; j <- 0 until AnnDim) yield {
+      (for (t <- 0 until nTables; j <- 0 until AnnDim) yield {
         (1 to AnnDim).map { i =>
           val hex = md.digest(s"cp$t:$j:$i".getBytes("UTF-8"))
             .map("%02x".format(_)).mkString
           if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0
         }.toArray
       }).toArray
-    val nTables = CpTables
     val nDim = AnnDim
     val ranked = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>
-          val out = new Array[BucketKey](nTables * m)
+          val out = new Array[BucketKey](nTables * nKeys)
           var t = 0
           while (t < nTables) {
             // top-m planes by (|proj| desc, j asc): insertion into two
@@ -4638,26 +4695,30 @@ object Pipeline {
               }
               j += 1
             }
-            // one leave-one-out composite key per excluded rank e:
-            // the remaining `arity` (j, sgn) slots sorted by j (the
-            // canonical order — rank order would make equal sets
-            // compare unequal), packed base-128 into a Long
-            // (slot = 2j + sgn ∈ [0, 127]; arity ≤ 8 ⇒ < 2^56).
-            var e = 0
-            while (e < m) {
+            // one composite key per arity-sized rank subset: the
+            // chosen (j, sgn) slots sorted by j (the canonical order —
+            // rank order would make equal sets compare unequal),
+            // packed base-128 into a Long (slot = 2j + sgn ∈ [0, 127];
+            // arity ≤ 8 ⇒ < 2^56). excl is the subset's index in
+            // `subsets`; excl == 0 is the primary top-k key.
+            var si = 0
+            while (si < nKeys) {
+              val mask = subsets(si)
               val js = new Array[Int](arity)
               var w2 = 0
               var r = 0
               while (r < m) {
-                if (r != e) { js(w2) = topJ(r) * 2 + (if (topP(r) > 0) 1 else 0); w2 += 1 }
+                if ((mask >> r & 1) == 1) {
+                  js(w2) = topJ(r) * 2 + (if (topP(r) > 0) 1 else 0); w2 += 1
+                }
                 r += 1
               }
               java.util.Arrays.sort(js)
               var key = 0L
               var q = 0
               while (q < arity) { key = key * 128L + js(q); q += 1 }
-              out(t * m + e) = BucketKey(id, t, key, e + 1)
-              e += 1
+              out(t * nKeys + si) = BucketKey(id, t, key, si)
+              si += 1
             }
             t += 1
           }
@@ -4667,7 +4728,7 @@ object Pipeline {
       .toDF("vec_id", "tbl", "bkey", "excl")
     ranked.as("x").join(ranked.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
-          col("y.excl") === m && col("x.vec_id") =!= col("y.vec_id"))
+          col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
       .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
       .distinct()
@@ -5233,11 +5294,18 @@ object Pipeline {
        |SELECT l.id AS doc_id, l.comp_id, c.comp_size
        |FROM lab l JOIN csizes c USING (comp_id)""".stripMargin
 
-  /** DuckDB mirror of p09: same projections, composite buckets (arity
-    * from count(*) via the same formula as annArity), leave-one-out
-    * probes, verification. Key encodings differ (string_agg here,
-    * base-128 Long in the kernel) — both are injective maps of the
-    * same sorted-by-j (j, sgn) set, so the candidate SETS agree. */
+  /** DuckDB mirror of p09: same projections, same arity/table/probe
+    * ladders (all from count(*) via the annArity thresholds),
+    * verification. The SPELLING differs from the kernel by design:
+    * the kernel realizes "B's top-k (signed) ⊆ A's top-m (signed)"
+    * as an equi-join on enumerated k-subset bucket keys (the only
+    * shape that scales — bucket occupancy bounded by the arity
+    * ladder), while the oracle states the same containment directly
+    * (join primary elements to top-m elements on (tbl, j, sgn),
+    * HAVING count = kk). Both compute the identical candidate SET —
+    * a k-subset key match IS a containment witness — and the direct
+    * spelling stays valid at every (arity, probe-depth) rung without
+    * re-deriving a subset-enumeration join per rung. */
   /** Cross-polytope candidate CTE chain (the oracle twin of
     * [[cpCandidatePairs]]) with every CTE name prefixed by `p`, so it
     * can be embedded in oracles that already use `el`/`ranked`/…
@@ -5245,13 +5313,15 @@ object Pipeline {
     * with ia < ib and no similarity threshold. */
   private def cpCandSql(p: String): String =
     s"""${p}params AS (
-       |  SELECT ${annArityCaseSql("count(*)")} AS kk
-       |  FROM embeddings
+       |  SELECT kk, least($CpTables * (1 << (kk - 1)), $CpTablesMax) AS nt,
+       |         CASE WHEN kk >= 3 THEN kk + 3 ELSE kk + 2 END AS mm
+       |  FROM (SELECT ${annArityCaseSql("count(*)")} AS kk FROM embeddings)
        |), ${p}weights AS (
        |  SELECT CAST(tbl AS INT) AS tbl, CAST(j AS INT) AS j, CAST(i AS INT) AS i,
        |    CASE WHEN strpos('89abcdef', substr(md5('cp' || tbl || ':' || j || ':' || i), 1, 1)) > 0
        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
-       |  FROM range(0, $CpTables) t0(tbl), range(0, $AnnDim) t1(j), range(1, ${AnnDim + 1}) t2(i)
+       |  FROM range(0, $CpTablesMax) t0(tbl), range(0, $AnnDim) t1(j), range(1, ${AnnDim + 1}) t2(i)
+       |  WHERE tbl < (SELECT nt FROM ${p}params)
        |), ${p}el AS (
        |  SELECT vec_id, CAST(i AS INT) AS i,
        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
@@ -5263,21 +5333,18 @@ object Pipeline {
        |    SELECT vec_id, tbl, j, sum(x * w) AS proj
        |    FROM ${p}el JOIN ${p}weights USING (i) GROUP BY vec_id, tbl, j
        |  )
-       |  QUALIFY rn <= (SELECT kk + 1 FROM ${p}params)
-       |), ${p}keys AS (
-       |  SELECT a.vec_id, a.tbl, b.rn AS excl,
-       |    string_agg(a.j || CASE WHEN a.sgn THEN 'p' ELSE 'n' END,
-       |               ',' ORDER BY a.j) AS bkey
-       |  FROM ${p}ranked a JOIN ${p}ranked b
-       |    ON a.vec_id = b.vec_id AND a.tbl = b.tbl AND a.rn <> b.rn
-       |  GROUP BY a.vec_id, a.tbl, b.rn
+       |  QUALIFY rn <= (SELECT mm FROM ${p}params)
+       |), ${p}cmatch AS (
+       |  SELECT b.vec_id AS bv, a.vec_id AS av
+       |  FROM ${p}ranked b JOIN ${p}ranked a
+       |    ON b.tbl = a.tbl AND b.j = a.j AND b.sgn = a.sgn
+       |    AND b.vec_id <> a.vec_id
+       |  WHERE b.rn <= (SELECT kk FROM ${p}params)
+       |  GROUP BY b.vec_id, a.vec_id, b.tbl
+       |  HAVING count(*) = (SELECT kk FROM ${p}params)
        |), ${p}cand AS (
-       |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS ia,
-       |                  greatest(x.vec_id, y.vec_id) AS ib
-       |  FROM ${p}keys x JOIN ${p}keys y
-       |    ON x.tbl = y.tbl AND x.bkey = y.bkey
-       |    AND y.excl = (SELECT kk + 1 FROM ${p}params)
-       |    AND x.vec_id <> y.vec_id
+       |  SELECT DISTINCT least(bv, av) AS ia, greatest(bv, av) AS ib
+       |  FROM ${p}cmatch
        |)""".stripMargin
 
   private def annLshOracle: String = {
@@ -5297,9 +5364,11 @@ object Pipeline {
 }
 
 /** Typed row for the cross-polytope bucket-assignment kernel (p09/p14):
-  * vector `vec_id` occupies composite bucket `key` (the top-k signed
-  * planes of table `tbl` minus rank `excl`, packed base-128 sorted by
-  * plane index); `excl == k+1` marks the primary (top-k) bucket. */
+  * vector `vec_id` occupies composite bucket `key` (a k-subset of its
+  * top-m signed planes of table `tbl`, packed base-128 sorted by
+  * plane index); `excl` is the subset's index in the enumerated
+  * subset-mask array, and excl == 0 marks the primary (top-k)
+  * bucket. */
 final case class BucketKey(
     vec_id: Long, tbl: Int, key: Long, excl: Int)
 
