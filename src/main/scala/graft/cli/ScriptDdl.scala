@@ -519,22 +519,37 @@ object ScriptDdl {
     * the old 2048-node memory bound, taxing every later query over
     * the table with a failed compile + interpreted fallback.
     * [[inlinedCodegenBytes]] models both: per-expression-class byte
-    * weights (a graft dialect expression emits hundreds of bytes, a
-    * plain comparison a couple dozen) COMPOUNDED through attribute
-    * references, exactly the shape optimizer inlining produces. 48 KiB
-    * keeps the biggest single expression comfortably under janino's
-    * 64 KB method limit (codegen adds per-method scaffolding, and
-    * common-subexpression elimination only ever makes the true size
-    * smaller than the estimate). */
-  private val CollapseInlineBytes = 48L * 1024
+    * weights (a graft dialect expression or a regex node emits
+    * hundreds of bytes, a plain comparison a couple dozen) COMPOUNDED
+    * through attribute references, exactly the shape optimizer
+    * inlining produces, SUMMED over the plan (janino's limit applies
+    * to the fused processNext(), not any single expression). 24 KiB
+    * is sized for the worst successor: collapsing materializes the
+    * CURRENT plan, so the bound must leave room for one more
+    * statement's increment (seed-140 calibration: one DELETE over a
+    * just-under-threshold chain) before the REAL size reaches
+    * janino's 64 KB method limit. Common-subexpression elimination
+    * only ever makes the true size smaller than the estimate. */
+  private val CollapseInlineBytes = sys.env.get("SPARK_GRAFT_COLLAPSE_BYTES")
+    .map(_.toLong).getOrElse(24L * 1024)
 
-  /** Estimated post-inlining codegen bytes of the LARGEST single
-    * expression in `plan`: walk bottom-up, memoize per output
-    * attribute the byte estimate of its defining expression with
-    * every attribute reference already inlined (O(1) per reference —
-    * the exponential blowup is SIMULATED through the memo, never
-    * materialized), and take the max over all expression roots.
-    * Saturates at 2^40 so a deep exponential chain cannot overflow. */
+  /** Estimated post-inlining codegen bytes of the WHOLE plan's
+    * expressions: walk bottom-up, memoize per output attribute the
+    * byte estimate of its defining expression with every attribute
+    * reference already inlined (O(1) per reference — the exponential
+    * blowup is SIMULATED through the memo, never materialized), and
+    * SUM over all expression roots. The sum, not the max of a single
+    * root: janino's 64 KB limit applies to the generated
+    * processNext() METHOD, and whole-stage codegen fuses the whole
+    * scan→filter→project chain — every root in the chain lands in
+    * the same method (seed 113 measured it: a rebind whose largest
+    * single root estimated 4 KB still blew 64 KB, because the
+    * method carried all six rebind columns plus the filter).
+    * Over-counting is deliberate slack: CollapseProject duplicates a
+    * referenced subexpression per reference, and runtime
+    * common-subexpression elimination only ever makes the true size
+    * smaller than the estimate. Saturates at 2^40 so a deep
+    * exponential chain cannot overflow. */
   private def inlinedCodegenBytes(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Long = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -545,6 +560,15 @@ object ScriptDdl {
       // the dialect kernels (SqliteArithExpr, cast/affinity wrappers,
       // storage-class keys) each emit hundreds of bytes of Java
       case _ if e.getClass.getName.startsWith("graft.") => 320L
+      // the affinity/storage-class machinery is COMPOSED of standard
+      // regex/cast nodes, and those are the real byte hogs: a single
+      // RLike/RegExpReplace emits ~0.5 KB of generated Java (pattern
+      // refs, null checks, UTF8String plumbing). Weighing them like
+      // plain comparisons (24 B) underestimated the seed-140 DELETE
+      // chain 4x and let a 16 KB-estimated plan blow janino's 64 KB.
+      case _: RLike | _: RegExpReplace => 480L
+      case _: org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke => 128L
+      case _: Cast => 96L
       case _: CaseWhen => 64L
       case _ => 24L
     }
@@ -555,17 +579,17 @@ object ScriptDdl {
       }
       math.min(Cap, weight(e) + ref + e.children.iterator.map(cost).sum)
     }
-    var mx = 0L
+    var total = 0L
     plan.foreachUp { node =>
       node.expressions.foreach { root =>
-        mx = math.max(mx, cost(root))
+        total = math.min(Cap, total + cost(root))
         root.foreach {
           case al: Alias => costs(al.exprId) = math.min(Cap, cost(al.child))
           case _ => ()
         }
       }
     }
-    mx
+    total
   }
 
   /** Batch-size bound for [[applyInsert]]'s driver-resident pk fast
@@ -577,7 +601,11 @@ object ScriptDdl {
   private def collapseIfDeep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val analyzed = df.queryExecution.analyzed
     val nodes = analyzed.collect { case p => p }.size
-    if (nodes > CollapseNodes || inlinedCodegenBytes(analyzed) > CollapseInlineBytes)
+    lazy val bytes = inlinedCodegenBytes(analyzed)
+    if (sys.env.get("SPARK_GRAFT_COLLAPSE_DEBUG").contains("1"))
+      System.err.println(s"[collapse] nodes=$nodes bytes=$bytes " +
+        s"collapse=${nodes > CollapseNodes || bytes > CollapseInlineBytes}")
+    if (nodes > CollapseNodes || bytes > CollapseInlineBytes)
       df.localCheckpoint()
     else df
   }
