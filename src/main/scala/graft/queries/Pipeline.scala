@@ -5296,16 +5296,20 @@ object Pipeline {
 
   /** DuckDB mirror of p09: same projections, same arity/table/probe
     * ladders (all from count(*) via the annArity thresholds),
-    * verification. The SPELLING differs from the kernel by design:
-    * the kernel realizes "B's top-k (signed) ⊆ A's top-m (signed)"
-    * as an equi-join on enumerated k-subset bucket keys (the only
-    * shape that scales — bucket occupancy bounded by the arity
-    * ladder), while the oracle states the same containment directly
-    * (join primary elements to top-m elements on (tbl, j, sgn),
-    * HAVING count = kk). Both compute the identical candidate SET —
-    * a k-subset key match IS a containment witness — and the direct
-    * spelling stays valid at every (arity, probe-depth) rung without
-    * re-deriving a subset-enumeration join per rung. */
+    * verification. Key encodings differ (string_agg here, base-128
+    * Long in the kernel) — both are injective maps of the same
+    * sorted-by-j (j, sgn) set, so the candidate SETS agree. The
+    * probe subsets are enumerated exactly like the kernel's: an
+    * exclusion-mask table (range + bit_count, popcount mm-kk, bits
+    * within mm) joined to the ranked planes on "rank's bit not set" —
+    * uniform across every (arity, probe-depth) rung, no self-joins.
+    * Two rejected spellings, both measured: a rung-generic
+    * containment join (primary elements to top-m elements on
+    * (tbl, j, sgn), HAVING count = kk) spilled > 79 GB in DuckDB at
+    * the 20k-vector scale check — the bucket-key equi-join is
+    * selective, the element join is not; and rank self-joins
+    * (a×b1×b2[×b3] per excluded tuple) degraded to cross products in
+    * DuckDB's planner (EC 524M at 2k vectors, disk-full spill). */
   /** Cross-polytope candidate CTE chain (the oracle twin of
     * [[cpCandidatePairs]]) with every CTE name prefixed by `p`, so it
     * can be embedded in oracles that already use `el`/`ranked`/…
@@ -5334,17 +5338,25 @@ object Pipeline {
        |    FROM ${p}el JOIN ${p}weights USING (i) GROUP BY vec_id, tbl, j
        |  )
        |  QUALIFY rn <= (SELECT mm FROM ${p}params)
-       |), ${p}cmatch AS (
-       |  SELECT b.vec_id AS bv, a.vec_id AS av
-       |  FROM ${p}ranked b JOIN ${p}ranked a
-       |    ON b.tbl = a.tbl AND b.j = a.j AND b.sgn = a.sgn
-       |    AND b.vec_id <> a.vec_id
-       |  WHERE b.rn <= (SELECT kk FROM ${p}params)
-       |  GROUP BY b.vec_id, a.vec_id, b.tbl
-       |  HAVING count(*) = (SELECT kk FROM ${p}params)
+       |), ${p}masks AS (
+       |  SELECT CAST(mask AS INT) AS mask
+       |  FROM range(0, 2048) t(mask)
+       |  WHERE bit_count(CAST(mask AS INT)) = (SELECT mm - kk FROM ${p}params)
+       |    AND mask < (1 << (SELECT mm FROM ${p}params))
+       |), ${p}keys AS (
+       |  SELECT r.vec_id, r.tbl, m.mask AS excl,
+       |    string_agg(r.j || CASE WHEN r.sgn THEN 'p' ELSE 'n' END,
+       |               ',' ORDER BY r.j) AS bkey
+       |  FROM ${p}ranked r JOIN ${p}masks m
+       |    ON ((m.mask >> (r.rn - 1)) & 1) = 0
+       |  GROUP BY r.vec_id, r.tbl, m.mask
        |), ${p}cand AS (
-       |  SELECT DISTINCT least(bv, av) AS ia, greatest(bv, av) AS ib
-       |  FROM ${p}cmatch
+       |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS ia,
+       |                  greatest(x.vec_id, y.vec_id) AS ib
+       |  FROM ${p}keys x JOIN ${p}keys y
+       |    ON x.tbl = y.tbl AND x.bkey = y.bkey
+       |    AND y.excl = (SELECT (1 << mm) - (1 << kk) FROM ${p}params)
+       |    AND x.vec_id <> y.vec_id
        |)""".stripMargin
 
   private def annLshOracle: String = {
