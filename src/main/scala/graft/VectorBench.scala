@@ -184,8 +184,16 @@ object VectorBench {
         val secs = (System.nanoTime() - t0) / 1e9
         val hits = truth.count(got.contains)
         val recall = hits.toDouble / truth.size
+        // Candidate cost at this rung (VERDICT r12 #6): the widened
+        // probes/tables buy recall at a candidate-pair price — record
+        // pairs-per-vector next to the recall so the frontier is a
+        // measured number, not an inference from wall time. (One extra
+        // pass over the candidate stage, outside the timed window.)
+        val candPairs = graft.queries.Pipeline
+          .cpCandidatePairsAt(spark, dir.toString, arity).count()
         println(f"[vector-bench] recall_k$arity n=${nb + pl} planted=${truth.size} " +
-          f"found=$hits recall=$recall%.3f wall=$secs%.1f s")
+          f"found=$hits recall=$recall%.3f wall=$secs%.1f s " +
+          f"cand_pairs=$candPairs pairs_per_vec=${candPairs.toDouble / (nb + pl)}%.2f")
         assert(truth.size > planted / 2, s"planted-pair truth too small: ${truth.size}")
         assert(recall >= 0.7,
           f"recall $recall%.3f below the 0.7 floor at arity $arity (n=${nb + pl})")
@@ -195,7 +203,13 @@ object VectorBench {
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
-    // past 128²·128 = 2,097,152 → k = 3; past 16,384 → k = 2
+    // past 128²·128 = 2,097,152 → k = 3; past 16,384 → k = 2; the
+    // 10.5k corpus stays below the first transition → k = 1, so the
+    // routine run prints the k=1 and k=2 rungs (k=3's probe recall is
+    // corpus-size-independent and gate-pinned every sbt run by
+    // AnnRecallSpec's forced-arity case; the full 2.2M natural-arity
+    // rung stays opt-in for wall-clock reasons only).
+    recallAtScale(10000L, 500)
     recallAtScale(50000L, 1000)
     if (args.length > 1 && args(1) == "recall3") recallAtScale(2200000L, 1000)
 

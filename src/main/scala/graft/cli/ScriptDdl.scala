@@ -530,8 +530,16 @@ object ScriptDdl {
     * just-under-threshold chain) before the REAL size reaches
     * janino's 64 KB method limit. Common-subexpression elimination
     * only ever makes the true size smaller than the estimate. */
+  // Lenient parse (ADVICE r12 #3): a malformed value must degrade to
+  // the calibrated default, not throw NumberFormatException out of
+  // this object's initializer and kill the whole CLI at first use.
   private val CollapseInlineBytes = sys.env.get("SPARK_GRAFT_COLLAPSE_BYTES")
-    .map(_.toLong).getOrElse(24L * 1024)
+    .flatMap { v =>
+      val parsed = scala.util.Try(v.trim.toLong).toOption
+      if (parsed.isEmpty) System.err.println(
+        s"[graft] ignoring malformed SPARK_GRAFT_COLLAPSE_BYTES='$v' (using default 24576)")
+      parsed
+    }.getOrElse(24L * 1024)
 
   /** Estimated post-inlining codegen bytes of the WHOLE plan's
     * expressions: walk bottom-up, memoize per output attribute the

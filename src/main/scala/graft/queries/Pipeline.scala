@@ -225,6 +225,10 @@ object Pipeline {
   // so both sides agree at every SF. Upper clamp 8: keys pack into a
   // Long (7 bits/slot), and 128^8 buckets is past any real corpus.
   private val AnnTargetOccupancy = 128L
+  /** Arity clamp shared by [[annArity]] and the oracle's probe-mask
+    * range bound (ADVICE r12 #4: the bound was a hard-coded 2048 that
+    * silently desynchronized if this clamp or cpProbeExtra moved). */
+  private val AnnArityMax = 8
   /** private[graft]: VectorBench asserts the occupancy bound this
     * formula guarantees across the n sweep.
     *
@@ -238,7 +242,7 @@ object Pipeline {
   private[graft] def annArity(n: Long): Int = {
     var k = 1
     var cap = AnnTargetOccupancy * (2L * AnnDim) // 16384 = 128^2
-    while (k < 8 && cap < n) { k += 1; cap *= 2L * AnnDim }
+    while (k < AnnArityMax && cap < n) { k += 1; cap *= 2L * AnnDim }
     k
   }
 
@@ -246,10 +250,10 @@ object Pipeline {
     * integer thresholds occupancy·(2·AnnDim)^k, k = 1..7 (else 8). */
   private def annArityCaseSql(cnt: String): String = {
     val caps = Iterator.iterate(AnnTargetOccupancy * 2L * AnnDim)(_ * 2L * AnnDim)
-      .take(7).toSeq
+      .take(AnnArityMax - 1).toSeq
     val whens = caps.zipWithIndex
       .map { case (cap, i) => s"WHEN $cnt <= $cap THEN ${i + 1}" }
-    s"CASE ${whens.mkString(" ")} ELSE 8 END"
+    s"CASE ${whens.mkString(" ")} ELSE $AnnArityMax END"
   }
 
   // p13 parameters: bigrams in more than DfCap docs leave the inverted
@@ -4615,7 +4619,19 @@ object Pipeline {
     * DISTINCT cross-polytope bucket-mate pairs (ia, ib) with ia < ib
     * and NO similarity threshold applied — p09/p14 verify at ≥ 0.35,
     * p37's hot-cell path at its own SemTau. */
-  private def cpCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  private def cpCandidatePairs(s: SparkSession, d: String): DataFrame =
+    cpCandidatePairsAt(s, d, annArity(emb(s, d).count()))
+
+  /** [[cpCandidatePairs]] at an EXPLICIT arity. private[graft] for
+    * the k=3 recall gate (AnnRecallSpec / VectorBench, VERDICT r12
+    * #4): pair-level LSH recall depends only on the two vectors'
+    * projections and the probe scheme — never on corpus size — so a
+    * small forced-arity corpus pins the same probe-ladder recall the
+    * 2.2M-vector natural-arity rung measures, cheaply enough to run
+    * in every sbt test sweep. Production paths always derive the
+    * arity from the corpus count ([[annArity]]). */
+  private[graft] def cpCandidatePairsAt(
+      s: SparkSession, d: String, arity: Int): DataFrame = {
     import s.implicits._
     // k: composite-key arity from the vector count (parquet metadata
     // count — no data scan). m = k + cpProbeExtra(k) ranked planes
@@ -4632,7 +4648,6 @@ object Pipeline {
     // measured ladder); the per-bucket join stays occupancy-bounded
     // by the arity ladder, so each widening is a constant-factor
     // candidate cost, never a blowup.
-    val arity = annArity(emb(s, d).count())
     val m = arity + cpProbeExtra(arity)
     // all arity-sized rank subsets of {0..m-1} as bitmasks, ascending —
     // subsets(0) == (1<<arity)-1 is the top-k PRIMARY mask
@@ -5340,7 +5355,7 @@ object Pipeline {
        |  QUALIFY rn <= (SELECT mm FROM ${p}params)
        |), ${p}masks AS (
        |  SELECT CAST(mask AS INT) AS mask
-       |  FROM range(0, 2048) t(mask)
+       |  FROM range(0, ${1 << (AnnArityMax + cpProbeExtra(AnnArityMax))}) t(mask)
        |  WHERE bit_count(CAST(mask AS INT)) = (SELECT mm - kk FROM ${p}params)
        |    AND mask < (1 << (SELECT mm FROM ${p}params))
        |), ${p}keys AS (

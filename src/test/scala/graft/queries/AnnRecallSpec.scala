@@ -89,6 +89,61 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.45, f"recall@5 $recall%.3f below floor")
   }
 
+  test("k=3 probe-ladder candidate recall on planted pairs (forced arity)") {
+    // The highest-arity operating point, pinned in a gate that runs
+    // every round (VERDICT r12 #4): natural arity 3 needs a corpus
+    // past 128²·128 = 2.1M vectors, which only the opt-in VectorBench
+    // rung pays for — but pair-level LSH recall depends only on the
+    // two vectors' projections and the probe scheme, never on corpus
+    // size, so a small corpus pushed through the candidate kernel AT
+    // arity 3 measures the same leave-three-out subset-probe recall
+    // (0.74 at n=2.2M when last measured at natural arity). Planted
+    // construction mirrors VectorBench.recallAtScale.
+    val nDim = 64
+    val nb = 2000L
+    val planted = 200
+    val stride = nb / planted
+    def baseVec(id: Long): Array[Double] = {
+      val rnd = new java.util.SplittableRandom(id * 0x9E3779B97F4A7C15L + 1)
+      Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+    }
+    def partnerVec(p: Long): Array[Double] = {
+      val v = baseVec(p * stride)
+      val rnd = new java.util.SplittableRandom(p * 0xC2B2AE3D27D4EB4FL + 7)
+      val g = Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+      val lam = 0.33 + (2.70 - 0.33) * p.toDouble / planted
+      Array.tabulate(nDim)(i => v(i) + lam * g(i))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-k3-recall-")
+    try {
+      import spark.implicits._
+      val rows = (0L until nb).map(id => (id, baseVec(id).map(_.toFloat))) ++
+        (0 until planted).map(p => (nb + p, partnerVec(p.toLong).map(_.toFloat)))
+      rows.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // exact planted-pair cosines, clear of the 0.35 verify edge
+      val truth = (0 until planted).flatMap { p =>
+        val a = baseVec(p * stride); val b = partnerVec(p.toLong)
+        var dot = 0.0; var na = 0.0; var nbn = 0.0; var i = 0
+        while (i < nDim) { dot += a(i) * b(i); na += a(i) * a(i); nbn += b(i) * b(i); i += 1 }
+        if (dot / math.sqrt(na * nbn) >= 0.3505) Some((p * stride, nb + p)) else None
+      }.toSet
+      val got = graft.queries.Pipeline.cpCandidatePairsAt(spark, dir.toString, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.size > planted / 2, s"planted truth too small: ${truth.size}")
+      val recall = truth.count(got.contains).toDouble / truth.size
+      info(f"k=3 candidate recall=$recall%.3f over ${truth.size} planted pairs")
+      // floor matches VectorBench's ladder assertion; measured 0.74
+      // at the 2.2M natural-arity rung, and this forced-arity case
+      // measures the same probe scheme
+      assert(recall >= 0.7, f"k=3 probe recall $recall%.3f below the 0.7 floor")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("p64 IVF-PQ matches a driver-side third implementation row-for-row") {
     // Independent plain-Scala replay of the whole operator — IVF cell
     // ranking, PQ codebook, quantize, encode, ADC, top-5 — so the
