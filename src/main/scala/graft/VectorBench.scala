@@ -140,42 +140,48 @@ object VectorBench {
     // pairs that clear the operator's 0.35 verify threshold with
     // margin. Self-falsifying: recall must clear the 0.7 floor at
     // each measured arity.
+    def baseVec(id: Long): Array[Double] = {
+      val rnd = new java.util.SplittableRandom(id * 0x9E3779B97F4A7C15L + 1)
+      Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+    }
+    /** Planted partner p of base vector `p*stride`: plus noise scaled
+      * so cos spans ~[0.95 → 0.35] as p grows. */
+    def partnerVec(p: Long, stride: Long, planted: Int): Array[Double] = {
+      val v = baseVec(p * stride)
+      val rnd = new java.util.SplittableRandom(p * 0xC2B2AE3D27D4EB4FL + 7)
+      val g = Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+      val lam = 0.33 + (2.70 - 0.33) * p.toDouble / planted
+      Array.tabulate(nDim)(i => v(i) + lam * g(i))
+    }
+    /** Write the planted corpus under `dir` and return the
+      * ground-truth planted pairs clear of the 0.35 verify edge. */
+    def plantCorpus(dir: java.nio.file.Path, nn: Long, planted: Int)
+        : Set[(Long, Long)] = {
+      val stride = nn / planted
+      val nb = nn
+      val pl = planted.toLong
+      spark.range(0, nb + pl).as[Long].mapPartitions(_.map { id =>
+        val v = if (id < nb) baseVec(id) else partnerVec(id - nb, stride, planted)
+        (id, v.map(_.toFloat), 0)
+      }).toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      (0L until pl).flatMap { p =>
+        val a = baseVec(p * stride)
+        val b = partnerVec(p, stride, planted)
+        var dot = 0.0; var na = 0.0; var nbr = 0.0; var i = 0
+        while (i < nDim) { dot += a(i) * b(i); na += a(i) * a(i); nbr += b(i) * b(i); i += 1 }
+        val cos = dot / math.sqrt(na * nbr)
+        // stay clear of the operator's round(cos, 6) >= 0.35 edge
+        if (cos >= 0.3505) Some((p * stride, nb + p)) else None
+      }.toSet
+    }
+
     def recallAtScale(nn: Long, planted: Int): Unit = {
       val dir = java.nio.file.Files.createTempDirectory("graft-vb-recall-")
       try {
-        val stride = nn / planted
-        def baseVec(id: Long): Array[Double] = {
-          val rnd = new java.util.SplittableRandom(id * 0x9E3779B97F4A7C15L + 1)
-          Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
-        }
-        /** Planted partner p: base vector `p*stride` plus noise scaled
-          * so cos spans ~[0.95 → 0.35] as p grows. */
-        def partnerVec(p: Long): Array[Double] = {
-          val v = baseVec(p * stride)
-          val rnd = new java.util.SplittableRandom(p * 0xC2B2AE3D27D4EB4FL + 7)
-          val g = Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
-          val lam = 0.33 + (2.70 - 0.33) * p.toDouble / planted
-          Array.tabulate(nDim)(i => v(i) + lam * g(i))
-        }
         val nb = nn
-        val pl = planted.toLong
-        val st = stride
-        spark.range(0, nb + pl).as[Long].mapPartitions(_.map { id =>
-          val v = if (id < nb) baseVec(id) else partnerVec(id - nb)
-          (id, v.map(_.toFloat), 0)
-        }).toDF("vec_id", "embedding", "label")
-          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-        val arity = graft.queries.Pipeline.annArity(nb + pl)
-        // exact planted-pair cosines, driver-side
-        val truth = (0L until pl).flatMap { p =>
-          val a = baseVec(p * st)
-          val b = partnerVec(p)
-          var dot = 0.0; var na = 0.0; var nbr = 0.0; var i = 0
-          while (i < nDim) { dot += a(i) * b(i); na += a(i) * a(i); nbr += b(i) * b(i); i += 1 }
-          val cos = dot / math.sqrt(na * nbr)
-          // stay clear of the operator's round(cos, 6) >= 0.35 edge
-          if (cos >= 0.3505) Some((p * st, nb + p)) else None
-        }.toSet
+        val truth = plantCorpus(dir, nn, planted)
+        val arity = graft.queries.Pipeline.annArity(nb + planted)
         val t0 = System.nanoTime()
         val got = SparkEntry.queries("p09_ann_lsh")(spark, dir.toString)
           .filter(col("ib") >= nb) // planted partners only — keeps collect bounded
@@ -184,19 +190,29 @@ object VectorBench {
         val secs = (System.nanoTime() - t0) / 1e9
         val hits = truth.count(got.contains)
         val recall = hits.toDouble / truth.size
+        println(f"[vector-bench] recall_k$arity n=${nb + planted} planted=${truth.size} " +
+          f"found=$hits recall=$recall%.3f wall=$secs%.1f s")
         // Candidate cost at this rung (VERDICT r12 #6): the widened
         // probes/tables buy recall at a candidate-pair price — record
         // pairs-per-vector next to the recall so the frontier is a
-        // measured number, not an inference from wall time. (One extra
-        // pass over the candidate stage, outside the timed window.)
-        val candPairs = graft.queries.Pipeline
-          .cpCandidatePairsAt(spark, dir.toString, arity).count()
-        println(f"[vector-bench] recall_k$arity n=${nb + pl} planted=${truth.size} " +
-          f"found=$hits recall=$recall%.3f wall=$secs%.1f s " +
-          f"cand_pairs=$candPairs pairs_per_vec=${candPairs.toDouble / (nb + pl)}%.2f")
+        // measured number, not an inference from wall time. One extra
+        // pass over the candidate stage, outside the timed window —
+        // and only where that pass's shuffle fits the local disk: at
+        // the 2.2M/arity-3 rung the key table is ~1.4B rows and a
+        // SECOND materialization of it blew the 79 GB /tmp on this
+        // box (first round-13 run). Pair cost there is covered by the
+        // frontier grid + the forced-arity k=3 gate instead.
+        if (nb <= 200000L) {
+          val candPairs = graft.queries.Pipeline
+            .cpCandidatePairsAt(spark, dir.toString, arity).count()
+          println(f"[vector-bench] recall_cost_k$arity cand_pairs=$candPairs " +
+            f"pairs_per_vec=${candPairs.toDouble / (nb + planted)}%.2f")
+        } else
+          println(s"[vector-bench] recall_cost_k$arity skipped: second candidate" +
+            " materialization exceeds local disk at this n (see frontier stage)")
         assert(truth.size > planted / 2, s"planted-pair truth too small: ${truth.size}")
         assert(recall >= 0.7,
-          f"recall $recall%.3f below the 0.7 floor at arity $arity (n=${nb + pl})")
+          f"recall $recall%.3f below the 0.7 floor at arity $arity (n=${nb + planted})")
       } finally {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq
@@ -211,7 +227,44 @@ object VectorBench {
     // rung stays opt-in for wall-clock reasons only).
     recallAtScale(10000L, 500)
     recallAtScale(50000L, 1000)
-    if (args.length > 1 && args(1) == "recall3") recallAtScale(2200000L, 1000)
+    if (args.contains("recall3")) recallAtScale(2200000L, 1000)
+
+    // Stage 5 (round 13): the recall/cost FRONTIER at the k=2
+    // operating point — the quiet factor-26 sweep charged p09 21 s at
+    // 52k vectors (r11's 8-table leave-one-out scheme measured ~2-3 s
+    // quiet-adjusted at the same size but recall 0.52). This stage
+    // maps the (tables, probe-extra) grid at one corpus so the chosen
+    // production point's recall AND candidate-pairs-per-vector sit in
+    // a recorded table next to its neighbors — the basis for any
+    // future retuning, instead of a single asserted point.
+    if (args.contains("frontier")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-vb-frontier-")
+      try {
+        val nn = 50000L; val planted = 1000
+        val truth = plantCorpus(dir, nn, planted)
+        println(s"[vector-bench] frontier corpus n=${nn + planted} " +
+          s"planted=${truth.size} arity=2")
+        for (tables <- Seq(8, 16, 32); extra <- Seq(1, 2)) {
+          val t0 = System.nanoTime()
+          val cand = graft.queries.Pipeline
+            .cpCandidatePairsAt(spark, dir.toString, 2, tables, extra)
+          val got = cand.filter(col("ib") >= nn).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val nPairs = cand.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val recall = truth.count(got.contains).toDouble / truth.size
+          val tag = if (tables == 16 && extra == 2) "  <- production" else ""
+          println(f"[vector-bench] frontier_k2 tables=$tables%-2d extra=$extra " +
+            f"recall=$recall%.3f cand_pairs=$nPairs " +
+            f"pairs_per_vec=${nPairs.toDouble / (nn + planted)}%.2f " +
+            f"wall=$secs%.1f s$tag")
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
 
     spark.stop()
   }

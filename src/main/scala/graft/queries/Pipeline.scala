@@ -4629,9 +4629,16 @@ object Pipeline {
     * small forced-arity corpus pins the same probe-ladder recall the
     * 2.2M-vector natural-arity rung measures, cheaply enough to run
     * in every sbt test sweep. Production paths always derive the
-    * arity from the corpus count ([[annArity]]). */
+    * arity from the corpus count ([[annArity]]).
+    *
+    * nTablesOverride / extraOverride (< 0 = production value) exist
+    * ONLY for VectorBench's recall/cost frontier stage (VERDICT r12
+    * #6): mapping recall and candidate-pairs-per-vector over the
+    * (tables, probe-depth) grid at one arity. No verified operator
+    * passes them. */
   private[graft] def cpCandidatePairsAt(
-      s: SparkSession, d: String, arity: Int): DataFrame = {
+      s: SparkSession, d: String, arity: Int,
+      nTablesOverride: Int = -1, extraOverride: Int = -1): DataFrame = {
     import s.implicits._
     // k: composite-key arity from the vector count (parquet metadata
     // count — no data scan). m = k + cpProbeExtra(k) ranked planes
@@ -4648,13 +4655,14 @@ object Pipeline {
     // measured ladder); the per-bucket join stays occupancy-bounded
     // by the arity ladder, so each widening is a constant-factor
     // candidate cost, never a blowup.
-    val m = arity + cpProbeExtra(arity)
+    val m = arity +
+      (if (extraOverride >= 0) extraOverride else cpProbeExtra(arity))
     // all arity-sized rank subsets of {0..m-1} as bitmasks, ascending —
     // subsets(0) == (1<<arity)-1 is the top-k PRIMARY mask
     val subsets: Array[Int] =
       (0 until (1 << m)).filter(Integer.bitCount(_) == arity).sorted.toArray
     val nKeys = subsets.length
-    val nTables = cpTables(arity)
+    val nTables = if (nTablesOverride > 0) nTablesOverride else cpTables(arity)
     // Projection weights computed on the driver (8 tables × 64 planes ×
     // 64 components of ±1 from the md5 high bit — same arithmetic as
     // the oracle) and shipped to executors in the task closure

@@ -296,7 +296,7 @@ object SqlScriptFuzz {
     // expression index needs a matching expression conflict target).
     val indexed = if (rnd.nextInt(10) < 3) {
       val c = cols(rnd.nextInt(cols.size)).name
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 | 1 =>
           stmts += s"CREATE UNIQUE INDEX i1 ON t1 ($c)"
           Some(c)
@@ -305,6 +305,16 @@ object SqlScriptFuzz {
           None
         case 3 =>
           stmts += s"CREATE UNIQUE INDEX i1 ON t1 ($c COLLATE NOCASE)"
+          None
+        case 4 =>
+          // composite `||` key (round 13, VERDICT r12 #2 + ADVICE r11
+          // #1): `||` yields TEXT storage in sqlite even when a
+          // text-returning function does NOT span the whole key
+          // expression — the corner the r12 topLevelConcat fix pinned
+          // by hand; generating it makes the fix fuzzed, not just
+          // hand-pinned.
+          val c2 = cols(rnd.nextInt(cols.size)).name
+          stmts += s"CREATE UNIQUE INDEX i1 ON t1 (lower($c) || $c2)"
           None
         case _ =>
           val w = if (rnd.nextBoolean()) s"$c IS NOT NULL" else s"$c > 0"
