@@ -2026,7 +2026,15 @@ object ScriptDdl {
     * double-typed `a2 * 10` back into the integer 20 that sqlite3
     * stores on an undeclared column (pinned in CliSpec; a string
     * literal like '007' also canonicalizing there is the documented
-    * value-provenance deviation). `resolveOn` is whatever frame can
+    * value-provenance deviation). A second corner of the same
+    * family (round-13 fuzz seed 4255): an undeclared column CAN hold
+    * numerically-equal values in two renderings ('0' from an int
+    * insert, '0.0' from abs()'s REAL result), and when they tie for
+    * min()/max() sqlite returns the first in ROWID SCAN ORDER — an
+    * order this engine's rebind chains don't preserve, so the tied
+    * pick is engine-arbitrary there. Declared affinities
+    * canonicalize equal numerics to one rendering at insert, which
+    * removes the ambiguity. `resolveOn` is whatever frame can
     * resolve the expression's column references (the table for
     * UPDATE, the upsert join for DO UPDATE's `excluded.` refs). */
   private def storeCanonical(

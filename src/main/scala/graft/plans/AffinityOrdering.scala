@@ -95,6 +95,18 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     case _ => e
   }
 
+  /** Recognition helper: a correlated subquery's outer operand
+    * arrives as OuterReference(attr) (round-13 fuzz seeds 2161/2254 —
+    * `x.d = t1.d` inside EXISTS never matched the comparison matrix,
+    * so cross-storage-class equality on the outer column fell back to
+    * string equality). Recognition looks THROUGH the wrapper; key
+    * building keeps the original wrapped expression so correlation
+    * extraction still sees the OuterReference. */
+  private def derefOuter(e: Expression): Expression = e match {
+    case OuterReference(a) => a
+    case _ => e
+  }
+
   /** The cross-type key for expression builders outside this rule
     * (scalar min/max in GraftFunctions). */
   private[graft] def sortKeyFor(a: Expression): Expression = sortKey(a)
@@ -131,7 +143,26 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     * looking one level down (after optimization the projection may
     * have collapsed into union branches, too late to see the alias).
     */
-  def rewriteComputedSorts(plan: LogicalPlan): LogicalPlan =
+  def rewriteComputedSorts(plan: LogicalPlan): LogicalPlan = {
+    // Every Alias in the whole statement, keyed by exprId — a
+    // CTERelationRef reuses its def's exprIds, so a Sort over
+    // `SELECT u, v FROM w` can resolve v to the abs(b) the CTE body
+    // computed (round-13 fuzz seed 2152: that ORDER BY sorted
+    // lexically because the one-level alias map under the Sort sees
+    // only pass-through attributes). Used for CLASSIFICATION only;
+    // key injection still needs the one-level shape.
+    val deepAliased: Map[ExprId, Expression] = {
+      val b = Map.newBuilder[ExprId, Expression]
+      def fromExpr(e: Expression): Unit = e.foreach {
+        case al: Alias => b += al.exprId -> al.child
+        case sq: SubqueryExpression => fromPlan(sq.plan)
+        case _ => ()
+      }
+      def fromPlan(p: LogicalPlan): Unit =
+        p.foreach(_.expressions.foreach(fromExpr))
+      fromPlan(plan)
+      b.result()
+    }
     plan.transformDown {
       case s @ Sort(order, _, child, _) =>
         val aliased: Map[ExprId, Expression] = (child match {
@@ -165,6 +196,20 @@ object AffinityOrdering extends Rule[LogicalPlan] {
                 extra += al
                 so.copy(child = al.toAttribute)
               } else so.copy(child = sortKey(ar))
+            // defining expression sits past a pass-through or CTE
+            // boundary (one-level map missed): classify by the
+            // resolved definition, key by the attribute's per-value
+            // storage class. For mixed text-storage branches the
+            // per-value key is a documented approximation (per-branch
+            // keys cannot ride through a CTERelationRef's fixed
+            // output) — strictly closer to sqlite than the lexical
+            // sort it replaces.
+            case ar: AttributeReference
+                if ar.dataType == StringType &&
+                  !ar.metadata.contains(AffinityKey) &&
+                  deepAliased.get(ar.exprId)
+                    .exists(ce => valueModeExpr(ce) || mixedProvenance(ce)) =>
+              so.copy(child = sortKey(ar))
             case e
                 if e.dataType == StringType && !isAffinityAttr(e) &&
                   (valueModeExpr(e) || mixedProvenance(e)) =>
@@ -188,6 +233,7 @@ object AffinityOrdering extends Rule[LogicalPlan] {
             s.copy(order = newOrder, child = other)
         }
     }
+  }
 
   /** True iff a conditional tree mixes a value-mode branch with a
     * text-STORAGE string branch (upper/substr/CAST AS TEXT results,
@@ -284,19 +330,76 @@ object AffinityOrdering extends Rule[LogicalPlan] {
         val (a, bs) = inKeys(l, items).get; In(a, bs)
     }
 
-  /** Equality keys ONLY for the column-vs-literal shape: canonical
-    * storage already makes column-vs-column equality string-identical
-    * (and rewriting a JOIN's `a1 = b1` would reshape pinned plans),
-    * while a literal needs the affinity matrix (`d <> 100` is TRUE
-    * for a TEXT-storage value under a NUMERIC-affinity column). */
+  /** Equality keys for column-vs-literal AND column-vs-column.
+    *
+    * The original rule covered only column-vs-literal on the premise
+    * that canonical storage makes column-vs-column equality
+    * string-identical. That premise fails exactly where int-class and
+    * real-class values are numerically equal but render differently:
+    * a NONE-affinity column holding 100 and 100.0 (round-13 fuzz
+    * seeds 2120/2161/2171/2254 — `x.d = t1.d` in a correlated EXISTS
+    * and `t1.d = w.u` through a CTE both compare sqlite's storage
+    * classes numerically, so int 100 = real 100.0 is TRUE, while the
+    * canonical strings '100' and '100.0' differ). Column-vs-column
+    * equality therefore goes through the same operand-affinity matrix
+    * as the inequalities; the struct keys stay extractable as
+    * equi-join keys, and the q-family's parquet joins never carry
+    * affinity metadata, so audited plans don't reshape. */
   private def eqKeys(l: Expression,
       r: Expression): Option[(Expression, Expression)] = {
     val l0 = stripCasts(l)
     val r0 = stripCasts(r)
-    def rec(e: Expression) = isAffinityAttr(e) || isTextDeclAttr(e)
+    def rec(e: Expression) = {
+      val d = derefOuter(e)
+      isAffinityAttr(d) || isTextDeclAttr(d)
+    }
     val colVsLit = (rec(l0) && !rec(r0) && r0.foldable) ||
       (rec(r0) && !rec(l0) && l0.foldable)
-    if (colVsLit) cmpKeys(l, r) else None
+    // Column-vs-column fires ONLY where canonical renderings of equal
+    // values can differ across the two columns — elsewhere raw string
+    // equality on canonical text is already sqlite's answer, and
+    // skipping keeps equi-join keys (and the physical plans + row
+    // order of the reference examples' typed joins) byte-identical:
+    //  - same numeric family (INTEGER/NUMERIC pair, REAL pair):
+    //    canonicalization collapses equal values to one rendering;
+    //  - TEXT×TEXT: sqlite compares text, raw equality is exact;
+    //  - TEXT×NONE: sqlite applies TEXT affinity to the NONE side,
+    //    whose canonical rendering IS its text conversion.
+    // What remains — NONE×NONE (int 100 vs real 100.0 natural
+    // classes), cross-family numeric (INTEGER '100' vs REAL '100.0'),
+    // and TEXT×numeric ('007' vs 7, NUMERIC applied to the text) —
+    // goes through the matrix. BARE operands only (no stripCasts):
+    // string-vs-string comparisons get no coercion casts from the
+    // analyzer, while an engine-built expression like normKeyCol's
+    // `cast(cast(c as long) as double) = cast(c as double)` strips to
+    // the same attribute on both sides and must NOT be hijacked (the
+    // first cut did, collapsing the long-exactness probe to TRUE and
+    // making the unique-index check merge 0.25 with 0).
+    def bare(e: Expression) = {
+      val d = derefOuter(e)
+      (isAffinityAttr(d) || isTextDeclAttr(d)) && (d eq stripCasts(d))
+    }
+    val colVsCol = bare(l) && bare(r) && {
+      val fa = affFamily(l)
+      val fb = affFamily(r)
+      !((fa == fb && fa != "NONE") || Set(fa, fb) == Set("TEXT", "NONE"))
+    }
+    if (colVsLit || colVsCol) cmpKeys(l, r) else None
+  }
+
+  /** Affinity family for [[eqKeys]]'s skip table: INTEGER and NUMERIC
+    * share one canonicalization, so they fold into one family. */
+  private def affFamily(e: Expression): String = {
+    val d = derefOuter(e)
+    def fold(aff: String) =
+      if (aff == "INTEGER" || aff == "NUMERIC") "INTNUM" else aff
+    d match {
+      case a: AttributeReference if a.metadata.contains(AffinityKey) =>
+        fold(a.metadata.getString(AffinityKey))
+      case AffinityValue(_, aff) => fold(aff)
+      case _ if isTextDeclAttr(d) => "TEXT"
+      case _ => ""
+    }
   }
 
   /** Keys for `l IN (items…)` when l is a recognized column and every
@@ -378,7 +481,12 @@ object AffinityOrdering extends Rule[LogicalPlan] {
       r: Expression): Option[(Expression, Expression)] = {
     val l0 = stripCasts(l)
     val r0 = stripCasts(r)
-    def recognized(e: Expression) = isAffinityAttr(e) || isTextDeclAttr(e)
+    // recognition sees through OuterReference; key building keeps the
+    // wrapped expression (see derefOuter)
+    def recognized(e: Expression) = {
+      val d = derefOuter(e)
+      isAffinityAttr(d) || isTextDeclAttr(d)
+    }
     def known(e: Expression) = recognized(e) || e.foldable
     // a COLLATE'd operand keeps Spark's collated comparison (the
     // documented scope limit: storage-class tiering is not combined
@@ -388,12 +496,14 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     if (!(recognized(l0) || recognized(r0)) || !known(l0) || !known(r0) ||
         collated(l) || collated(r)) None
     else {
-      val pairNum = hasNumericAffinity(l0) || hasNumericAffinity(r0)
-      val pairText = !pairNum && (isTextDeclAttr(l0) || isTextDeclAttr(r0))
+      val pairNum = hasNumericAffinity(derefOuter(l0)) ||
+        hasNumericAffinity(derefOuter(r0))
+      val pairText = !pairNum && (isTextDeclAttr(derefOuter(l0)) ||
+        isTextDeclAttr(derefOuter(r0)))
       def key(e0: Expression): Expression =
         if (pairNum) valueKey(e0)
         else if (pairText) textKey(e0)
-        else if (isAffinityAttr(e0)) valueKey(e0) // NONE col: natural class
+        else if (isAffinityAttr(derefOuter(e0))) valueKey(e0) // NONE col: natural class
         else if (e0.dataType == StringType) textKey(e0) // literal: TEXT storage
         else valueKey(e0) // numeric literal
       Some((key(l0), key(r0)))
