@@ -1236,16 +1236,24 @@ object ScriptDdl {
             Nil, target.schema, canon.collect().toSeq.map(r => (None, Some(r)))))
           spark.table(name)
         else target
-      val (newTable, affected) = upsert match {
-        case Some(u) => applyUpsert(spark, name, targetNow, canon, u, mode, state)
-        case None => applyInsert(spark, name, targetNow, canon, mode, state)
+      val (newTable, affected, inserted, updPairs, updAssigned) = upsert match {
+        case Some(u) =>
+          applyUpsert(spark, name, targetNow, canon, u, mode, state)
+        case None =>
+          val (t, a) = applyInsert(spark, name, targetNow, canon, mode, state)
+          (t, a, a, Seq.empty[(Option[Row], Option[Row])], Seq.empty[String])
       }
       commitTable(spark, name, collapseIfDeep(newTable))
-      // AFTER INSERT fires per row ACTUALLY stored (OR IGNORE'd
-      // conflicts never fire)
+      // AFTER INSERT fires per row ACTUALLY INSERTED (OR IGNORE'd
+      // conflicts never fire, and an upsert's DO-UPDATE rows are
+      // UPDATES, not inserts — round-13 fuzz seed 1856: sqlite fires
+      // the UPDATE trigger chain for those instead, handled below)
       if (withTrig)
         fireTriggers(spark, state, name, "AFTER", "INSERT", Nil,
-          target.schema, affected.collect().toSeq.map(r => (None, Some(r))))
+          target.schema, inserted.collect().toSeq.map(r => (None, Some(r))))
+      if (updPairs.nonEmpty)
+        fireTriggers(spark, state, name, "AFTER", "UPDATE", updAssigned,
+          target.schema, updPairs)
       Handled(retText.map(returningDf(target, affected, _)))
 
     case CreateView(ifNotExists, name, select) =>
@@ -2544,7 +2552,9 @@ object ScriptDdl {
       spark: SparkSession, name: String, target: org.apache.spark.sql.DataFrame,
       aligned: org.apache.spark.sql.DataFrame, up: UpsertSpec, nnMode: String,
       state: State)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, Seq[(Option[Row], Option[Row])],
+         Seq[String]) = {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{max => fMax, monotonically_increasing_id, row_number}
@@ -2569,8 +2579,9 @@ object ScriptDdl {
           .getOrElse(noPkMatch)
       case None if allKs.lengthCompare(1) == 0 => allKs.head
       case None if up.set.isEmpty =>
-        return applyInsert(spark, name, target, aligned, "ignore", state,
+        val (t, a) = applyInsert(spark, name, target, aligned, "ignore", state,
           nnOverride = Some(nnMode))
+        return (t, a, a, Nil, Nil)
       case None => throw new UnsupportedOperationException(
         "ON CONFLICT DO UPDATE without a conflict target is not supported " +
           "when multiple uniqueness constraints exist")
@@ -2607,17 +2618,40 @@ object ScriptDdl {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
     }
+    // DO-UPDATE rows fire the UPDATE trigger chain (round-13 fuzz
+    // seed 1856 — sqlite treats the upsert's update arm as an UPDATE
+    // for trigger purposes; BEFORE INSERT already fired for every
+    // proposed row, before conflict resolution, like sqlite). BEFORE
+    // UPDATE fires here per round; AFTER UPDATE fires at the call
+    // site, after the statement's plan commits. Limitation (same
+    // class as the rest of the batch trigger surface): a BEFORE body
+    // that mutates THIS table is not re-read mid-upsert.
+    val updAssigned: Seq[String] = up.set.map { case (setText, _) =>
+      splitTopLevel(setText).map(parseAssignment).map(_._1) }.getOrElse(Nil)
+    val wantUpdTrig =
+      up.set.nonEmpty && anyTriggers(state, name, "UPDATE", updAssigned)
     var cur = target
     val retParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val insParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val updPairs =
+      scala.collection.mutable.ArrayBuffer.empty[(Option[Row], Option[Row])]
     for (round <- 1 to maxOcc) {
       val p = withOcc.where(col("__gr_occ") === round).drop("__gr_occ", "__gr_rid")
-      val (next, freshRows, updRows) = upsertRound(name, cur, p, up, schema, pkCols)
+      val (next, freshRows, updRows, pairs) =
+        upsertRound(name, cur, p, up, schema, pkCols, wantUpdTrig)
+      if (pairs.nonEmpty) {
+        fireTriggers(spark, state, name, "BEFORE", "UPDATE", updAssigned,
+          schema, pairs)
+        updPairs ++= pairs
+      }
       cur = next
       retParts += freshRows
+      insParts += freshRows
       updRows.foreach(retParts += _)
     }
     cur = cur.unionByName(nullKeyed)
     retParts += nullKeyed
+    insParts += nullKeyed
     // post-assignment constraint surface: NN on updated rows, and
     // final-state pk uniqueness when DO UPDATE reassigns the key
     // (sqlite3 allows `do update set k = …`; a duplicate final state
@@ -2630,7 +2664,8 @@ object ScriptDdl {
     // insert (or DO-UPDATE result) violating a different uniqueness
     // constraint still errors, like sqlite3
     for (ks <- allKs if ks != pkCols) checkExistingUnique(cur, name, ks)
-    (order(cur), retParts.reduce(_ unionByName _))
+    (order(cur), retParts.reduce(_ unionByName _),
+      insParts.reduce(_ unionByName _), updPairs.toSeq, updAssigned)
   }
 
   /** One set-based upsert round over unique-keyed proposed rows:
@@ -2641,15 +2676,16 @@ object ScriptDdl {
   private def upsertRound(
       name: String, cur: org.apache.spark.sql.DataFrame,
       p: org.apache.spark.sql.DataFrame, up: UpsertSpec,
-      schema: StructType, pkCols: Seq[String])
+      schema: StructType, pkCols: Seq[String], wantPairs: Boolean)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
-         Option[org.apache.spark.sql.DataFrame]) = {
+         Option[org.apache.spark.sql.DataFrame],
+         Seq[(Option[Row], Option[Row])]) = {
     def joinCond(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
       pkCols.map(c => a(c) === b(c)).reduce(_ && _)
     val fresh = p.join(cur, joinCond(p, cur), "left_anti")
     up.set match {
       case None => // DO NOTHING: conflicting proposed rows drop
-        (cur.unionByName(fresh), fresh, None)
+        (cur.unionByName(fresh), fresh, None, Nil)
       case Some((setText, whereText)) =>
         val assigns = splitTopLevel(setText).map(parseAssignment)
         for ((n, _) <- assigns if !schema.fields.exists(_.name.equalsIgnoreCase(n)))
@@ -2683,7 +2719,20 @@ object ScriptDdl {
           joined.where(updCond).select(schema.fields.map { f =>
             newVal(f.name).getOrElse(col(s"$name.`${f.name}`")).as(f.name, f.metadata)
           }.toIndexedSeq: _*))
-        (updatedStored.unionByName(fresh), fresh, Some(updRet))
+        // (OLD, NEW) rows of the update arm, for the UPDATE trigger
+        // chain — one bounded collect, only when a trigger matches
+        val pairs: Seq[(Option[Row], Option[Row])] = if (!wantPairs) Nil else {
+          val oldCols = schema.fields.map(f => col(s"$name.`${f.name}`"))
+          val newCols = schema.fields.map(f =>
+            newVal(f.name).getOrElse(col(s"$name.`${f.name}`")))
+          val n = schema.fields.length
+          SqliteArith.fixup(cur.sparkSession,
+            joined.where(updCond).select((oldCols ++ newCols).toIndexedSeq: _*))
+            .collect().toSeq
+            .map(r => (Some(Row.fromSeq((0 until n).map(r.get))),
+                       Some(Row.fromSeq((n until 2 * n).map(r.get)))))
+        }
+        (updatedStored.unionByName(fresh), fresh, Some(updRet), pairs)
     }
   }
 
