@@ -150,8 +150,11 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     // computed (round-13 fuzz seed 2152: that ORDER BY sorted
     // lexically because the one-level alias map under the Sort sees
     // only pass-through attributes). Used for CLASSIFICATION only;
-    // key injection still needs the one-level shape.
-    val deepAliased: Map[ExprId, Expression] = {
+    // key injection still needs the one-level shape. LAZY: fixup runs
+    // on every script statement/rebind/constraint probe, and the
+    // whole-plan walk is only needed when a Sort's one-level alias
+    // map actually misses — which most statements never reach.
+    lazy val deepAliased: Map[ExprId, Expression] = {
       val b = Map.newBuilder[ExprId, Expression]
       def fromExpr(e: Expression): Unit = e.foreach {
         case al: Alias => b += al.exprId -> al.child
