@@ -328,17 +328,21 @@ object Bench {
     // Output-path policy (ADVICE r12 #1: a 6-query BENCH_ONLY rerun
     // clobbered the 150-row BENCH_FULL baseline, and the next full
     // sweep's rerun adjudication lost its predecessor): BENCH_ONLY
-    // runs default to BENCH_PARTIAL.json, and ANY write refuses to
-    // replace an existing file that holds more query rows than this
-    // run produced (diverted to <out>.partial with a warning) —
+    // runs default to BENCH_PARTIAL.json, and a SUBSET write refuses
+    // to replace an existing file that holds more query rows than
+    // this run produced (diverted to <out>.partial with a warning) —
     // replacing the baseline with a subset now takes an explicit
-    // BENCH_OUT to a fresh path.
+    // BENCH_OUT to a fresh path. The guard is scoped to subset runs
+    // (ADVICE r13 #3): a FULL sweep is authoritative for the current
+    // suite, so if the suite ever legitimately shrinks the baseline
+    // follows it instead of silently going stale behind a .partial
+    // diversion.
     val out0 = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "/root/repo/BENCH_PARTIAL.json"
       else "/root/repo/BENCH_FULL.json")
     val out = try {
       val p = java.nio.file.Paths.get(out0)
-      if (java.nio.file.Files.exists(p) &&
+      if (only.isDefined && java.nio.file.Files.exists(p) &&
           jsonNumMap(java.nio.file.Files.readString(p), "queries").size > results.size) {
         System.err.println(s"[bench] refusing to overwrite $out0 " +
           s"(existing file has more query rows than this run); writing $out0.partial")

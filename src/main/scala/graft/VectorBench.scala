@@ -246,11 +246,20 @@ object VectorBench {
           s"planted=${truth.size} arity=2")
         for (tables <- Seq(8, 16, 32); extra <- Seq(1, 2)) {
           val t0 = System.nanoTime()
-          val cand = graft.queries.Pipeline
+          // One action per configuration (ADVICE r13 #2: collect +
+          // count over the same uncached frame computed the candidate
+          // DAG twice, roughly doubling the recorded wall): a single
+          // aggregate returns the total pair count and the planted-id
+          // hits together.
+          val agg = graft.queries.Pipeline
             .cpCandidatePairsAt(spark, dir.toString, 2, tables, extra)
-          val got = cand.filter(col("ib") >= nn).collect()
+            .agg(count(lit(1)).as("n"),
+              collect_list(when(col("ib") >= nn,
+                struct(col("ia"), col("ib")))).as("hits"))
+            .head()
+          val nPairs = agg.getLong(0)
+          val got = agg.getSeq[org.apache.spark.sql.Row](1)
             .map(r => (r.getLong(0), r.getLong(1))).toSet
-          val nPairs = cand.count()
           val secs = (System.nanoTime() - t0) / 1e9
           val recall = truth.count(got.contains).toDouble / truth.size
           val tag = if (tables == 16 && extra == 2) "  <- production" else ""

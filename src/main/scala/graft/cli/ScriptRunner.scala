@@ -152,7 +152,8 @@ object ScriptRunner {
     * aggregates (`sum` INTEGER-iff-all-integer, `total`) apply inside
     * script execution only. */
   def run(spark: SparkSession, script: String, serializer: Serializer,
-      dbFile: Option[String] = None): Unit = {
+      dbFile: Option[String] = None,
+      onStatement: String => Unit = _ => ()): Unit = {
     // The script dialect needs SQLite-permissive coercions ('x' < 10 is
     // NULL, not an error) whatever the host session's ANSI setting is.
     val savedAnsi = spark.conf.get("spark.sql.ansi.enabled")
@@ -204,6 +205,10 @@ object ScriptRunner {
           // attach binding only if the statement left the view behind
           ScriptDdl.commitPendingAttachBindings(spark, ddlState)
         } finally ScriptDdl.clearPendingAttachBindings(ddlState)
+        // statement-granular observer (default no-op): the fuzz
+        // sweep's janino-fallback attribution samples its counter at
+        // each statement boundary (VERDICT r13 #1)
+        onStatement(stmt)
       }
     } finally {
       spark.conf.set("spark.sql.ansi.enabled", savedAnsi)

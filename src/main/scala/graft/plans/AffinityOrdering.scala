@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Max, MaxBy, Min, MinBy}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
 
@@ -168,51 +169,53 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     }
     plan.transformDown {
       case s @ Sort(order, _, child, _) =>
-        val aliased: Map[ExprId, Expression] = (child match {
-          case p: Project => p.projectList
-          case a: Aggregate => a.aggregateExpressions
-          case _ => Seq.empty
-        }).collect { case al @ Alias(c, _) => al.exprId -> c }.toMap
         // conditionals mixing text-storage branches (upper/substr/
         // literals) with value-mode branches need the PER-BRANCH key
         // ([[provKey]]); an alias-resolved one must evaluate against
-        // the child's INPUT, so the key rides in as a hidden output
-        // column — of the Project's list (round-9 fuzz seed 2172) or
-        // the Aggregate's aggregateExpressions (ADVICE r9: a GROUP BY
-        // SELECT fell back to the whole-value key, so the seed-2172
-        // misordering class persisted for aggregated SELECTs; the key
-        // expression is built from the SAME analyzed alias child, so
-        // it only references grouping/aggregate results).
-        val canInject =
-          child.isInstanceOf[Project] || child.isInstanceOf[Aggregate]
-        val extra = Vector.newBuilder[NamedExpression]
+        // the DEFINING node's input, so the key rides in as a hidden
+        // output column of that Project's list (round-9 fuzz seed
+        // 2172) or Aggregate's aggregateExpressions (ADVICE r9), and
+        // — round 14, VERDICT r13 #3 — the defining node may sit a
+        // pass-through chain below the Sort (the inlined CTE shape
+        // `Sort → Project[u,v] → SubqueryAlias w → Project[…CASE AS
+        // v]`): [[injectKey]] threads the key up through pass-through
+        // Projects / Filters / SubqueryAliases. The original output
+        // is restored by a pruning Project on top.
+        var curChild = child
+        var injected = false
         val newOrder = order.map { so =>
           so.child match {
             case ar: AttributeReference
                 if ar.dataType == StringType &&
-                  !ar.metadata.contains(AffinityKey) &&
-                  aliased.get(ar.exprId)
-                    .exists(ce => valueModeExpr(ce) || mixedProvenance(ce)) =>
-              val ce = aliased(ar.exprId)
-              if (mixedProvenance(ce) && canInject) {
-                val al = Alias(provKey(ce), s"__graft_sortkey_${ar.exprId.id}")()
-                extra += al
-                so.copy(child = al.toAttribute)
-              } else so.copy(child = sortKey(ar))
-            // defining expression sits past a pass-through or CTE
-            // boundary (one-level map missed): classify by the
-            // resolved definition, key by the attribute's per-value
-            // storage class. For mixed text-storage branches the
-            // per-value key is a documented approximation (per-branch
-            // keys cannot ride through a CTERelationRef's fixed
-            // output) — strictly closer to sqlite than the lexical
-            // sort it replaces.
-            case ar: AttributeReference
-                if ar.dataType == StringType &&
-                  !ar.metadata.contains(AffinityKey) &&
-                  deepAliased.get(ar.exprId)
-                    .exists(ce => valueModeExpr(ce) || mixedProvenance(ce)) =>
-              so.copy(child = sortKey(ar))
+                  !ar.metadata.contains(AffinityKey) =>
+              resolveDef(curChild, ar) match {
+                case Some(ce) if mixedProvenance(ce) =>
+                  injectKey(curChild, ar, ce) match {
+                    case Some((nc, key)) =>
+                      curChild = nc; injected = true
+                      so.copy(child = key)
+                    // unreachable in practice: resolveDef and
+                    // injectKey walk the same chain
+                    case None => so.copy(child = sortKey(ar))
+                  }
+                case Some(ce) if valueModeExpr(ce) =>
+                  so.copy(child = sortKey(ar))
+                // defining expression sits past a boundary the chain
+                // walk can't thread (a multi-reference CTERelationRef
+                // that Spark's InlineCTE kept, a Window, a set-op):
+                // classify by the resolved definition, key by the
+                // attribute's per-value storage class. For mixed
+                // text-storage branches the per-value key is a
+                // documented approximation (a per-branch key cannot
+                // ride through a CTERelationRef's fixed output) —
+                // strictly closer to sqlite than the lexical sort it
+                // replaces.
+                case _
+                    if deepAliased.get(ar.exprId)
+                      .exists(ce => valueModeExpr(ce) || mixedProvenance(ce)) =>
+                  so.copy(child = sortKey(ar))
+                case _ => so
+              }
             case e
                 if e.dataType == StringType && !isAffinityAttr(e) &&
                   (valueModeExpr(e) || mixedProvenance(e)) =>
@@ -220,22 +223,80 @@ object AffinityOrdering extends Rule[LogicalPlan] {
             case _ => so
           }
         }
-        val keys = extra.result()
-        if (keys.isEmpty) s.copy(order = newOrder)
-        else child match {
-          case p: Project =>
-            Project(p.output,
-              s.copy(order = newOrder,
-                child = p.copy(projectList = p.projectList ++ keys)))
-          case a: Aggregate =>
-            Project(a.output,
-              s.copy(order = newOrder,
-                child = a.copy(
-                  aggregateExpressions = a.aggregateExpressions ++ keys)))
-          case other => // unreachable: keys only collect under canInject
-            s.copy(order = newOrder, child = other)
-        }
+        if (!injected) s.copy(order = newOrder)
+        else Project(child.output, s.copy(order = newOrder, child = curChild))
     }
+  }
+
+  /** Resolve `ar` to its defining expression by walking pass-through
+    * Projects, Filters and SubqueryAliases below the Sort — the
+    * shapes [[injectKey]] can thread a hidden key column through. */
+  private def resolveDef(node: LogicalPlan,
+      ar: AttributeReference): Option[Expression] = node match {
+    case p: Project =>
+      p.projectList.collectFirst {
+        case al @ Alias(ce, _) if al.exprId == ar.exprId => ce
+      }.orElse {
+        if (p.projectList.exists {
+            case a: Attribute => a.exprId == ar.exprId
+            case _ => false
+          }) resolveDef(p.child, ar)
+        else None
+      }
+    case a: Aggregate =>
+      a.aggregateExpressions.collectFirst {
+        case al @ Alias(ce, _) if al.exprId == ar.exprId => ce
+      }
+    case f: Filter => resolveDef(f.child, ar)
+    case sa: SubqueryAlias => resolveDef(sa.child, ar)
+    case j: Join if j.left.output.exists(_.exprId == ar.exprId) =>
+      resolveDef(j.left, ar)
+    case j: Join if j.right.output.exists(_.exprId == ar.exprId) =>
+      resolveDef(j.right, ar)
+    case _ => None
+  }
+
+  /** Append `provKey(ce)` as a hidden output column at the node that
+    * DEFINES `ar` (where `ce`'s inputs resolve), threading the new
+    * column up through the same pass-through chain [[resolveDef]]
+    * walked. Returns the rewritten subtree and the key attribute. */
+  private def injectKey(node: LogicalPlan, ar: AttributeReference,
+      ce: Expression): Option[(LogicalPlan, Attribute)] = node match {
+    case p: Project
+        if p.projectList.exists {
+          case al: Alias => al.exprId == ar.exprId
+          case _ => false
+        } =>
+      val al = Alias(provKey(ce), s"__graft_sortkey_${ar.exprId.id}")()
+      Some((p.copy(projectList = p.projectList :+ al), al.toAttribute))
+    case p: Project =>
+      injectKey(p.child, ar, ce).map { case (c, key) =>
+        (p.copy(projectList = p.projectList :+ key, child = c), key)
+      }
+    case a: Aggregate
+        if a.aggregateExpressions.exists {
+          case al: Alias => al.exprId == ar.exprId
+          case _ => false
+        } =>
+      val al = Alias(provKey(ce), s"__graft_sortkey_${ar.exprId.id}")()
+      Some((a.copy(aggregateExpressions = a.aggregateExpressions :+ al),
+        al.toAttribute))
+    case f: Filter =>
+      injectKey(f.child, ar, ce).map { case (c, key) => (f.copy(child = c), key) }
+    case sa: SubqueryAlias =>
+      injectKey(sa.child, ar, ce).map { case (c, key) => (sa.copy(child = c), key) }
+    // a Join's output is the concatenation of its sides' outputs, so
+    // a key appended on the defining side rides through (only INNER
+    // joins are walked: an outer join null-extends its non-preserved
+    // side, where a struct key built below would stay non-null and
+    // misrank the null-extended rows)
+    case j: Join if j.joinType == Inner =>
+      if (j.left.output.exists(_.exprId == ar.exprId))
+        injectKey(j.left, ar, ce).map { case (c, key) => (j.copy(left = c), key) }
+      else if (j.right.output.exists(_.exprId == ar.exprId))
+        injectKey(j.right, ar, ce).map { case (c, key) => (j.copy(right = c), key) }
+      else None
+    case _ => None
   }
 
   /** True iff a conditional tree mixes a value-mode branch with a
@@ -326,6 +387,15 @@ object AffinityOrdering extends Rule[LogicalPlan] {
       // where Spark's numeric coercion yields NULL (fuzz round 7)
       case EqualTo(l, r) if eqKeys(l, r).isDefined =>
         val (a, b) = eqKeys(l, r).get; EqualTo(a, b)
+      // IS / IS NOT (SqliteOperators rewrites them to <=> / NOT <=>)
+      // obey the same matrix: int 100 IS real 100.0 on NONE-affinity
+      // columns is TRUE in sqlite (ADVICE r13). Null-safe semantics
+      // survive the rewrite because every key builder returns NULL
+      // iff its operand is NULL, so both-null / one-null arms are
+      // unchanged and the both-non-null arm compares storage-class
+      // keys exactly like EqualTo.
+      case EqualNullSafe(l, r) if eqKeys(l, r).isDefined =>
+        val (a, b) = eqKeys(l, r).get; EqualNullSafe(a, b)
       // IN applies the LEFT operand's affinity to every list value
       // (sqlite.org/lang_expr.html §7: "the affinity of the left
       // operand is applied to each value on the right")

@@ -54,11 +54,24 @@ import org.apache.spark.sql.SparkSession
   * INSTEAD OF triggers on the generated view with INSERT / UPDATE /
   * DELETE routed through a log table.
   *
+  * Round 14 additions: IS / IS NOT comparisons with literal and
+  * column operands (ADVICE r13 #1 — the eqKeys storage-class matrix
+  * must cover EqualNullSafe too), CTE bodies whose projection mixes
+  * text-storage and value-mode CASE/coalesce branches feeding ORDER
+  * BY (VERDICT r13 #3 — the per-value-key fallback behind a
+  * CTERelationRef), and trigger bodies that MUTATE the firing table
+  * (UPDATE/INSERT on t1 from inside an AFTER trigger, VERDICT r13
+  * #4).
+  *
   * Not generated (documented gaps / nondeterminism): RETURNING (row
   * order is engine-private), group_concat (concatenation order),
   * random(), typeof() around arithmetic results, numeric-looking
   * text in no-affinity value positions (the engine's one documented
-  * value-provenance deviation).
+  * value-provenance deviation), and rowid-ordered SELECTs over the
+  * alog/vlog audit tables — the engine fires batch triggers
+  * phase-major where sqlite interleaves row-major (the documented
+  * batch-trigger-ordering deviation, fireTriggers scaladoc), so log
+  * SELECTs order by VALUE only.
   */
 object SqlScriptFuzz {
 
@@ -147,7 +160,7 @@ object SqlScriptFuzz {
   private def pred(rnd: Random, cols: Vector[Col], depth: Int = 0): String = {
     val c = colRef(rnd, cols)
     if (depth >= 2) return s"$c IS NOT NULL"
-    rnd.nextInt(10) match {
+    rnd.nextInt(12) match {
       case 0 => s"$c > ${lit(rnd)}"
       case 1 => s"$c < ${lit(rnd)}"
       case 2 => s"$c = ${lit(rnd)}"
@@ -158,7 +171,17 @@ object SqlScriptFuzz {
       case 7 => s"$c BETWEEN ${intLits(rnd.nextInt(intLits.size))} AND " +
         s"${intLits(rnd.nextInt(intLits.size))}"
       case 8 => s"(${pred(rnd, cols, depth + 1)}) AND (${pred(rnd, cols, depth + 1)})"
-      case _ => s"(${pred(rnd, cols, depth + 1)}) OR (${pred(rnd, cols, depth + 1)})"
+      case 9 => s"(${pred(rnd, cols, depth + 1)}) OR (${pred(rnd, cols, depth + 1)})"
+      // IS / IS NOT with value (and column) operands — round 14,
+      // ADVICE r13 #1: the storage-class equality matrix must hold
+      // for the null-safe operator too (int 100 IS real 100.0 on a
+      // NONE-affinity column is TRUE in sqlite)
+      case 10 =>
+        val rhs = if (rnd.nextBoolean()) lit(rnd) else colRef(rnd, cols)
+        s"$c IS $rhs"
+      case _ =>
+        val rhs = if (rnd.nextBoolean()) lit(rnd) else colRef(rnd, cols)
+        s"$c IS NOT $rhs"
     }
   }
 
@@ -288,6 +311,33 @@ object SqlScriptFuzz {
         if (rnd.nextBoolean()) s" WHEN $ref.${c.name} IS NOT NULL" else ""
       stmts += s"CREATE TRIGGER atr $timing $event ON t1$when " +
         s"BEGIN INSERT INTO alog VALUES ($ref.${c.name}); END"
+    }
+
+    // --- optional TARGET-MUTATING trigger (round 14, VERDICT r13
+    // #4): an INSERT-event trigger whose body mutates t1 itself.
+    // sqlite processes a multi-row INSERT row-major — one row's
+    // BEFORE → insert → AFTER chain completes before the next row's
+    // begins, so the body's mutations are visible to later rows of
+    // the same statement; the Insert handler's per-row loop is what
+    // this arm pins. Scope guards: INSERT events only (sqlite
+    // declares a BEFORE UPDATE/DELETE body that changes the rows
+    // being updated/deleted UNDEFINED, lang_createtrigger §cautions,
+    // and a BEFORE-UPDATE body mutating the target mid-upsert is the
+    // engine's documented non-re-read); exclusive with the audit
+    // trigger (relative firing order of two triggers on one event is
+    // unspecified in sqlite); recursion is cut identically in both
+    // engines (recursive_triggers defaults OFF; state.firing).
+    val hasMutTrigger = !hasTrigger && rnd.nextInt(5) == 0
+    if (hasMutTrigger) {
+      val timing = if (rnd.nextBoolean()) "AFTER" else "BEFORE"
+      val body =
+        if (rnd.nextBoolean()) {
+          val target = cols(rnd.nextInt(cols.size))
+          s"UPDATE t1 SET ${target.name} = ${numExpr(rnd, cols)} " +
+            s"WHERE ${pred(rnd, cols)}"
+        } else
+          s"INSERT INTO t1 VALUES (${cols.map(c => valueFor(rnd, c)).mkString(", ")})"
+      stmts += s"CREATE TRIGGER mtr $timing INSERT ON t1 BEGIN $body; END"
     }
 
     // --- optional unique index: plain / expression / COLLATE /
@@ -469,7 +519,7 @@ object SqlScriptFuzz {
     //    same reason (rows tying on every printed column are
     //    interchangeable at the cut).
     val nSel = 1 + rnd.nextInt(3)
-    for (_ <- 1 to nSel) rnd.nextInt(9) match {
+    for (_ <- 1 to nSel) rnd.nextInt(10) match {
       case 0 =>
         val ords = cols.indices.map(i => s"${i + 1}").mkString(", ")
         stmts += s"SELECT * FROM t1 ORDER BY $ords"
@@ -557,6 +607,25 @@ object SqlScriptFuzz {
           stmts += s"WITH w AS (SELECT $c1 AS u FROM t1 WHERE ${pred(rnd, cols)}) " +
             s"SELECT count(*) FROM t1, w WHERE t1.$c1 = w.u"
         }
+      case 9 =>
+        // mixed-storage CASE/coalesce inside a CTE body feeding ORDER
+        // BY (round 14, VERDICT r13 #3): a text-STORAGE branch
+        // (upper/substr — TEXT tier in sqlite even when the
+        // characters look numeric) mixed with a value-mode branch
+        // (bare column / arithmetic), referenced through the
+        // CTERelationRef where the one-level alias map can't see the
+        // defining expression.
+        val c1 = colRef(rnd, cols)
+        val c2 = colRef(rnd, cols)
+        val textBranch =
+          if (rnd.nextBoolean()) s"upper($c1)" else s"substr($c1, 1, 2)"
+        val numBranch = if (rnd.nextBoolean()) s"$c2 + 1" else c2
+        val v =
+          if (rnd.nextBoolean())
+            s"CASE WHEN ${pred(rnd, cols, 1)} THEN $textBranch ELSE $numBranch END"
+          else s"coalesce($textBranch, $numBranch)"
+        stmts += s"WITH w AS (SELECT $c1 AS u, $v AS v FROM t1) " +
+          s"SELECT u, v FROM w ORDER BY 1, 2"
       case 8 if cols.exists(_.decl.nonEmpty) =>
         // ORDER BY + LIMIT (+ COLLATE / DESC / OFFSET) compositions
         val dNames = cols.filter(_.decl.nonEmpty).map(_.name)
@@ -591,19 +660,81 @@ object SqlScriptFuzz {
   //  execution                                                       //
   // ---------------------------------------------------------------- //
 
+  // --- janino-fallback attribution (round 14, VERDICT r13 #1) ------ //
+  // A log4j2 appender on the two loggers Spark emits codegen-fallback
+  // warnings through ("Whole-stage codegen disabled for plan" from
+  // WholeStageCodegenExec; "falling back to interpreter mode" from
+  // CodeGeneratorWithInterpretedFallback), counting regardless of the
+  // console level (sweeps run at ERROR to keep stdout parseable).
+  // Additivity is off so the captured WARNs never hit the console.
+
+  private val fallbackCount = new java.util.concurrent.atomic.AtomicLong(0)
+  @volatile private var fallbackHooked = false
+
+  /** Total codegen-fallback warnings captured since the hook. */
+  def fallbacks(): Long = { hookFallbackCounter(); fallbackCount.get() }
+
+  private def hookFallbackCounter(): Unit = synchronized {
+    if (fallbackHooked) return
+    fallbackHooked = true
+    import org.apache.logging.log4j.{Level => L4Level}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.{LoggerConfig, Property}
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val app = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graft-fallback-counter", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(ev: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = ev.getMessage.getFormattedMessage
+        if (m.contains("Whole-stage codegen disabled") ||
+            m.contains("falling back to interpreter mode"))
+          fallbackCount.incrementAndGet()
+      }
+    }
+    app.start()
+    for (ln <- Seq(
+        "org.apache.spark.sql.execution.WholeStageCodegenExec",
+        "org.apache.spark.sql.catalyst.expressions.CodeGeneratorWithInterpretedFallback")) {
+      val lc = new LoggerConfig(ln, L4Level.WARN, false)
+      lc.addAppender(app, L4Level.WARN, null)
+      cfg.addLogger(ln, lc)
+    }
+    ctx.updateLoggers()
+  }
+
+  /** Per-run janino attribution: fallback-warning count and the first
+    * statement whose execution raised the counter. */
+  final case class JaninoReport(count: Long, firstStmt: Option[(Int, String)])
+
+  @volatile private var lastJanino: JaninoReport = JaninoReport(0, None)
+  def lastJaninoReport: JaninoReport = lastJanino
+
   /** (errored, stdout). Leaves no temp views behind. */
   def runGraft(spark: SparkSession, script: String): (Boolean, String) = {
+    hookFallbackCounter()
     graft.functions.GraftFunctions.register(spark)
     val sw = new StringWriter
     val ser = ScriptRunner.makeSerializer("awk",
       GlobalOptions(ofs = Sep), sw)
+    val start = fallbackCount.get()
+    var seen = start
+    var stmtIdx = 0
+    var first: Option[(Int, String)] = None
+    val observe: String => Unit = stmt => {
+      stmtIdx += 1
+      val now = fallbackCount.get()
+      if (now > seen && first.isEmpty) first = Some((stmtIdx, stmt.trim))
+      seen = now
+    }
     val r =
-      try { ScriptRunner.run(spark, script, ser, None); (false, sw.toString) }
+      try { ScriptRunner.run(spark, script, ser, None, observe); (false, sw.toString) }
       catch {
         case _: Throwable =>
           try ser.close() catch { case _: Throwable => () }
           (true, sw.toString)
       }
+    lastJanino = JaninoReport(fallbackCount.get() - start, first)
     for (t <- Seq("t1", "v1", "alog", "vlog", "t2", "graft_att_aux1_t2"))
       spark.catalog.dropTempView(t)
     r
@@ -640,6 +771,18 @@ object SqlScriptFuzz {
       val seed = from + i
       val script = genScript(seed)
       val g = runGraft(spark, script)
+      // janino attribution (VERDICT r13 #1): any codegen fallback is
+      // reported per seed with the first statement that raised it, so
+      // the collapse-bound estimator can be recalibrated on the
+      // actual escaping shapes instead of guessed weights
+      val jr = lastJaninoReport
+      if (jr.count > 0) {
+        val at = jr.firstStmt
+          .map { case (i, st) => s" first_stmt#$i: ${st.take(200)}" }
+          .getOrElse("")
+        println(s"[fuzz] JANINO seed=$seed fallbacks=${jr.count}$at")
+        Console.out.flush()
+      }
       val s = runSqlite(script)
       if (g != s) {
         bad += Divergence(seed, script, g, s)
