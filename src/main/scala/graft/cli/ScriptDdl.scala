@@ -606,6 +606,36 @@ object ScriptDdl {
     * instead (and their per-statement jobs amortize over the batch). */
   private val MaxDriverProbeKeys = 1000
 
+  /** Above this estimate, a plan EXECUTION runs with whole-stage
+    * codegen off (round 14, VERDICT r13 #1 — the janino tail): the
+    * r13 sweep's ~12 interpreted fallbacks were all executions of an
+    * UNCOMMITTED statement plan whose single-statement increment
+    * (storage-class comparison keys duplicated per rebind column)
+    * jumped the estimate from under the collapse bound straight past
+    * janino's 64 KB — the constraint probes and the collapse
+    * materialization itself then each paid a failed whole-stage
+    * compile. Skipping the compile outright is strictly better for
+    * these one-shot CLI-sized executions: interpreted evaluation of a
+    * few hundred rows costs microseconds, compiling (or failing to
+    * compile) tens of KB of generated Java costs milliseconds. 32 KiB
+    * sits above the 24 KiB collapse bound (so committed-plan
+    * executions never lose codegen) with margin for the estimator's
+    * one observed undershoot (seed 262: estimate 57 KB, real > 64 KB).
+    */
+  private val NoCodegenBytes = 32L * 1024
+
+  /** Run `body` (actions over `df`) with whole-stage codegen disabled
+    * when `df`'s estimated codegen size exceeds [[NoCodegenBytes]]. */
+  private def withCodegenPolicy[T](spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame)(body: => T): T =
+    if (inlinedCodegenBytes(df.queryExecution.analyzed) <= NoCodegenBytes) body
+    else {
+      val key = "spark.sql.codegen.wholeStage"
+      val saved = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, saved)
+    }
+
   private def collapseIfDeep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val analyzed = df.queryExecution.analyzed
     val nodes = analyzed.collect { case p => p }.size
@@ -613,9 +643,17 @@ object ScriptDdl {
     if (sys.env.get("SPARK_GRAFT_COLLAPSE_DEBUG").contains("1"))
       System.err.println(s"[collapse] nodes=$nodes bytes=$bytes " +
         s"collapse=${nodes > CollapseNodes || bytes > CollapseInlineBytes}")
-    if (nodes > CollapseNodes || bytes > CollapseInlineBytes)
-      df.localCheckpoint()
-    else df
+    if (nodes > CollapseNodes || bytes > CollapseInlineBytes) {
+      // the materialization executes THIS plan once — past the
+      // codegen threshold it runs interpreted (see NoCodegenBytes)
+      if (bytes > NoCodegenBytes) {
+        val spark = df.sparkSession
+        val key = "spark.sql.codegen.wholeStage"
+        val saved = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try df.localCheckpoint() finally spark.conf.set(key, saved)
+      } else df.localCheckpoint()
+    } else df
   }
 
   /** Handle `stmt` if it is a side-effecting dialect statement.
@@ -1328,8 +1366,9 @@ object ScriptDdl {
           val oldCols = target.columns.map(c => col(s"`$c`"))
           val newCols = target.columns.map(c => newValue(c).getOrElse(col(s"`$c`")))
           val n = target.columns.length
-          SqliteArith.fixup(spark,
-            base.select((oldCols ++ newCols).toIndexedSeq: _*)).collect().toSeq
+          val pairsDf = SqliteArith.fixup(spark,
+            base.select((oldCols ++ newCols).toIndexedSeq: _*))
+          withCodegenPolicy(spark, pairsDf)(pairsDf.collect()).toSeq
             .map(r => (Some(Row.fromSeq((0 until n).map(r.get))),
                        Some(Row.fromSeq((n until 2 * n).map(r.get)))))
         } else Nil
@@ -1351,11 +1390,86 @@ object ScriptDdl {
           case None => col(s"`$c`")
         }
       }
-      val updated = SqliteArith.fixup(spark,
-        rebindTarget.select(proj2.toIndexedSeq: _*))
+      // Collapse BEFORE the constraint probes (round 14, VERDICT r13
+      // #1): a key-laden WHERE duplicated per rebind column can jump
+      // this one statement's plan past janino's 64 KB, and the probes
+      // would each pay the failed compile; collapsing first (with the
+      // codegen-off materialization past NoCodegenBytes) hands them a
+      // leaf instead.
+      val updated = collapseIfDeep(SqliteArith.fixup(spark,
+        rebindTarget.select(proj2.toIndexedSeq: _*)))
+      // sqlite applies UPDATE row-at-a-time in rowid scan order with
+      // no deferred uniqueness, so a TRANSIENT key collision errors
+      // even when the final state is consistent (round-14 fuzz seed
+      // 1905: pk values {0, 7, 42}, SET a = b turns 0 into 7 while
+      // row 7 is still pending). Simulated driver-side per reassigned
+      // PLAIN keyset: the live set holds keys of not-yet-visited and
+      // already-updated rows; each matched row swaps old → new and
+      // errors on a live-set hit (removing first, so key = key never
+      // self-conflicts — sqlite's own exclusion of the row's current
+      // entry). Scan order is the old rowid where the table has a
+      // rowid alias; stored order otherwise (hidden rowids aren't
+      // tracked through rebind chains — same documented family as the
+      // min/max tie-order deviation). Expression/partial keysets keep
+      // the final-state check in enforceUpdateConstraints only.
+      def transientUniqueWalk(): Unit = {
+        val schemaF = rebindTarget.schema
+        val pkColsT = schemaF.fields
+          .filter(_.metadata.contains(Affinity.PkKey)).map(_.name).toSeq
+        val rowidT = schemaF.fields.find(f => f.metadata.contains(Affinity.PkKey) &&
+          f.metadata.getString(Affinity.PkKey) == "rowid").map(_.name)
+        def touched(ks: Seq[String]) =
+          ks.exists(c => assignedCols.exists(_.equalsIgnoreCase(c)))
+        val keysets: Seq[Seq[String]] =
+          (if (pkColsT.nonEmpty && touched(pkColsT)) Seq(pkColsT) else Nil) ++
+            uniqueKeysFor(state, name).filter(_.isPlain).map(_.display.map(c =>
+              schemaF.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(c)))
+              .filter(touched)
+        keysets.foreach { (ks: Seq[String]) =>
+          val n = ks.size
+          val matchedCol = whereOpt
+            .map(w => when(expr(w), lit(true)).otherwise(lit(false)))
+            .getOrElse(lit(true))
+          val proj: Seq[org.apache.spark.sql.Column] =
+            Seq(rowidT.map(rc => col(s"`$rc`").cast("long"))
+                  .getOrElse(org.apache.spark.sql.functions
+                    .monotonically_increasing_id()).as("__scan"),
+                matchedCol.as("__hit")) ++
+              ks.zipWithIndex.map { case (c, i) =>
+                uniqueKeyCol(col(s"`$c`"), schemaF(c)).as(s"__o$i") } ++
+              ks.zipWithIndex.map { case (c, i) =>
+                uniqueKeyCol(newValue2(c).getOrElse(col(s"`$c`")), schemaF(c))
+                  .as(s"__n$i") }
+          val frame = SqliteArith.fixup(spark,
+            rebindTarget.select(proj.toIndexedSeq: _*))
+          val rows = withCodegenPolicy(spark, frame)(frame.collect())
+            .sortBy(r => if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
+          def keyOf(r: Row, base: Int): Option[Seq[String]] = {
+            val vs = (0 until n).map(i => r.get(base + i))
+            if (vs.contains(null)) None
+            else Some(vs.map(v => ScriptRunner.renderValue(v)))
+          }
+          val live = scala.collection.mutable.Map.empty[Seq[String], Int]
+          rows.foreach(r =>
+            keyOf(r, 2).foreach(k => live(k) = live.getOrElse(k, 0) + 1))
+          rows.foreach { r =>
+            if (!r.isNullAt(1) && r.getBoolean(1)) {
+              keyOf(r, 2).foreach { k =>
+                val c = live(k) - 1
+                if (c == 0) live.remove(k) else live(k) = c
+              }
+              keyOf(r, 2 + n).foreach { k =>
+                if (live.contains(k)) uniqueErr(name, ks)
+                live(k) = live.getOrElse(k, 0) + 1
+              }
+            }
+          }
+        }
+      }
+      transientUniqueWalk()
       enforceUpdateConstraints(spark, name, rebindTarget, updated,
         assigns.map(_._1), state)
-      commitTable(spark, name, collapseIfDeep(updated))
+      commitTable(spark, name, updated)
       fireTriggers(spark, state, name, "AFTER", "UPDATE", assignedCols,
         target.schema, updPairs)
       // RETURNING sees the NEW values of exactly the rows the WHERE
@@ -1390,7 +1504,8 @@ object ScriptDdl {
       // DELETE triggers: OLD = each row about to go
       val delPairs: Seq[(Option[Row], Option[Row])] =
         if (anyTriggers(state, name, "DELETE", Nil))
-          deleted.collect().toSeq.map(r => (Some(r), None))
+          withCodegenPolicy(spark, deleted)(deleted.collect()).toSeq
+            .map(r => (Some(r), None))
         else Nil
       val firedBeforeDel = fireTriggers(spark, state, name, "BEFORE", "DELETE",
         Nil, target.schema, delPairs)
@@ -2306,6 +2421,13 @@ object ScriptDdl {
     val alignedT = aligned.select(
       schema.fields.map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
+    // sqlite validates the rowid alias's datatype BEFORE any conflict
+    // policy can drop the row (round-14 fuzz seed 3316: OR IGNORE
+    // does not cover datatype mismatch — '12abc' into an INTEGER
+    // PRIMARY KEY hard-errors even when the row would also be
+    // NN-skipped), so every proposed key is checked upfront
+    rowid.foreach(rc => validateRowidDatatype(alignedT, rc))
+
     // rowid NULLs autoassign instead of NN-checking
     val alignedNN = applyNotNullPolicy(
       name, schema, alignedT, notNullCols.filterNot(rowid.contains),
@@ -2641,6 +2763,9 @@ object ScriptDdl {
       .map(_.name)
     val alignedT = aligned.select(
       schema.fields.map(f => col(s"`${f.name}`").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // upfront rowid datatype check, before the NN policy can drop the
+    // row (round-14 fuzz seed 3316 — see applyInsert)
+    rowid.foreach(rc => validateRowidDatatype(alignedT, rc))
     val alignedNN = applyNotNullPolicy(
       name, schema, alignedT,
       schema.fields.filter(_.metadata.contains(Affinity.NotNullKey)).map(_.name).toSeq
@@ -2820,6 +2945,21 @@ object ScriptDdl {
         alignedT
     }
   }
+
+  /** sqlite's upfront rowid-alias datatype check: every non-NULL
+    * proposed key must canonicalize to an integer, under EVERY
+    * conflict mode and before any row-dropping policy runs (round-14
+    * fuzz seed 3316 — see the applyInsert call site). */
+  private def validateRowidDatatype(
+      batch: org.apache.spark.sql.DataFrame, rc: String): Unit =
+    batch.select(col(s"`$rc`")).collect().foreach { r =>
+      if (!r.isNullAt(0)) {
+        val canon = Affinity.canonicalize(r.get(0).toString, "INTEGER")
+        try java.lang.Long.parseLong(canon)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException("datatype mismatch") }
+      }
+    }
 
   /** The rowid-alias autoassign walk, shared by INSERT and UPSERT
     * binding: each NULL key takes one more than the largest key seen

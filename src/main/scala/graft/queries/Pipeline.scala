@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -229,6 +229,38 @@ object Pipeline {
     * range bound (ADVICE r12 #4: the bound was a hard-coded 2048 that
     * silently desynchronized if this clamp or cpProbeExtra moved). */
   private val AnnArityMax = 8
+  /** Hot-bucket split (round 14, VERDICT r13 #2 — the arity-band
+    * edge): WITHIN a band, bucket occupancy grows linearly in n until
+    * the next arity step resets it, and the skewed tail (top planes
+    * correlate across vectors) makes per-bucket pair cost grow with
+    * occupancy². Buckets whose PRIMARY occupancy exceeds
+    * [[AnnHotBucket]] are subdivided by the leading `depth` bits of a
+    * per-(vector, table) refinement word — signs of projections onto
+    * [[AnnSplitBits]] extra fixed planes (seed "cps", same md5
+    * convention as the key planes) — with depth doubling the
+    * sub-bucket count until expected occupancy falls under the cap
+    * (exact integer threshold chain, mirrored by the oracle), so
+    * per-bucket pair cost is bounded by occ·cap band-wide instead of
+    * occ². Same idea as p37's SemHotCell, applied to the bucket join
+    * itself. The recall trade is bounded: a split only loses pairs
+    * whose EVERY collision lands in a hot bucket under divergent
+    * refinement bits, and the VectorBench/AnnRecallSpec floors
+    * (≥ 0.7) stay asserted on every rung.
+    *
+    * Default calibrated on the VectorBench rungs (round 14, cap sweep
+    * {∞, 64, 32, 24, 16} over the k=1/10.5k and k=2/51k corpora):
+    * cap 32 keeps every floor (k=1 recall 0.964→0.783 for a 3×
+    * candidate cut on the band's deepest measured point — mean
+    * occupancy 82; k=2 recall 0.809→0.805, its occupancy tail barely
+    * reaches the cap) while cap 16 fails the k=1 floor (0.691).
+    * Env-overridable for CALIBRATION runs only — the oracle SQL
+    * interpolates the same val at object init, so kernel and oracle
+    * stay consistent within any one JVM whatever the override. */
+  private val AnnHotBucket = sys.env.get("SPARK_GRAFT_ANN_HOT")
+    .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+    .filter(_ > 0)
+    .getOrElse(32L)
+  private val AnnSplitBits = 6
   /** private[graft]: VectorBench asserts the occupancy bound this
     * formula guarantees across the n sweep.
     *
@@ -2113,7 +2145,13 @@ object Pipeline {
           // and that cell is either cold or hot
           coldPairs.unionByName(hotPairs)
         }
-        val vecs = withNorm(s, emb(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+        val vecsRaw = withNorm(s, emb(s, d)).select(col("vec_id"), col("v"), col("nrm"))
+        // same verify-join policy as cosineNearDupPairs: broadcast the
+        // corpus below the bound, shuffle-hash above — the pair table
+        // is the big side
+        val vecs =
+          if (emb(s, d).count() <= BroadcastVerifyMaxVecs) broadcast(vecsRaw)
+          else vecsRaw.hint("SHUFFLE_HASH")
         val pairs = cand
           .join(vecs.as("va"), col("ia") === col("va.vec_id"))
           .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
@@ -4597,15 +4635,30 @@ object Pipeline {
     * history and plan-shape argument. Composite-key arity is derived
     * from the corpus count (annArity — one metadata-only parquet
     * count) so bucket occupancy stays bounded at any scale. */
+  /** Corpus-size bound for broadcasting the vector table into the
+    * candidate-verify joins (round 14): up to 500k × 64-dim vectors
+    * ≈ 300 MB serialized — executor-safe on a real cluster, and it
+    * removes TWO full shuffles of the (much larger) candidate-pair
+    * table. Past the bound, an explicit shuffle-hash hint still
+    * avoids sort-merge's two sorts of the pair table; that path
+    * scales to any corpus. */
+  private val BroadcastVerifyMaxVecs = 500000L
+
   private def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotProduct.register(s)
     val cand = cpCandidatePairs(s, d)
     // Verify with whole-vector dot products via the codegen
     // `graft_dot` kernel: two id-joins on packed arrays instead of a
     // 64×-exploded element join — candidates × dim rows never
-    // materialize, and the per-pair cost is one fused loop.
-    val vecs = withNorm(s, emb(s, d))
+    // materialize, and the per-pair cost is one fused loop. The
+    // vector side broadcasts below BroadcastVerifyMaxVecs (the pair
+    // table is tens of times larger than the corpus — shuffling IT
+    // was the measured factor-26 cost), shuffle-hash joins above.
+    val vecsRaw = withNorm(s, emb(s, d))
       .select(col("vec_id"), col("v"), col("nrm"))
+    val vecs =
+      if (emb(s, d).count() <= BroadcastVerifyMaxVecs) broadcast(vecsRaw)
+      else vecsRaw.hint("SHUFFLE_HASH")
     cand
       .join(vecs.as("va"), col("ia") === col("va.vec_id"))
       .join(vecs.as("vb"), col("ib") === col("vb.vec_id"))
@@ -4686,6 +4739,18 @@ object Pipeline {
           if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0
         }.toArray
       }).toArray
+    // hot-bucket refinement planes (round 14): AnnSplitBits extra ±1
+    // planes per table, "cps" seed — bit b of a vector's per-table
+    // refinement word is the sign of its projection onto plane b
+    val xWeights: Array[Array[Double]] =
+      (for (t <- 0 until nTables; b <- 0 until AnnSplitBits) yield {
+        (1 to AnnDim).map { i =>
+          val hex = md.digest(s"cps$t:$b:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          if ("89abcdef".contains(hex.charAt(0))) 1.0 else -1.0
+        }.toArray
+      }).toArray
+    val nSplitBits = AnnSplitBits
     val nDim = AnnDim
     val ranked = emb(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -4718,6 +4783,22 @@ object Pipeline {
               }
               j += 1
             }
+            // per-(vector, table) refinement word: sign bits of the
+            // AnnSplitBits extra-plane projections (strictly-positive
+            // convention, like the key slots; the products are exact
+            // doubles-from-floats, so the sum — and with it the sign
+            // — is summation-order-independent and oracle-safe)
+            var sub = 0
+            var b = 0
+            while (b < nSplitBits) {
+              val w = xWeights(t * nSplitBits + b)
+              val n = math.min(v.length, nDim)
+              var acc = 0.0
+              var i = 0
+              while (i < n) { acc += v(i) * w(i); i += 1 }
+              if (acc > 0) sub |= 1 << b
+              b += 1
+            }
             // one composite key per arity-sized rank subset: the
             // chosen (j, sgn) slots sorted by j (the canonical order —
             // rank order would make equal sets compare unequal),
@@ -4740,7 +4821,7 @@ object Pipeline {
               var key = 0L
               var q = 0
               while (q < arity) { key = key * 128L + js(q); q += 1 }
-              out(t * nKeys + si) = BucketKey(id, t, key, si)
+              out(t * nKeys + si) = BucketKey(id, t, key, si, sub)
               si += 1
             }
             t += 1
@@ -4748,10 +4829,50 @@ object Pipeline {
           out
         }
       }
-      .toDF("vec_id", "tbl", "bkey", "excl")
-    ranked.as("x").join(ranked.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
-          col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
+      .toDF("vec_id", "tbl", "bkey", "excl", "sub")
+    // Hot-bucket split (see AnnHotBucket): buckets whose PRIMARY
+    // occupancy exceeds the cap are subdivided by the leading `depth`
+    // refinement bits, depth chosen by an exact integer threshold
+    // chain (occ ≤ cap·2^depth) clamped to AnnSplitBits — the same
+    // rule the oracle spells as a CASE chain. The hot list is tiny by
+    // construction (heavy hitters), so it broadcasts; cold buckets
+    // (depth 0) shift the whole word away and join on subref = 0.
+    // Driver gate like p37's hasHot: with no hot bucket the original
+    // two-column equi-join runs unchanged (the common path at small
+    // SFs keeps its audited plan).
+    val primaryOcc = ranked.filter(col("excl") === 0)
+      .groupBy(col("tbl"), col("bkey")).agg(count(lit(1)).as("occ"))
+    val hot = primaryOcc.filter(col("occ") > AnnHotBucket)
+      .withColumn("depth", {
+        var d: Column = lit(AnnSplitBits)
+        for (b <- (1 until AnnSplitBits).reverse)
+          d = when(col("occ") <= AnnHotBucket * (1L << b), lit(b)).otherwise(d)
+        d
+      })
+      .select(col("tbl"), col("bkey"), col("depth"))
+    val hasHot = hot.limit(1).count() > 0
+    if (sys.env.get("SPARK_GRAFT_ANN_DEBUG").contains("1")) {
+      val stats = primaryOcc.agg(count(lit(1)), max(col("occ")),
+        sum(col("occ") * col("occ")),
+        sum(when(col("occ") > AnnHotBucket, 1L).otherwise(0L))).head()
+      System.err.println(s"[ann] buckets=${stats.get(0)} maxOcc=${stats.get(1)} " +
+        s"sumOccSq=${stats.get(2)} hot=${stats.get(3)} cap=$AnnHotBucket")
+    }
+    val joined =
+      if (!hasHot)
+        ranked.as("x").join(ranked.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+            col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
+      else {
+        val keyed = ranked.join(broadcast(hot), Seq("tbl", "bkey"), "left")
+          .withColumn("subref",
+            expr(s"shiftright(sub, $AnnSplitBits - coalesce(depth, 0))"))
+        keyed.as("x").join(keyed.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+            col("x.subref") === col("y.subref") &&
+            col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
+      }
+    joined
       .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
       .distinct()
@@ -5373,6 +5494,29 @@ object Pipeline {
        |  FROM ${p}ranked r JOIN ${p}masks m
        |    ON ((m.mask >> (r.rn - 1)) & 1) = 0
        |  GROUP BY r.vec_id, r.tbl, m.mask
+       |), ${p}xw AS (
+       |  SELECT CAST(tbl AS INT) AS tbl, CAST(b AS INT) AS b, CAST(i AS INT) AS i,
+       |    CASE WHEN strpos('89abcdef', substr(md5('cps' || tbl || ':' || b || ':' || i), 1, 1)) > 0
+       |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS w
+       |  FROM range(0, $CpTablesMax) t0(tbl), range(0, $AnnSplitBits) t1(b), range(1, ${AnnDim + 1}) t2(i)
+       |  WHERE tbl < (SELECT nt FROM ${p}params)
+       |), ${p}sub AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN proj > 0 THEN 1 << b ELSE 0 END) AS INT) AS sub
+       |  FROM (
+       |    SELECT vec_id, tbl, b, sum(x * w) AS proj
+       |    FROM ${p}el JOIN ${p}xw USING (i) GROUP BY vec_id, tbl, b
+       |  ) GROUP BY vec_id, tbl
+       |), ${p}hot AS (
+       |  SELECT tbl, bkey,
+       |    CASE ${(1 until AnnSplitBits).map(b =>
+                 s"WHEN occ <= ${AnnHotBucket * (1L << b)} THEN $b").mkString(" ")}
+       |         ELSE $AnnSplitBits END AS depth
+       |  FROM (
+       |    SELECT tbl, bkey, count(*) AS occ FROM ${p}keys
+       |    WHERE excl = (SELECT (1 << mm) - (1 << kk) FROM ${p}params)
+       |    GROUP BY tbl, bkey
+       |  ) WHERE occ > $AnnHotBucket
        |), ${p}cand AS (
        |  SELECT DISTINCT least(x.vec_id, y.vec_id) AS ia,
        |                  greatest(x.vec_id, y.vec_id) AS ib
@@ -5380,6 +5524,11 @@ object Pipeline {
        |    ON x.tbl = y.tbl AND x.bkey = y.bkey
        |    AND y.excl = (SELECT (1 << mm) - (1 << kk) FROM ${p}params)
        |    AND x.vec_id <> y.vec_id
+       |  JOIN ${p}sub sx ON sx.vec_id = x.vec_id AND sx.tbl = x.tbl
+       |  JOIN ${p}sub sy ON sy.vec_id = y.vec_id AND sy.tbl = y.tbl
+       |  LEFT JOIN ${p}hot h ON h.tbl = x.tbl AND h.bkey = x.bkey
+       |  WHERE (sx.sub >> ($AnnSplitBits - coalesce(h.depth, 0))) =
+       |        (sy.sub >> ($AnnSplitBits - coalesce(h.depth, 0)))
        |)""".stripMargin
 
   private def annLshOracle: String = {
@@ -5403,9 +5552,12 @@ object Pipeline {
   * top-m signed planes of table `tbl`, packed base-128 sorted by
   * plane index); `excl` is the subset's index in the enumerated
   * subset-mask array, and excl == 0 marks the primary (top-k)
-  * bucket. */
+  * bucket. `sub` packs the vector's hot-bucket refinement bits for
+  * this table (round 14: sign of the projection onto each of the
+  * AnnSplitBits extra planes, bit b = plane b) — consulted only for
+  * buckets past the occupancy cap. */
 final case class BucketKey(
-    vec_id: Long, tbl: Int, key: Long, excl: Int)
+    vec_id: Long, tbl: Int, key: Long, excl: Int, sub: Int)
 
 /** Typed row for the IVF cell-assignment kernel (p15): vector
   * `vec_id`'s `rn`-th nearest centroid cell (1 = home cell). */

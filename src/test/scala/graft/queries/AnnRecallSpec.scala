@@ -144,6 +144,57 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket split keeps candidate recall above the floor (forced arity 1)") {
+    // Round 14 (VERDICT r13 #2): buckets past AnnHotBucket = 32
+    // primary occupancy subdivide by refinement-plane sign bits. At
+    // forced arity 1 a 6,200-vector corpus spreads over 128 buckets
+    // per table — mean primary occupancy ≈ 48 > 32, so BY PIGEONHOLE
+    // at least one bucket (in practice most) exceeds the cap and the
+    // split path runs in every sbt sweep (the oracle agreement of the
+    // same path is pinned by the driver gate at a forced cap; this
+    // test pins the recall floor). Planted construction mirrors the
+    // k=3 case above.
+    val nDim = 64
+    val nb = 6000L
+    val planted = 200
+    val stride = nb / planted
+    def baseVec(id: Long): Array[Double] = {
+      val rnd = new java.util.SplittableRandom(id * 0x9E3779B97F4A7C15L + 1)
+      Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+    }
+    def partnerVec(p: Long): Array[Double] = {
+      val v = baseVec(p * stride)
+      val rnd = new java.util.SplittableRandom(p * 0xC2B2AE3D27D4EB4FL + 7)
+      val g = Array.fill(nDim)(rnd.nextDouble() * 2 - 1)
+      val lam = 0.33 + (2.70 - 0.33) * p.toDouble / planted
+      Array.tabulate(nDim)(i => v(i) + lam * g(i))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hot-recall-")
+    try {
+      import spark.implicits._
+      val rows = (0L until nb).map(id => (id, baseVec(id).map(_.toFloat))) ++
+        (0 until planted).map(p => (nb + p, partnerVec(p.toLong).map(_.toFloat)))
+      rows.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val truth = (0 until planted).flatMap { p =>
+        val a = baseVec(p * stride); val b = partnerVec(p.toLong)
+        var dot = 0.0; var na = 0.0; var nbn = 0.0; var i = 0
+        while (i < nDim) { dot += a(i) * b(i); na += a(i) * a(i); nbn += b(i) * b(i); i += 1 }
+        if (dot / math.sqrt(na * nbn) >= 0.3505) Some((p * stride, nb + p)) else None
+      }.toSet
+      val got = graft.queries.Pipeline.cpCandidatePairsAt(spark, dir.toString, 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.size > planted / 2, s"planted truth too small: ${truth.size}")
+      val recall = truth.count(got.contains).toDouble / truth.size
+      info(f"hot-split candidate recall=$recall%.3f over ${truth.size} planted pairs")
+      assert(recall >= 0.7, f"hot-split recall $recall%.3f below the 0.7 floor")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("p64 IVF-PQ matches a driver-side third implementation row-for-row") {
     // Independent plain-Scala replay of the whole operator — IVF cell
     // ranking, PQ codebook, quantize, encode, ADC, top-5 — so the
