@@ -4692,6 +4692,61 @@ object Pipeline {
   private[graft] def cpCandidatePairsAt(
       s: SparkSession, d: String, arity: Int,
       nTablesOverride: Int = -1, extraOverride: Int = -1): DataFrame = {
+    val (ranked, hot) = cpKeyedTable(s, d, arity, nTablesOverride, extraOverride)
+    val hasHot = hot.limit(1).count() > 0
+    val joined =
+      if (!hasHot)
+        ranked.as("x").join(ranked.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+            col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
+      else {
+        val keyed = ranked.join(broadcast(hot), Seq("tbl", "bkey"), "left")
+          .withColumn("subref",
+            expr(s"shiftright(sub, $AnnSplitBits - coalesce(depth, 0))"))
+        keyed.as("x").join(keyed.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
+            col("x.subref") === col("y.subref") &&
+            col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
+      }
+    joined
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
+      .distinct()
+  }
+
+  /** Candidate-pair COUNT estimate without materializing the pair
+    * table (round 14, VERDICT r13 #6): one aggregation over the key
+    * table at (tbl, bkey, sub-bucket) granularity — per bucket the
+    * join emits allRows·primaries − primaries ordered matches (each
+    * primary row also appears as its own probe row and is excluded
+    * by vec_id ≠ vec_id), summed distributed-side. The figure is the
+    * PRE-DISTINCT upper bound on candidate pairs (a pair colliding in
+    * several tables/subsets counts each collision), which is the
+    * join-cost number the pairs-per-vector ladder tracks; at the
+    * 2.2M/arity-3 rung the exact distinct count needs a second
+    * materialization of the 1.4B-row key table, which exceeds local
+    * disk (measured round 13). */
+  private[graft] def cpPairEstimateAt(
+      s: SparkSession, d: String, arity: Int): Long = {
+    val (ranked, hot) = cpKeyedTable(s, d, arity, -1, -1)
+    val keyed = ranked.join(broadcast(hot), Seq("tbl", "bkey"), "left")
+      .withColumn("subref",
+        expr(s"shiftright(sub, $AnnSplitBits - coalesce(depth, 0))"))
+    keyed.groupBy(col("tbl"), col("bkey"), col("subref"))
+      .agg(count(lit(1)).as("a"),
+        sum(when(col("excl") === 0, 1L).otherwise(0L)).as("p"))
+      .agg(sum(col("a") * col("p") - col("p")))
+      .head().getLong(0)
+  }
+
+  /** The cross-polytope KEY TABLE and its hot-bucket list, shared by
+    * the candidate join and the pair-count estimator: `ranked` holds
+    * one row per (vector, table, arity-subset) with the packed bucket
+    * key, subset index (0 = primary) and the refinement word; `hot`
+    * holds (tbl, bkey, depth) for buckets past [[AnnHotBucket]]. */
+  private def cpKeyedTable(
+      s: SparkSession, d: String, arity: Int,
+      nTablesOverride: Int, extraOverride: Int): (DataFrame, DataFrame) = {
     import s.implicits._
     // k: composite-key arity from the vector count (parquet metadata
     // count — no data scan). m = k + cpProbeExtra(k) ranked planes
@@ -4850,7 +4905,6 @@ object Pipeline {
         d
       })
       .select(col("tbl"), col("bkey"), col("depth"))
-    val hasHot = hot.limit(1).count() > 0
     if (sys.env.get("SPARK_GRAFT_ANN_DEBUG").contains("1")) {
       val stats = primaryOcc.agg(count(lit(1)), max(col("occ")),
         sum(col("occ") * col("occ")),
@@ -4858,24 +4912,7 @@ object Pipeline {
       System.err.println(s"[ann] buckets=${stats.get(0)} maxOcc=${stats.get(1)} " +
         s"sumOccSq=${stats.get(2)} hot=${stats.get(3)} cap=$AnnHotBucket")
     }
-    val joined =
-      if (!hasHot)
-        ranked.as("x").join(ranked.as("y"),
-          col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
-            col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
-      else {
-        val keyed = ranked.join(broadcast(hot), Seq("tbl", "bkey"), "left")
-          .withColumn("subref",
-            expr(s"shiftright(sub, $AnnSplitBits - coalesce(depth, 0))"))
-        keyed.as("x").join(keyed.as("y"),
-          col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
-            col("x.subref") === col("y.subref") &&
-            col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
-      }
-    joined
-      .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
-        greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
-      .distinct()
+    (ranked, hot)
   }
 
   /** The p15 core: IVF cell assignment (typed kernel, max-cosine

@@ -188,6 +188,15 @@ class AnnRecallSpec extends SparkSpec {
       val recall = truth.count(got.contains).toDouble / truth.size
       info(f"hot-split candidate recall=$recall%.3f over ${truth.size} planted pairs")
       assert(recall >= 0.7, f"hot-split recall $recall%.3f below the 0.7 floor")
+      // the no-materialization pair-count estimator (VERDICT r13 #6)
+      // brackets the exact distinct count: pre-distinct ordered
+      // matches are at least the distinct pairs and at most every
+      // (table × subset × direction) duplicate of them
+      val est = graft.queries.Pipeline.cpPairEstimateAt(spark, dir.toString, 1)
+      info(s"hot-split pair estimate=$est distinct=${got.size}")
+      assert(est >= got.size, s"estimate $est below distinct ${got.size}")
+      assert(est <= got.size.toLong * 2 * 8 * 3,
+        s"estimate $est above the table*subset*direction bound")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq
