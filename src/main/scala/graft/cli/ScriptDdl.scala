@@ -617,24 +617,33 @@ object ScriptDdl {
     * compile. Skipping the compile outright is strictly better for
     * these one-shot CLI-sized executions: interpreted evaluation of a
     * few hundred rows costs microseconds, compiling (or failing to
-    * compile) tens of KB of generated Java costs milliseconds. 32 KiB
-    * sits above the 24 KiB collapse bound (so committed-plan
-    * executions never lose codegen) with margin for the estimator's
-    * one observed undershoot (seed 262: estimate 57 KB, real > 64 KB).
-    */
-  private val NoCodegenBytes = 32L * 1024
+    * compile) tens of KB of generated Java costs milliseconds. 20 KiB
+    * covers the estimator's measured undershoot on key-laden stacked
+    * shapes — seed 262 estimated 57 KB for a real > 64 KB (1.2×), and
+    * seed 2561's partial-index probe over an UNCOLLAPSED est-24 KiB
+    * chain still blew 64 KB (~2.7×) — so the threshold sits at
+    * 64 KB / 3 ≈ 20 KiB. Plans estimated under it have never been
+    * observed to fail; plans over it skip a compile that is at best
+    * slow and at worst refused. */
+  private val NoCodegenBytes = 20L * 1024
 
   /** Run `body` (actions over `df`) with whole-stage codegen disabled
-    * when `df`'s estimated codegen size exceeds [[NoCodegenBytes]]. */
-  private def withCodegenPolicy[T](spark: SparkSession,
-      df: org.apache.spark.sql.DataFrame)(body: => T): T =
-    if (inlinedCodegenBytes(df.queryExecution.analyzed) <= NoCodegenBytes) body
+    * when `df`'s estimated codegen size exceeds [[NoCodegenBytes]].
+    * private[cli]: ScriptRunner guards its query pumps with the same
+    * policy. */
+  private[cli] def withCodegenPolicy[T](spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame)(body: => T): T = {
+    lazy val bytes = inlinedCodegenBytes(df.queryExecution.analyzed)
+    if (sys.env.get("SPARK_GRAFT_COLLAPSE_DEBUG").contains("1"))
+      System.err.println(s"[codegen-policy] bytes=$bytes off=${bytes > NoCodegenBytes}")
+    if (bytes <= NoCodegenBytes) body
     else {
       val key = "spark.sql.codegen.wholeStage"
       val saved = spark.conf.get(key)
       spark.conf.set(key, "false")
       try body finally spark.conf.set(key, saved)
     }
+  }
 
   private def collapseIfDeep(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val analyzed = df.queryExecution.analyzed
@@ -1085,7 +1094,9 @@ object ScriptDdl {
         }
       }.toIndexedSeq: _*)
       fireTriggers(spark, state, name, "INSTEAD OF", "INSERT", Nil,
-        proposed.schema, proposed.collect().toSeq.map(r => (None, Some(r))))
+        proposed.schema,
+        withCodegenPolicy(spark, proposed)(proposed.collect()).toSeq
+          .map(r => (None, Some(r))))
       Handled(retText.map(returningDf(target, proposed, _)))
 
     case Update(name, rest0) if isView(spark, name) =>
@@ -1118,8 +1129,9 @@ object ScriptDdl {
       val oldCols = target.columns.map(c => col(s"`$c`"))
       val newCols = target.columns.map(c => newValue(c).getOrElse(col(s"`$c`")))
       val n = target.columns.length
-      val pairs = SqliteArith.fixup(spark,
-        base.select((oldCols ++ newCols).toIndexedSeq: _*)).collect().toSeq
+      val pairsDf = SqliteArith.fixup(spark,
+        base.select((oldCols ++ newCols).toIndexedSeq: _*))
+      val pairs = withCodegenPolicy(spark, pairsDf)(pairsDf.collect()).toSeq
         .map(r => (Some(Row.fromSeq((0 until n).map(r.get))),
                    Some(Row.fromSeq((n until 2 * n).map(r.get)))))
       fireTriggers(spark, state, name, "INSTEAD OF", "UPDATE", assignedCols,
@@ -1148,7 +1160,9 @@ object ScriptDdl {
           s"SELECT * FROM `$name` WHERE coalesce(($c), false)")
       }
       fireTriggers(spark, state, name, "INSTEAD OF", "DELETE", Nil,
-        target.schema, matched.collect().toSeq.map(r => (Some(r), None)))
+        target.schema,
+        withCodegenPolicy(spark, matched)(matched.collect()).toSeq
+          .map(r => (Some(r), None)))
       Handled(retText.map(returningDf(target, matched, _)))
 
     case Insert(verb, orRes, name, colList, body0) =>
@@ -2119,9 +2133,14 @@ object ScriptDdl {
     val sel = SqliteArith.fixup(spark, df.select(keyCols.toIndexedSeq: _*))
     import org.apache.spark.sql.functions.{count => fCount}
     val nonNull = ks.exprs.indices.map(i => col(s"__k$i").isNotNull).reduce(_ && _)
-    val dup = sel.where(nonNull)
+    val probe = sel.where(nonNull)
       .groupBy(ks.exprs.indices.map(i => col(s"__k$i")): _*)
-      .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count() > 0
+      .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
+    // the probe stacks key expressions on the (possibly uncollapsed)
+    // statement plan — run it under the codegen-size policy (round-14
+    // fuzz seed 2561: a partial-index probe over an est-24 KiB chain
+    // still blew janino's 64 KB)
+    val dup = withCodegenPolicy(spark, probe)(probe.count()) > 0
     if (dup) uniqueErrText(ks.errText)
   }
 
@@ -2151,10 +2170,13 @@ object ScriptDdl {
       target: org.apache.spark.sql.DataFrame, table: String, cols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{count => fCount}
     val nonNull = cols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
-    val dup = target.where(nonNull)
+    val probe = target.where(nonNull)
       .groupBy(cols.map(c =>
         uniqueKeyCol(col(s"`$c`"), target.schema(c))): _*)
-      .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1).count() > 0
+      .agg(fCount(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
+    // codegen-size policy: see checkExistingUniqueSpec
+    val dup =
+      withCodegenPolicy(target.sparkSession, probe)(probe.count()) > 0
     if (dup) uniqueErr(table, cols)
   }
 

