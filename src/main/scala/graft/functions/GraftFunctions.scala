@@ -105,6 +105,16 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.AffinityOrdering))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.AffinityOrdering
+    // Distributed global rank: single-row_number empty-partition
+    // windows range-partition instead of collapsing into one task
+    // (graft.plans.GlobalRank — rule AFTER AffinityOrdering so the
+    // storage-class key rewrite lands in the rank's order first).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.GlobalRankRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.GlobalRankRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GlobalRankStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GlobalRankStrategy
     val u = spark.udf
     // Fixed-arity compat functions as StaticInvoke builders: direct
     // static calls inside whole-stage codegen, no ScalaUDF

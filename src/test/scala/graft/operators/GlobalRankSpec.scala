@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the distributed global-rank rewrite (graft.plans.GlobalRank):
+  * a single `row_number()` over an empty partition spec plans into
+  * GlobalRankExec (range-partitioned, per-partition offsets) instead
+  * of WindowExec's single-task AllTuples shape; every other window
+  * keeps WindowExec. Ranks must equal the driver-side sort. */
+class GlobalRankSpec extends SparkSpec {
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("global row_number plans into GlobalRankExec with correct ranks") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val n = 10000
+    // multiple input partitions + duplicate keys so the range
+    // exchange, per-partition offsets and tie handling all engage
+    val df = spark.sparkContext
+      .parallelize((0 until n).map(i => ((i * 2654435761L % 1000).toInt, i)), 8)
+      .toDF("k", "payload")
+    df.createOrReplaceTempView("gr_in")
+    val ranked = spark.sql(
+      "SELECT k, payload, row_number() OVER (ORDER BY k, payload) AS rn FROM gr_in")
+    // SparkPlan.nodeName strips the Exec suffix, so the physical
+    // string reads "GlobalRank" (no "!" — a bang would mark missing
+    // producedAttributes)
+    assert(physical(ranked).contains("GlobalRank") &&
+      !physical(ranked).contains("!GlobalRank"),
+      s"expected a clean GlobalRank node in:\n${physical(ranked)}")
+    val rows = ranked.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == n)
+    // ranks are a permutation of 1..n and agree with the total order
+    assert(rows.map(_._3).sorted.toSeq == (1 to n))
+    val bySort = rows.sortBy(t => (t._1, t._2)).map(_._3).toSeq
+    assert(bySort == (1 to n), "rank order disagrees with (k, payload) sort")
+  }
+
+  test("partitioned and non-row_number windows keep WindowExec") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1, 10), (1, 20), (2, 30)).toDF("g", "v")
+    df.createOrReplaceTempView("gr_in2")
+    val partitioned = spark.sql(
+      "SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) FROM gr_in2")
+    assert(!physical(partitioned).contains("GlobalRank"))
+    assert(physical(partitioned).contains("Window"))
+    val rank = spark.sql("SELECT g, rank() OVER (ORDER BY v) FROM gr_in2")
+    assert(!physical(rank).contains("GlobalRank"))
+    // two window expressions over the same global spec: not rewritten
+    // (the rewrite is scoped to exactly one row_number)
+    val two = spark.sql(
+      "SELECT row_number() OVER (ORDER BY v), rank() OVER (ORDER BY v) FROM gr_in2")
+    assert(!physical(two).contains("GlobalRank"))
+  }
+
+  test("empty input and single row still rank") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq.empty[(Int, Int)].toDF("k", "v").createOrReplaceTempView("gr_empty")
+    assert(spark.sql(
+      "SELECT row_number() OVER (ORDER BY k) FROM gr_empty").count() == 0)
+    Seq((5, 1)).toDF("k", "v").createOrReplaceTempView("gr_one")
+    val one = spark.sql(
+      "SELECT k, row_number() OVER (ORDER BY k) AS rn FROM gr_one").collect()
+    assert(one.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((5, 1)))
+  }
+}
