@@ -1297,9 +1297,31 @@ object ScriptDdl {
       // RETURNING.
       def applyBatch(batch: org.apache.spark.sql.DataFrame,
           tgt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        // a BEFORE INSERT body reads NEW.<rowid-alias> as -1 when the
+        // proposed key is NULL/omitted — sqlite documents the value as
+        // undefined but emits -1 deterministically (pinned against
+        // sqlite3 for multi-row, omitted-column and mixed batches;
+        // round-14 fuzz seed 10946: a WHEN NEW.a IS NOT NULL gate must
+        // fire on the -1, not skip on NULL). The actual insert still
+        // autoassigns.
+        val rowidIdx = tgt.schema.fields.indexWhere(f =>
+          f.metadata.contains(Affinity.PkKey) &&
+            f.metadata.getString(Affinity.PkKey) == "rowid")
+        def beforeRow(r: Row): Row =
+          if (rowidIdx < 0 || !r.isNullAt(rowidIdx)) r
+          else {
+            val vals = Array.tabulate[Any](r.length)(r.get)
+            vals(rowidIdx) = tgt.schema.fields(rowidIdx).dataType match {
+              case org.apache.spark.sql.types.LongType => java.lang.Long.valueOf(-1L)
+              case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(-1)
+              case _ => "-1"
+            }
+            Row.fromSeq(vals.toIndexedSeq)
+          }
         val targetNow =
           if (withTrig && fireTriggers(spark, state, name, "BEFORE", "INSERT",
-              Nil, tgt.schema, batch.collect().toSeq.map(r => (None, Some(r)))))
+              Nil, tgt.schema, batch.collect().toSeq
+                .map(r => (None, Some(beforeRow(r))))))
             spark.table(name)
           else tgt
         val (newTable, affected, inserted, updPairs, updAssigned) = upsert match {
@@ -1424,8 +1446,16 @@ object ScriptDdl {
       // entry). Scan order is the old rowid where the table has a
       // rowid alias; stored order otherwise (hidden rowids aren't
       // tracked through rebind chains — same documented family as the
-      // min/max tie-order deviation). Expression/partial keysets keep
-      // the final-state check in enforceUpdateConstraints only.
+      // min/max tie-order deviation). Evaluated keysets (expression /
+      // COLLATE / partial) walk too — round-14 fuzz seed 16808: with
+      // a NOCASE index on c, `SET c = length(b)` turned row 1's ''
+      // into 0 while row 4 still held its old 0, and sqlite errors on
+      // that transient hit. Their old keys are computed in the same
+      // projection that applies the assignments (expressions see the
+      // OLD row; outputs carry the NEW values under the original
+      // column names), and a second projection on top evaluates the
+      // key expressions against the new values — so both key
+      // generations stay row-aligned in one plan.
       def transientUniqueWalk(): Unit = {
         val schemaF = rebindTarget.schema
         val pkColsT = schemaF.fields
@@ -1474,6 +1504,58 @@ object ScriptDdl {
               }
               keyOf(r, 2 + n).foreach { k =>
                 if (live.contains(k)) uniqueErr(name, ks)
+                live(k) = live.getOrElse(k, 0) + 1
+              }
+            }
+          }
+        }
+        // evaluated keysets (expression / COLLATE / partial): any
+        // assignment re-walks (referenced columns aren't statically
+        // known — same rule as checkExistingUniqueSpec)
+        for (ks <- uniqueKeysFor(state, name) if !ks.isPlain) {
+          val n = ks.exprs.size
+          val matchedCol = whereOpt
+            .map(w => when(expr(w), lit(true)).otherwise(lit(false)))
+            .getOrElse(lit(true))
+          def keyCols(tag: String) = ks.exprs.zipWithIndex.map { case (t, i) =>
+            normKeyCol(expr(t), keyTextAffinity(schemaF, ks, i)).as(s"__$tag$i") }
+          def whereCol(tag: String) = ks.where
+            .map(w => when(expr(w), lit(true)).otherwise(lit(false)))
+            .getOrElse(lit(true)).as(s"__$tag")
+          val newCols = schemaF.fields.map(f =>
+            newValue2(f.name).getOrElse(col(s"`${f.name}`")).as(f.name)).toSeq
+          val step1 = rebindTarget.select(
+            (Seq(rowidT.map(rc => col(s"`$rc`").cast("long"))
+                  .getOrElse(org.apache.spark.sql.functions
+                    .monotonically_increasing_id()).as("__scan"),
+                matchedCol.as("__hit"), whereCol("ow")) ++
+              keyCols("o") ++ newCols).toIndexedSeq: _*)
+          val step2 = step1.select(
+            (Seq(col("__scan"), col("__hit"), col("__ow")) ++
+              (0 until n).map(i => col(s"__o$i")) ++
+              keyCols("n") :+ whereCol("nw")).toIndexedSeq: _*)
+          val frame = SqliteArith.fixup(spark, step2)
+          val rows = withCodegenPolicy(spark, frame)(frame.collect())
+            .sortBy(r => if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
+          // columns: 0 __scan, 1 __hit, 2 __ow, 3.. old keys,
+          // 3+n.. new keys, 3+2n __nw
+          def keyOf2(r: Row, base: Int): Option[Seq[String]] = {
+            val vs = (0 until n).map(i => r.get(base + i))
+            if (vs.contains(null)) None
+            else Some(vs.map(v => ScriptRunner.renderValue(v)))
+          }
+          def flag(r: Row, i: Int) = !r.isNullAt(i) && r.getBoolean(i)
+          val live = scala.collection.mutable.Map.empty[Seq[String], Int]
+          rows.foreach(r => if (flag(r, 2))
+            keyOf2(r, 3).foreach(k => live(k) = live.getOrElse(k, 0) + 1))
+          rows.foreach { r =>
+            if (flag(r, 1)) {
+              if (flag(r, 2)) keyOf2(r, 3).foreach { k =>
+                val c = live(k) - 1
+                if (c == 0) live.remove(k) else live(k) = c
+              }
+              if (flag(r, 3 + 2 * n)) keyOf2(r, 3 + n).foreach { k =>
+                if (live.contains(k)) uniqueErrText(ks.errText)
                 live(k) = live.getOrElse(k, 0) + 1
               }
             }
@@ -2652,7 +2734,9 @@ object ScriptDdl {
       var sel = SqliteArith.fixup(spark, df.select(keyCols.toIndexedSeq: _*))
       if (ks.exprs.lengthCompare(1) == 0)
         sel = sel.where(col("__k0").isin(keys.map(_.head).toIndexedSeq: _*))
-      out ++= sel.collect().flatMap { r =>
+      // codegen-size policy: the key expressions stack on the stored
+      // chain (see checkExistingUniqueSpec)
+      out ++= withCodegenPolicy(spark, sel)(sel.collect()).flatMap { r =>
         val vs = ks.exprs.indices.map(i =>
           Option(r.get(i)).map(_.toString).orNull)
         if (vs.contains(null)) None else Some(vs)
