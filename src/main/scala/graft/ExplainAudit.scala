@@ -73,7 +73,11 @@ object ExplainAudit {
     "p65_fuzzy_entity_match" -> (16, 6),
     "q39_asof_join" -> (1, 0),
     "q40_range_join" -> (0, 1),
-    "q43_subquery_exists" -> (5, 5))
+    "q43_subquery_exists" -> (5, 5),
+    // two single-expression global windows → two GlobalRank range
+    // exchanges, no broadcast; the audit additionally asserts below
+    // that NO single-task WindowExec survives in this plan
+    "q45_global_rank" -> (2, 0))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -97,6 +101,14 @@ object ExplainAudit {
       observed(n) = (shuffles, bcasts)
       val (bs, bb) = exchangeBudget(n)
       println(s"  cartesian=$cartesian bnlj=$bnlj exchanges=$shuffles/$bs broadcast=$bcasts/$bb")
+      // q45 exists to pin the GlobalRank plan: a surviving Window
+      // node would mean the global ranks fell back to the single-task
+      // AllTuples shape
+      if (n == "q45_global_rank" &&
+          (plan.contains("Window") || !plan.contains("GlobalRank"))) {
+        System.err.println(s"[audit] $n expected GlobalRank-only ranks, got:\n$plan")
+        bad ::= n
+      }
       if (cartesian || (bnlj && !allowBnlj(n))) bad ::= n
       else if (shuffles > bs || bcasts > bb) {
         System.err.println(s"[audit] $n exchange count grew: " +

@@ -738,6 +738,31 @@ object Relational {
              |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
              |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh,
              |  CAST(count(*) AS BIGINT) AS total
-             |FROM documents GROUP BY source""".stripMargin))
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q45: GLOBAL rank()/dense_rank() — no PARTITION BY, heavy ties
+    // (5 priorities / ~2.4k dates over 150k rows at sf0.1). Spark's
+    // WindowExec would run each as ONE task (AllTuples); the
+    // GlobalRank rewrite (plans/GlobalRank.scala, round 15) plans
+    // both as range-partitioned two-pass ranks with driver-side
+    // tie-chain offsets. TWO window specs on purpose: rank-like
+    // functions sharing one spec collapse into a single multi-
+    // expression Window, which the rewrite's scope guard skips.
+    QDef(
+      "q45_global_rank",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        ord(s, d)
+          .withColumn("prio_rank",
+            rank().over(Window.orderBy(col("o_orderpriority"))))
+          .withColumn("date_drank",
+            dense_rank().over(Window.orderBy(col("o_orderdate"))))
+          .select("o_orderkey", "prio_rank", "date_drank")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(rank() OVER (ORDER BY o_orderpriority) AS INT) AS prio_rank,
+             |  CAST(dense_rank() OVER (ORDER BY o_orderdate) AS INT) AS date_drank
+             |FROM orders""".stripMargin))
   )
 }

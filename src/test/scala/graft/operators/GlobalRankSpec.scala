@@ -47,13 +47,70 @@ class GlobalRankSpec extends SparkSpec {
       "SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) FROM gr_in2")
     assert(!physical(partitioned).contains("GlobalRank"))
     assert(physical(partitioned).contains("Window"))
-    val rank = spark.sql("SELECT g, rank() OVER (ORDER BY v) FROM gr_in2")
-    assert(!physical(rank).contains("GlobalRank"))
+    // percent_rank needs the global total and keeps WindowExec
+    val pr = spark.sql("SELECT g, percent_rank() OVER (ORDER BY v) FROM gr_in2")
+    assert(!physical(pr).contains("GlobalRank"))
     // two window expressions over the same global spec: not rewritten
-    // (the rewrite is scoped to exactly one row_number)
+    // (the rewrite is scoped to exactly one rank-like expression)
     val two = spark.sql(
       "SELECT row_number() OVER (ORDER BY v), rank() OVER (ORDER BY v) FROM gr_in2")
     assert(!physical(two).contains("GlobalRank"))
+  }
+
+  test("global rank and dense_rank plan into GlobalRankExec with ties") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val n = 10000
+    // only 37 distinct keys: massive tie groups, so per-partition
+    // distinct/tail-tie accounting and the chain walk all engage
+    val df = spark.sparkContext
+      .parallelize((0 until n).map(i => ((i * 2654435761L % 37).toInt, i)), 8)
+      .toDF("k", "payload")
+    df.createOrReplaceTempView("gr_ties")
+    for (fn <- Seq("rank", "dense_rank")) {
+      val ranked = spark.sql(
+        s"SELECT k, $fn() OVER (ORDER BY k) AS rnk FROM gr_ties")
+      assert(physical(ranked).contains("GlobalRank") &&
+        !physical(ranked).contains("!GlobalRank"),
+        s"expected a clean GlobalRank node for $fn in:\n${physical(ranked)}")
+      val rows = ranked.collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(rows.length == n)
+      // expected ranks from a driver-side sort
+      val sortedKeys = rows.map(_._1).sorted
+      val expected: Map[Int, Int] =
+        if (fn == "rank")
+          sortedKeys.zipWithIndex.groupBy(_._1)
+            .map { case (k, g) => k -> (g.map(_._2).min + 1) }
+        else
+          sortedKeys.distinct.sorted.zipWithIndex
+            .map { case (k, i) => k -> (i + 1) }.toMap
+      rows.foreach { case (k, r) =>
+        assert(r == expected(k), s"$fn($k) = $r, expected ${expected(k)}")
+      }
+    }
+  }
+
+  test("chainWalk carries tie groups across partition boundaries") {
+    import graft.plans.{GlobalRankExec, GlobalRankPartStats}
+    import org.apache.spark.sql.catalyst.expressions.{RowOrdering, UnsafeProjection, AttributeReference}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.IntegerType
+    val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](IntegerType))
+    def key(v: Int) = proj(InternalRow(v)).copy()
+    val ord = RowOrdering.createNaturalAscendingOrdering(Seq(IntegerType))
+    // partitions: [1 1 2] [2 2] [2 3 3] plus one empty — the key-2
+    // group spans three partitions (Spark's range exchange co-locates
+    // equal keys, but the walk must not depend on that)
+    val stats = Array(
+      GlobalRankPartStats(3, 2, 1, key(1), key(2)),
+      GlobalRankPartStats(0, 0, 0, null, null),
+      GlobalRankPartStats(2, 1, 2, key(2), key(2)),
+      GlobalRankPartStats(3, 2, 2, key(2), key(3)))
+    val (offsets, headRank, headDense) = GlobalRankExec.chainWalk(stats, ord)
+    assert(offsets.take(4).toSeq == Seq(0L, 3L, 3L, 5L))
+    // rank: 1 1 3 | | 3 3 | 3 7 7   dense: 1 1 2 | | 2 2 | 2 3 3
+    assert(headRank(0) == 1L && headRank(2) == 3L && headRank(3) == 3L)
+    assert(headDense(0) == 1L && headDense(2) == 2L && headDense(3) == 2L)
   }
 
   test("empty input and single row still rank") {
