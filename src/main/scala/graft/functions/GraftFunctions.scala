@@ -112,6 +112,13 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.GlobalRankRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.GlobalRankRewrite
+    // Expensive (regex-bearing) sort keys evaluate once per row in a
+    // projection below the Sort/GlobalRank instead of inside the sort
+    // comparator (plans/SortKeyMaterialization.scala — LAST, after
+    // both rewrites above have produced the final sort keys).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SortKeyMaterialization))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SortKeyMaterialization
     if (!spark.experimental.extraStrategies.contains(graft.plans.GlobalRankStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.GlobalRankStrategy
