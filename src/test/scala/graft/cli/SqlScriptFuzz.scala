@@ -65,13 +65,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Not generated (documented gaps / nondeterminism): RETURNING (row
   * order is engine-private), group_concat (concatenation order),
-  * random(), typeof() around arithmetic results, numeric-looking
+  * random(), typeof() around arithmetic results, and numeric-looking
   * text in no-affinity value positions (the engine's one documented
-  * value-provenance deviation), and rowid-ordered SELECTs over the
-  * alog/vlog audit tables — the engine fires batch triggers
-  * phase-major where sqlite interleaves row-major (the documented
-  * batch-trigger-ordering deviation, fireTriggers scaladoc), so log
-  * SELECTs order by VALUE only.
+  * value-provenance deviation). The alog audit table carries an
+  * INTEGER PRIMARY KEY and its final SELECT orders by it (round 15:
+  * INSERT, UPDATE and DELETE statements all fire triggers ROW-MAJOR
+  * in scan order now, so the exact firing sequence is pinned — the
+  * former value-ordered-log guard covered the phase-major deviation,
+  * retired with VERDICT r14 #3). vlog stays value-ordered: INSTEAD OF
+  * DML on a view over a rebind chain visits in engine plan order,
+  * not sqlite scan order.
   */
 object SqlScriptFuzz {
 
@@ -294,7 +297,10 @@ object SqlScriptFuzz {
     // over it pins firing events, WHEN gating and OLD/NEW values
     val hasTrigger = rnd.nextInt(4) == 0
     if (hasTrigger) {
-      stmts += "CREATE TABLE alog (v)"
+      // the id alias autoassigns per logged row, so ordering the
+      // final SELECT by it pins the exact firing sequence (row-major
+      // interleave in scan order, round 15)
+      stmts += "CREATE TABLE alog (id INTEGER PRIMARY KEY, v)"
       // log a non-TEXT column: a TEXT column's numeric-looking value
       // is TEXT storage in sqlite's alog but would classify numeric
       // under graft's canonical model (value-provenance deviation)
@@ -310,7 +316,7 @@ object SqlScriptFuzz {
       val when =
         if (rnd.nextBoolean()) s" WHEN $ref.${c.name} IS NOT NULL" else ""
       stmts += s"CREATE TRIGGER atr $timing $event ON t1$when " +
-        s"BEGIN INSERT INTO alog VALUES ($ref.${c.name}); END"
+        s"BEGIN INSERT INTO alog (v) VALUES ($ref.${c.name}); END"
     }
 
     // --- optional TARGET-MUTATING trigger (round 14, VERDICT r13
@@ -642,7 +648,7 @@ object SqlScriptFuzz {
       case _ =>
         stmts += s"SELECT count(*) FROM t1 WHERE ${pred(rnd, cols)}"
     }
-    if (hasTrigger) stmts += "SELECT v FROM alog ORDER BY 1"
+    if (hasTrigger) stmts += "SELECT id, v FROM alog ORDER BY id"
     if (hasViewTrigger) stmts += "SELECT w FROM vlog ORDER BY 1"
 
     stmts.result().mkString(";\n") + ";\n"
