@@ -74,10 +74,11 @@ object ExplainAudit {
     "q39_asof_join" -> (1, 0),
     "q40_range_join" -> (0, 1),
     "q43_subquery_exists" -> (5, 5),
-    // two single-expression global windows → two GlobalRank range
-    // exchanges, no broadcast; the audit additionally asserts below
-    // that NO single-task WindowExec survives in this plan
-    "q45_global_rank" -> (2, 0))
+    // five single-expression global windows (the whole rank family) →
+    // five GlobalRank range exchanges, no broadcast; the audit
+    // additionally asserts below that NO single-task WindowExec
+    // survives in this plan
+    "q45_global_rank" -> (5, 0))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -160,11 +160,16 @@ object VectorBench {
       val stride = nn / planted
       val nb = nn
       val pl = planted.toLong
-      spark.range(0, nb + pl).as[Long].mapPartitions(_.map { id =>
-        val v = if (id < nb) baseVec(id) else partnerVec(id - nb, stride, planted)
-        (id, v.map(_.toFloat), 0)
-      }).toDF("vec_id", "embedding", "label")
-        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // deterministic construction: a completed write is reusable
+      // across calibration JVMs (the frontier3 per-cap sweep), so
+      // skip the regenerate when the marker is present
+      if (!java.nio.file.Files.exists(
+          dir.resolve("embeddings.parquet").resolve("_SUCCESS")))
+        spark.range(0, nb + pl).as[Long].mapPartitions(_.map { id =>
+          val v = if (id < nb) baseVec(id) else partnerVec(id - nb, stride, planted)
+          (id, v.map(_.toFloat), 0)
+        }).toDF("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       (0L until pl).flatMap { p =>
         val a = baseVec(p * stride)
         val b = partnerVec(p, stride, planted)
@@ -280,6 +285,45 @@ object VectorBench {
         java.nio.file.Files.walk(dir).iterator().asScala.toSeq
           .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
       }
+    }
+
+    // Stage 6 (round 15, VERDICT r14 #4): the recall/cost frontier at
+    // the k=3 RUNG — 2.2M vectors, natural arity 3, where the r14 cap
+    // sweep (run at the k=1/k=2 scales) had a single point (cap 32 →
+    // recall 0.726, 7,995 pairs/vector). One JVM measures ONE
+    // (AnnHotBucket, AnnSplitBits) point — the knobs are object-init
+    // vals mirrored into the oracle SQL, so calibration overrides
+    // arrive via SPARK_GRAFT_ANN_HOT / SPARK_GRAFT_ANN_SPLITBITS and
+    // the sweep is a shell loop of JVMs sharing one corpus dir
+    // (SPARK_GRAFT_VB3_DIR; plantCorpus reuses a completed write).
+    // Pair cost comes from cpPairEstimateAt — one aggregation over
+    // the key table, no pair materialization, /tmp-safe at the
+    // 1.4B-row rung (the round-13 disk lesson). Self-falsifying: the
+    // 0.7 recall floor asserts only at the production point (cap 32 /
+    // bits 6) — calibration neighbors exist to be worse.
+    if (args.contains("frontier3")) {
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_VB3_DIR", "/tmp/graft_vb3"))
+      java.nio.file.Files.createDirectories(dir)
+      val nn = 2200000L; val planted = 1000
+      val truth = plantCorpus(dir, nn, planted)
+      val cap = sys.env.getOrElse("SPARK_GRAFT_ANN_HOT", "32")
+      val bits = sys.env.getOrElse("SPARK_GRAFT_ANN_SPLITBITS", "6")
+      val t0 = System.nanoTime()
+      val got = SparkEntry.queries("p09_ann_lsh")(spark, dir.toString)
+        .filter(col("ib") >= nn)
+        .select("ia", "ib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = truth.count(got.contains).toDouble / truth.size
+      val secs = (System.nanoTime() - t0) / 1e9
+      val est = graft.queries.Pipeline.cpPairEstimateAt(spark, dir.toString, 3)
+      println(f"[vector-bench] frontier_k3 cap=$cap%-3s bits=$bits " +
+        f"recall=$recall%.3f est_cand_pairs=$est " +
+        f"pairs_per_vec=${est.toDouble / (nn + planted)}%.2f wall=$secs%.1f s")
+      assert(truth.size > planted / 2, s"planted-pair truth too small: ${truth.size}")
+      if (cap == "32" && bits == "6")
+        assert(recall >= 0.7,
+          f"recall $recall%.3f below the 0.7 floor at the k=3 production point")
     }
 
     spark.stop()

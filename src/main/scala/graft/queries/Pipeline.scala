@@ -260,7 +260,15 @@ object Pipeline {
     .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
     .filter(_ > 0)
     .getOrElse(32L)
-  private val AnnSplitBits = 6
+  /** Refinement planes per table for the hot split. Env-overridable
+    * for CALIBRATION runs only (round 15, the k=3 frontier sweep —
+    * same contract as SPARK_GRAFT_ANN_HOT: kernel and oracle read the
+    * same val at object init, so any override stays consistent within
+    * one JVM). Clamped to [1, 16]: `sub` packs into an Int. */
+  private val AnnSplitBits = sys.env.get("SPARK_GRAFT_ANN_SPLITBITS")
+    .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+    .filter(b => b >= 1 && b <= 16)
+    .getOrElse(6)
   /** private[graft]: VectorBench asserts the occupancy bound this
     * formula guarantees across the n sweep.
     *

@@ -741,14 +741,16 @@ object Relational {
              |FROM documents GROUP BY source""".stripMargin)),
 
     // ------------------------------------------------------------------
-    // q45: GLOBAL rank()/dense_rank() — no PARTITION BY, heavy ties
+    // q45: the GLOBAL rank family — no PARTITION BY, heavy ties
     // (5 priorities / ~2.4k dates over 150k rows at sf0.1). Spark's
     // WindowExec would run each as ONE task (AllTuples); the
-    // GlobalRank rewrite (plans/GlobalRank.scala, round 15) plans
-    // both as range-partitioned two-pass ranks with driver-side
-    // tie-chain offsets. TWO window specs on purpose: rank-like
-    // functions sharing one spec collapse into a single multi-
-    // expression Window, which the rewrite's scope guard skips.
+    // GlobalRank rewrite (plans/GlobalRank.scala, round 15) plans all
+    // five as range-partitioned two-pass ranks with driver-side
+    // tie-chain offsets. FIVE separate window specs on purpose:
+    // rank-family functions sharing one spec collapse into a single
+    // multi-expression Window, which the rewrite's scope guard skips.
+    // percent_rank/cume_dist hashes are exact: both engines divide
+    // the same integers in IEEE doubles (one correctly-rounded op).
     QDef(
       "q45_global_rank",
       (s, d) => {
@@ -758,11 +760,21 @@ object Relational {
             rank().over(Window.orderBy(col("o_orderpriority"))))
           .withColumn("date_drank",
             dense_rank().over(Window.orderBy(col("o_orderdate"))))
-          .select("o_orderkey", "prio_rank", "date_drank")
+          .withColumn("price_pct",
+            percent_rank().over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+          .withColumn("cust_cume",
+            cume_dist().over(Window.orderBy(col("o_custkey"))))
+          .withColumn("key_tile",
+            ntile(7).over(Window.orderBy(col("o_orderkey"))))
+          .select("o_orderkey", "prio_rank", "date_drank", "price_pct",
+            "cust_cume", "key_tile")
       },
       Some("""SELECT o_orderkey,
              |  CAST(rank() OVER (ORDER BY o_orderpriority) AS INT) AS prio_rank,
-             |  CAST(dense_rank() OVER (ORDER BY o_orderdate) AS INT) AS date_drank
+             |  CAST(dense_rank() OVER (ORDER BY o_orderdate) AS INT) AS date_drank,
+             |  percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS price_pct,
+             |  cume_dist() OVER (ORDER BY o_custkey) AS cust_cume,
+             |  CAST(ntile(7) OVER (ORDER BY o_orderkey) AS INT) AS key_tile
              |FROM orders""".stripMargin))
   )
 }

@@ -47,9 +47,11 @@ class GlobalRankSpec extends SparkSpec {
       "SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) FROM gr_in2")
     assert(!physical(partitioned).contains("GlobalRank"))
     assert(physical(partitioned).contains("Window"))
-    // percent_rank needs the global total and keeps WindowExec
-    val pr = spark.sql("SELECT g, percent_rank() OVER (ORDER BY v) FROM gr_in2")
-    assert(!physical(pr).contains("GlobalRank"))
+    // aggregate windows (running frames) are not rank-family and keep
+    // WindowExec even over a global ORDER BY
+    val agg = spark.sql("SELECT g, sum(v) OVER (ORDER BY v) FROM gr_in2")
+    assert(!physical(agg).contains("GlobalRank"))
+    assert(physical(agg).contains("Window"))
     // two window expressions over the same global spec: not rewritten
     // (the rewrite is scoped to exactly one rank-like expression)
     val two = spark.sql(
@@ -92,25 +94,76 @@ class GlobalRankSpec extends SparkSpec {
 
   test("chainWalk carries tie groups across partition boundaries") {
     import graft.plans.{GlobalRankExec, GlobalRankPartStats}
-    import org.apache.spark.sql.catalyst.expressions.{RowOrdering, UnsafeProjection, AttributeReference}
+    import org.apache.spark.sql.catalyst.expressions.{RowOrdering, UnsafeProjection}
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types.IntegerType
     val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](IntegerType))
     def key(v: Int) = proj(InternalRow(v)).copy()
     val ord = RowOrdering.createNaturalAscendingOrdering(Seq(IntegerType))
-    // partitions: [1 1 2] [2 2] [2 3 3] plus one empty — the key-2
-    // group spans three partitions (Spark's range exchange co-locates
-    // equal keys, but the walk must not depend on that)
+    // partitions: [1 1 2] [] [2 2] [2 3 3] — the key-2 group spans
+    // three partitions (Spark's range exchange co-locates equal keys,
+    // but the walk must not depend on that)
     val stats = Array(
-      GlobalRankPartStats(3, 2, 1, key(1), key(2)),
-      GlobalRankPartStats(0, 0, 0, null, null),
-      GlobalRankPartStats(2, 1, 2, key(2), key(2)),
-      GlobalRankPartStats(3, 2, 2, key(2), key(3)))
-    val (offsets, headRank, headDense) = GlobalRankExec.chainWalk(stats, ord)
-    assert(offsets.take(4).toSeq == Seq(0L, 3L, 3L, 5L))
+      GlobalRankPartStats(3, 2, 2, 1, key(1), key(2)),
+      GlobalRankPartStats(0, 0, 0, 0, null, null),
+      GlobalRankPartStats(2, 1, 2, 2, key(2), key(2)),
+      GlobalRankPartStats(3, 2, 1, 2, key(2), key(3)))
+    val (offsets, headRank, headDense, tailEnd) =
+      GlobalRankExec.chainWalk(stats, ord)
+    assert(offsets.toSeq == Seq(0L, 3L, 3L, 5L, 8L))
     // rank: 1 1 3 | | 3 3 | 3 7 7   dense: 1 1 2 | | 2 2 | 2 3 3
     assert(headRank(0) == 1L && headRank(2) == 3L && headRank(3) == 3L)
     assert(headDense(0) == 1L && headDense(2) == 2L && headDense(3) == 2L)
+    // the key-2 group (global rows 3..6) ends at 6 seen from every
+    // partition whose trailing group it is; key-3 ends at the total
+    assert(tailEnd(0) == 6L && tailEnd(2) == 6L && tailEnd(3) == 8L)
+  }
+
+  test("global percent_rank, cume_dist and ntile ride GlobalRankExec") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val n = 5000
+    val df = spark.sparkContext
+      .parallelize((0 until n).map(i => ((i * 2654435761L % 23).toInt, i)), 8)
+      .toDF("k", "payload")
+    df.createOrReplaceTempView("gr_pct")
+    val keys = (0 until n).map(i => (i * 2654435761L % 23).toInt)
+    val sorted = keys.sorted
+    val countLt = keys.distinct.map(k => k -> sorted.indexWhere(_ == k)).toMap
+    val countLe = keys.distinct.map(k => k -> sorted.lastIndexWhere(_ == k)).toMap
+
+    val pr = spark.sql(
+      "SELECT k, percent_rank() OVER (ORDER BY k) AS pr FROM gr_pct")
+    assert(physical(pr).contains("GlobalRank") &&
+      !physical(pr).contains("!GlobalRank"))
+    pr.collect().foreach { r =>
+      val want = countLt(r.getInt(0)).toDouble / (n - 1)
+      assert(math.abs(r.getDouble(1) - want) < 1e-12,
+        s"percent_rank(${r.getInt(0)}) = ${r.getDouble(1)}, want $want")
+    }
+
+    val cd = spark.sql(
+      "SELECT k, cume_dist() OVER (ORDER BY k) AS cd FROM gr_pct")
+    assert(physical(cd).contains("GlobalRank"))
+    cd.collect().foreach { r =>
+      val want = (countLe(r.getInt(0)) + 1).toDouble / n
+      assert(math.abs(r.getDouble(1) - want) < 1e-12,
+        s"cume_dist(${r.getInt(0)}) = ${r.getDouble(1)}, want $want")
+    }
+
+    // ntile: 7 does not divide 5000, so the remainder split engages
+    val nt = spark.sql(
+      "SELECT payload, ntile(7) OVER (ORDER BY k, payload) AS t FROM gr_pct")
+    assert(physical(nt).contains("GlobalRank"))
+    val byPayload = nt.collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val orderIdx = (0 until n).map(i => (keys(i), i))
+      .sorted.map(_._2).zipWithIndex.toMap // payload -> 0-based global idx
+    val q = n / 7; val rr = n % 7; val bigSpan = rr * (q + 1)
+    (0 until n).foreach { p =>
+      val i = orderIdx(p)
+      val want = (if (i < bigSpan) i / (q + 1) else rr + (i - bigSpan) / q) + 1
+      assert(byPayload(p) == want, s"ntile(payload=$p) = ${byPayload(p)}, want $want")
+    }
   }
 
   test("empty input and single row still rank") {
