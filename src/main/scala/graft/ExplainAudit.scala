@@ -43,7 +43,10 @@ object ExplainAudit {
     "p09_ann_lsh" -> (1, 3),
     "p11_modality_join" -> (0, 1),
     "p13_dedup_ngram_jaccard" -> (16, 4),
-    "p14_dedup_embed_cosine" -> (3, 3),
+    // re-pinned (3,3) → (2,3) round 15: the ADVICE r14 #5 hot-gate
+    // rework (one collected hot list instead of a limit(1).count()
+    // pass) dropped a shuffle from the audited sf0.01 plan
+    "p14_dedup_embed_cosine" -> (2, 3),
     "p15_ann_ivf" -> (2, 3),
     "p19_curation_funnel" -> (1, 0),
     "p24_decontaminate" -> (3, 2),
