@@ -237,9 +237,15 @@ object VectorBench {
     // corpus-size-independent and gate-pinned every sbt run by
     // AnnRecallSpec's forced-arity case; the full 2.2M natural-arity
     // rung stays opt-in for wall-clock reasons only).
-    recallAtScale(10000L, 500)
-    recallAtScale(50000L, 1000)
-    if (args.contains("recall3")) recallAtScale(2200000L, 1000)
+    // a frontier3 calibration JVM intentionally overrides the cap/bits
+    // past these rungs' floors (e.g. cap 16 re-measures k=1 at 0.691,
+    // the recorded below-floor point) — skip the fixed-rung gates so
+    // the k=3 measurement itself can run; routine runs keep them
+    if (!args.contains("frontier3")) {
+      recallAtScale(10000L, 500)
+      recallAtScale(50000L, 1000)
+      if (args.contains("recall3")) recallAtScale(2200000L, 1000)
+    }
 
     // Stage 5 (round 13): the recall/cost FRONTIER at the k=2
     // operating point — the quiet factor-26 sweep charged p09 21 s at

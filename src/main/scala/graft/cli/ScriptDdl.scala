@@ -3062,8 +3062,15 @@ object ScriptDdl {
     }
     // the upsert clause only absorbs conflicts on ITS keyset: a fresh
     // insert (or DO-UPDATE result) violating a different uniqueness
-    // constraint still errors, like sqlite3
+    // constraint still errors, like sqlite3. Evaluated (expression /
+    // COLLATE / partial) keysets too — round-15 fuzz seed 23660: an
+    // `ON CONFLICT (a) DO NOTHING` insert whose fresh row collided on
+    // a `lower(c)` unique index sailed through while sqlite errors
+    // (the conflict target can only resolve to a PLAIN keyset here,
+    // so evaluated keysets are never the absorbing target)
     for (ks <- allKs if ks != pkCols) checkExistingUnique(cur, name, ks)
+    for (ks <- uniqueKeysFor(state, name) if !ks.isPlain)
+      checkExistingUniqueSpec(spark, cur, ks)
     (order(cur), retParts.reduce(_ unionByName _),
       insParts.reduce(_ unionByName _), updPairs.toSeq, updAssigned)
   }

@@ -435,12 +435,15 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     // order of the reference examples' typed joins) byte-identical:
     //  - same numeric family (INTEGER/NUMERIC pair, REAL pair):
     //    canonicalization collapses equal values to one rendering;
-    //  - TEXT×TEXT: sqlite compares text, raw equality is exact;
-    //  - TEXT×NONE: sqlite applies TEXT affinity to the NONE side,
-    //    whose canonical rendering IS its text conversion.
+    //  - TEXT×TEXT: sqlite compares text, raw equality is exact.
     // What remains — NONE×NONE (int 100 vs real 100.0 natural
     // classes), cross-family numeric (INTEGER '100' vs REAL '100.0'),
-    // and TEXT×numeric ('007' vs 7, NUMERIC applied to the text) —
+    // TEXT×numeric ('007' vs 7, NUMERIC applied to the text), and
+    // TEXT×NONE (round-15 fuzz seed 23794: sqlite applies NO affinity
+    // between two columns — a BLOB/none-affinity COLUMN is not the
+    // "no affinity" operand of the affinity rules, only
+    // literals/expressions are — so int 7 in a NONE column is NEVER
+    // equal to TEXT '7', and storage classes order; sqlite3-pinned) —
     // goes through the matrix. BARE operands only (no stripCasts):
     // string-vs-string comparisons get no coercion casts from the
     // analyzer, while an engine-built expression like normKeyCol's
@@ -455,7 +458,7 @@ object AffinityOrdering extends Rule[LogicalPlan] {
     val colVsCol = bare(l) && bare(r) && {
       val fa = affFamily(l)
       val fb = affFamily(r)
-      !((fa == fb && fa != "NONE") || Set(fa, fb) == Set("TEXT", "NONE"))
+      !(fa == fb && fa != "NONE")
     }
     if (colVsLit || colVsCol) cmpKeys(l, r) else None
   }
@@ -575,7 +578,15 @@ object AffinityOrdering extends Rule[LogicalPlan] {
         isTextDeclAttr(derefOuter(r0)))
       def key(e0: Expression): Expression =
         if (pairNum) valueKey(e0)
-        else if (pairText) textKey(e0)
+        else if (pairText) {
+          // a NONE-affinity COLUMN paired with a TEXT column keeps its
+          // natural storage class — sqlite applies affinity only to
+          // literal/expression operands, never between two columns
+          // (round-15 fuzz seed 23794, sqlite3-pinned: int 7 < TEXT
+          // '7' is TRUE — numeric storage orders below text). TEXT
+          // columns and literals/expressions still compare as text.
+          if (affFamily(e0) == "NONE") valueKey(e0) else textKey(e0)
+        }
         else if (isAffinityAttr(derefOuter(e0))) valueKey(e0) // NONE col: natural class
         else if (e0.dataType == StringType) textKey(e0) // literal: TEXT storage
         else valueKey(e0) // numeric literal

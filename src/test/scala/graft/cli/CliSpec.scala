@@ -1767,6 +1767,49 @@ class CliSpec extends SparkSpec {
       " NULL IS NOT 1 from a", f) == (0, "1 1 0 1 1\n"))
   }
 
+  test("TEXT-vs-NONE column comparisons compare storage classes " +
+      "(sqlite3-verified, round-15 fuzz seed 23794)") {
+    // sqlite applies affinity only to literal/expression operands —
+    // between two COLUMNS no conversion happens, so an int 7 stored
+    // in a no-affinity column is never equal to TEXT '7' and numeric
+    // storage orders below text:
+    //   sqlite3> CREATE TABLE t (a, d TEXT);
+    //   sqlite3> INSERT INTO t VALUES (7,'7'),('B','B'),(2.5,'2.5'),('x','x');
+    //   sqlite3> SELECT a, (a IS NOT d), (a = d), (a < d) FROM t;
+    //   → 7|1|0|1  B|0|1|0  2.5|1|0|1  x|0|1|0
+    val f = tempFile("x\n")
+    val setup = "create table tn (i INTEGER PRIMARY KEY, a, d TEXT); " +
+      "insert into tn values " +
+      "(1, 7, '7'), (2, 'B', 'B'), (3, 2.5, '2.5'), (4, 'x', 'x'); "
+    assert(sqawk(setup +
+      "select a, a IS NOT d, a = d, a < d from tn order by i", f) ==
+      (0, "7 1 0 1\nB 0 1 0\n2.5 1 0 1\nx 0 1 0\n"))
+    spark.catalog.dropTempView("tn")
+  }
+
+  test("upsert enforces expression unique indexes outside its conflict " +
+      "target (sqlite3-verified, round-15 fuzz seed 23660)") {
+    // sqlite3> CREATE TABLE t (a INTEGER PRIMARY KEY, c REAL);
+    //   INSERT INTO t VALUES (-5, 1e2);
+    //   CREATE UNIQUE INDEX i1 ON t (lower(c));
+    //   INSERT INTO t VALUES (42, 1e2) ON CONFLICT (a) DO NOTHING;
+    //   → Runtime error: UNIQUE constraint failed: index 'i1'
+    val f = tempFile("x\n")
+    val setup = "create table tu (a INTEGER PRIMARY KEY, c REAL); " +
+      "insert into tu values (-5, 1e2); " +
+      "create unique index iu1 on tu (lower(c)); "
+    val (rc, _) = sqawk(setup +
+      "insert into tu values (42, 1e2) on conflict (a) do nothing; " +
+      "select count(*) from tu", f)
+    assert(rc != 0, "expected the expression-index conflict to error")
+    // the absorbing target still absorbs: a true pk conflict is a no-op
+    val f2 = tempFile("x\n")
+    assert(sqawk(setup.replace("tu", "tv").replace("iu1", "iv1") +
+      "insert into tv values (-5, 0.5) on conflict (a) do nothing; " +
+      "select count(*) from tv", f2) == (0, "1\n"))
+    spark.catalog.dropTempView("tv")
+  }
+
   test("COLLATE NOCASE ordering and equality (sqlite3-verified)") {
     // sqlite3: ORDER BY c COLLATE NOCASE, c over b/A/a/B → A,a,B,b;
     // 'FOO' = 'foo' COLLATE NOCASE → 1

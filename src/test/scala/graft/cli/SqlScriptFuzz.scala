@@ -794,8 +794,14 @@ object SqlScriptFuzz {
         bad += Divergence(seed, script, g, s)
         // report immediately (and flush — stdout is block-buffered
         // when redirected to a file): long standalone sweeps get
-        // killed on time budgets and must not lose findings
-        println(s"[fuzz] DIVERGENT seed=$seed")
+        // killed on time budgets and must not lose findings. The
+        // truncated outputs ride along (round 15): a load-flaky
+        // divergence (e.g. a broadcast timeout erroring the graft
+        // side) replays clean in isolation, so without the sweep-time
+        // evidence it cannot be attributed post-hoc.
+        println(s"[fuzz] DIVERGENT seed=$seed graftErr=${g._1} sqliteErr=${s._1}")
+        println(s"[fuzz]   graft : ${g._2.replace(Sep, "|").take(300).replace("\n", "\\n")}")
+        println(s"[fuzz]   sqlite: ${s._2.replace(Sep, "|").take(300).replace("\n", "\\n")}")
         Console.out.flush()
       }
       i += 1
