@@ -81,7 +81,10 @@ object ExplainAudit {
     // five GlobalRank range exchanges, no broadcast; the audit
     // additionally asserts below that NO single-task WindowExec
     // survives in this plan
-    "q45_global_rank" -> (5, 0))
+    "q45_global_rank" -> (5, 0),
+    // two single-expression global offset windows (lag/lead) → two
+    // GlobalRank range exchanges; same no-WindowExec assertion
+    "q46_global_offset" -> (2, 0))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -105,10 +108,10 @@ object ExplainAudit {
       observed(n) = (shuffles, bcasts)
       val (bs, bb) = exchangeBudget(n)
       println(s"  cartesian=$cartesian bnlj=$bnlj exchanges=$shuffles/$bs broadcast=$bcasts/$bb")
-      // q45 exists to pin the GlobalRank plan: a surviving Window
-      // node would mean the global ranks fell back to the single-task
-      // AllTuples shape
-      if (n == "q45_global_rank" &&
+      // q45/q46 exist to pin the GlobalRank plans: a surviving Window
+      // node would mean the global ranks/offsets fell back to the
+      // single-task AllTuples shape
+      if ((n == "q45_global_rank" || n == "q46_global_offset") &&
           (plan.contains("Window") || !plan.contains("GlobalRank"))) {
         System.err.println(s"[audit] $n expected GlobalRank-only ranks, got:\n$plan")
         bad ::= n

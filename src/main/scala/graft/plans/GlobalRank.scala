@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BaseOrdering, CumeDist, DenseRank, Expression, JoinedRow, Literal, NTile, NamedExpression, PercentRank, Rank, RowNumber, RowOrdering, SortOrder, SpecificInternalRow, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BaseOrdering, CumeDist, DenseRank, Expression, JoinedRow, Lag, Lead, Literal, NTile, NamedExpression, PercentRank, Rank, RowNumber, RowOrdering, SortOrder, SpecificInternalRow, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
@@ -69,6 +69,7 @@ case class GlobalRank(
     rankAttr: AttributeReference,
     order: Seq[SortOrder],
     func: GlobalRankFunc,
+    extra: Seq[Expression],
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -78,7 +79,9 @@ case class GlobalRank(
     copy(child = newChild)
 }
 
-/** Which rank-family function a [[GlobalRank]] computes. */
+/** Which rank-family function a [[GlobalRank]] computes. Offset
+  * functions (lag/lead) carry their value and default expressions in
+  * the node's `extra` field: Seq(input, default). */
 sealed trait GlobalRankFunc
 case object RowNumberFunc extends GlobalRankFunc
 case object RankFunc extends GlobalRankFunc
@@ -86,6 +89,7 @@ case object DenseRankFunc extends GlobalRankFunc
 case object PercentRankFunc extends GlobalRankFunc
 case object CumeDistFunc extends GlobalRankFunc
 case class NTileFunc(buckets: Int) extends GlobalRankFunc
+case class OffsetFunc(n: Int, lead: Boolean) extends GlobalRankFunc
 
 /** Optimizer rule: single rank-family global Window → [[GlobalRank]].
   * Runs from `experimental.extraOptimizations` (after the analyzer,
@@ -93,31 +97,39 @@ case class NTileFunc(buckets: Int) extends GlobalRankFunc
   * keys into storage-class structs — the struct key range-partitions
   * like any orderable type). */
 object GlobalRankRewrite extends Rule[LogicalPlan] {
-  private def funcOf(e: Expression): Option[GlobalRankFunc] = e match {
-    case _: RowNumber   => Some(RowNumberFunc)
-    case _: Rank        => Some(RankFunc)
-    case _: DenseRank   => Some(DenseRankFunc)
-    case _: PercentRank => Some(PercentRankFunc)
-    case _: CumeDist    => Some(CumeDistFunc)
-    case NTile(Literal(b: Int, IntegerType)) if b > 0 => Some(NTileFunc(b))
+  private def funcOf(e: Expression): Option[(GlobalRankFunc, Seq[Expression])] = e match {
+    case _: RowNumber   => Some((RowNumberFunc, Nil))
+    case _: Rank        => Some((RankFunc, Nil))
+    case _: DenseRank   => Some((DenseRankFunc, Nil))
+    case _: PercentRank => Some((PercentRankFunc, Nil))
+    case _: CumeDist    => Some((CumeDistFunc, Nil))
+    case NTile(Literal(b: Int, IntegerType)) if b > 0 => Some((NTileFunc(b), Nil))
+    // frameless offset windows: literal non-negative offset, foldable
+    // default, respecting-nulls only (IGNORE NULLS needs a variable-
+    // depth scan back and keeps WindowExec)
+    case Lag(in, Literal(n: Int, IntegerType), d, false) if n >= 0 && d.foldable =>
+      Some((OffsetFunc(n, lead = false), Seq(in, d)))
+    case Lead(in, Literal(n: Int, IntegerType), d, false) if n >= 0 && d.foldable =>
+      Some((OffsetFunc(n, lead = true), Seq(in, d)))
     case _              => None
   }
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case Window(Seq(al @ Alias(
           WindowExpression(rf, WindowSpecDefinition(Seq(), order, _)), _)),
         Seq(), _, child, _) if order.nonEmpty && funcOf(rf).isDefined =>
+      val (f, extra) = funcOf(rf).get
       GlobalRank(
-        AttributeReference(al.name, rf.dataType, nullable = false)(
+        AttributeReference(al.name, rf.dataType, nullable = rf.nullable)(
           exprId = al.exprId, qualifier = al.qualifier),
-        order, funcOf(rf).get, child)
+        order, f, extra, child)
   }
 }
 
 /** Plans [[GlobalRank]] into [[GlobalRankExec]]. */
 object GlobalRankStrategy extends SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GlobalRank(rankAttr, order, func, child) =>
-      GlobalRankExec(rankAttr, order, func, planLater(child)) :: Nil
+    case GlobalRank(rankAttr, order, func, extra, child) =>
+      GlobalRankExec(rankAttr, order, func, extra, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -206,6 +218,7 @@ case class GlobalRankExec(
     rankAttr: AttributeReference,
     order: Seq[SortOrder],
     func: GlobalRankFunc,
+    extra: Seq[Expression],
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -218,9 +231,140 @@ case class GlobalRankExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = func match {
-    case RowNumberFunc => doRowNumber()
-    case NTileFunc(k)  => doNTile(k)
-    case _             => doRankLike()
+    case RowNumberFunc          => doRowNumber()
+    case NTileFunc(k)           => doNTile(k)
+    case OffsetFunc(n, lead)    => doOffset(n, lead)
+    case _                      => doRankLike()
+  }
+
+  /** Global lag/lead: pass 1 returns each partition's row count plus
+    * its boundary input VALUES (last ≤n for lag, first ≤n for lead —
+    * a handful of scalar-wide UnsafeRows per partition); the driver
+    * chains them into each partition's ≤n-value prefix (lag) or
+    * suffix (lead), and pass 2 streams rows with an n-deep ring
+    * buffer (lag) or n-row lookahead queue (lead). No AllTuples, no
+    * whole-partition buffering. */
+  private def doOffset(n: Int, lead: Boolean): RDD[InternalRow] = {
+    val input = child.execute()
+    val childAttrs = child.output
+    val inExpr = extra.head
+    val dt = inExpr.dataType
+    val defaultVal: Any = extra(1).eval(InternalRow.empty)
+    val numParts = input.getNumPartitions
+    // pass 1: (count, boundary input values)
+    val stats: Array[(Long, Array[UnsafeRow])] =
+      if (n == 0) Array.fill(numParts)((0L, Array.empty[UnsafeRow]))
+      else sparkContext.runJob(input, (it: Iterator[InternalRow]) => {
+        val proj = UnsafeProjection.create(Seq(inExpr), childAttrs)
+        var c = 0L
+        if (lead) {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+          while (it.hasNext) {
+            val r = it.next()
+            if (c < n) buf += proj(r).copy()
+            c += 1L
+          }
+          (c, buf.toArray)
+        } else {
+          val ring = new Array[UnsafeRow](n)
+          while (it.hasNext) {
+            ring((c % n).toInt) = proj(it.next()).copy()
+            c += 1L
+          }
+          val m = math.min(c, n.toLong).toInt
+          // oldest → newest
+          val out = Array.tabulate(m)(i => ring(((c - m + i) % n).toInt))
+          (c, out)
+        }
+      })
+    // driver chain: the ≤n values immediately before (lag) / after
+    // (lead) each partition, skipping empty partitions naturally
+    val boundaries = new Array[Array[UnsafeRow]](numParts)
+    if (!lead) {
+      var carry = Vector.empty[UnsafeRow]
+      var pi = 0
+      while (pi < numParts) {
+        boundaries(pi) = carry.toArray
+        val (c, tail) = stats(pi)
+        carry = if (c >= n) tail.toVector else (carry ++ tail).takeRight(n)
+        pi += 1
+      }
+    } else {
+      var carry = Vector.empty[UnsafeRow]
+      var pi = numParts - 1
+      while (pi >= 0) {
+        boundaries(pi) = carry.toArray
+        val (c, head) = stats(pi)
+        carry = if (c >= n) head.toVector else (head.toVector ++ carry).take(n)
+        pi -= 1
+      }
+    }
+    val attrs = output
+    input.mapPartitionsWithIndex { (pi, it) =>
+      val proj = UnsafeProjection.create(attrs, attrs)
+      val inProj = UnsafeProjection.create(Seq(inExpr), childAttrs)
+      val joined = new JoinedRow
+      val valRow = new SpecificInternalRow(Seq(dt))
+      def emit(r: InternalRow, v: Any): InternalRow = {
+        if (v == null) valRow.setNullAt(0) else valRow.update(0, v)
+        proj(joined(r, valRow))
+      }
+      def valueOf(u: UnsafeRow): Any =
+        if (u.isNullAt(0)) null else u.get(0, dt)
+      if (n == 0) {
+        // lag/lead 0 is the current row's value
+        it.map(r => emit(r, valueOf(inProj(r))))
+      } else if (!lead) {
+        val prefix = boundaries(pi)
+        val ring = new Array[UnsafeRow](n)
+        var i = 0L
+        it.map { r =>
+          val v: Any =
+            if (i >= n) valueOf(ring(((i - n) % n).toInt))
+            else {
+              val j = prefix.length - n + i.toInt
+              if (j >= 0) valueOf(prefix(j)) else defaultVal
+            }
+          ring((i % n).toInt) = inProj(r).copy()
+          i += 1L
+          emit(r, v)
+        }
+      } else {
+        val suffix = boundaries(pi)
+        new Iterator[InternalRow] {
+          private val pending = scala.collection.mutable.Queue.empty[InternalRow]
+          private var flushIdx = 0
+          private var streaming = true
+          def hasNext: Boolean = {
+            // fill the lookahead window until a row can be emitted
+            while (streaming && pending.size <= n) {
+              if (it.hasNext) pending += it.next().copy()
+              else streaming = false
+            }
+            pending.nonEmpty
+          }
+          def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            if (pending.size > n) {
+              // the incoming row n positions ahead supplies the value
+              val v = valueOf(inProj(pending(n)))
+              emit(pending.dequeue(), v)
+            } else {
+              // tail rows: values come from the chained suffix, then
+              // the default. m rows remain; this one needs position
+              // n - m + flushIdx′ of the suffix — but m shrinks as we
+              // dequeue, so track with flushIdx against the original
+              // remainder.
+              val m = pending.size + flushIdx // original remainder
+              val sIdx = n - m + flushIdx
+              val v = if (sIdx < suffix.length) valueOf(suffix(sIdx)) else defaultVal
+              flushIdx += 1
+              emit(pending.dequeue(), v)
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Counts for partitions `range`; one lightweight job, shuffle

@@ -63,11 +63,11 @@ object SortKeyMaterialization extends Rule[LogicalPlan] {
         Sort(newOrder, global,
           Project((child.output ++ keys).toIndexedSeq, child), hint))
 
-    case g @ GlobalRank(rankAttr, order, func, child)
+    case g @ GlobalRank(rankAttr, order, func, extra, child)
         if order.exists(so => expensive(so.child)) =>
       val (newOrder, keys) = pullKeys(order)
       Project(g.output,
-        GlobalRank(rankAttr, newOrder, func,
+        GlobalRank(rankAttr, newOrder, func, extra,
           Project((child.output ++ keys).toIndexedSeq, child)))
   }
 }

@@ -775,6 +775,32 @@ object Relational {
              |  percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS price_pct,
              |  cume_dist() OVER (ORDER BY o_custkey) AS cust_cume,
              |  CAST(ntile(7) OVER (ORDER BY o_orderkey) AS INT) AS key_tile
+             |FROM orders""".stripMargin)),
+
+    // ------------------------------------------------------------------
+    // q46: GLOBAL lag/lead — frameless offset windows with no
+    // PARTITION BY. WindowExec would run each in ONE task; the
+    // GlobalRank rewrite plans both via the two-pass operator whose
+    // lightweight pass additionally ships ≤n boundary input values
+    // per partition (plans/GlobalRank.scala doOffset). Two separate
+    // specs on purpose (shared-spec functions collapse into one
+    // multi-expression Window the scope guard skips); lead carries an
+    // explicit non-NULL default so the default path is hash-covered.
+    QDef(
+      "q46_global_offset",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        ord(s, d).createOrReplaceTempView("g_ord46")
+        s.sql("""SELECT o_orderkey,
+                |  lag(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS prev_price,
+                |  lead(o_orderdate, 2, DATE '1990-01-01')
+                |    OVER (ORDER BY o_orderdate, o_orderkey) AS next2_date
+                |FROM g_ord46""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  lag(o_totalprice, 1) OVER (ORDER BY o_orderkey) AS prev_price,
+             |  lead(o_orderdate, 2, DATE '1990-01-01')
+             |    OVER (ORDER BY o_orderdate, o_orderkey) AS next2_date
              |FROM orders""".stripMargin))
   )
 }

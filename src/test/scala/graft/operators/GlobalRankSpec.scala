@@ -166,6 +166,44 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("global lag and lead ride GlobalRankExec across partitions") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val n = 4000
+    val df = spark.sparkContext
+      .parallelize((0 until n).map(i => ((i * 2654435761L % 100001).toInt, i)), 8)
+      .toDF("k", "payload")
+    df.createOrReplaceTempView("gr_off")
+    val sorted = (0 until n).map(i => ((i * 2654435761L % 100001).toInt, i)).sorted
+    // lag(payload, 3, -7): default engages for the first 3 rows
+    val lag3 = spark.sql(
+      "SELECT k, payload, lag(payload, 3, -7) OVER (ORDER BY k, payload) AS lg FROM gr_off")
+    assert(physical(lag3).contains("GlobalRank") &&
+      !physical(lag3).contains("!GlobalRank"),
+      s"expected GlobalRank for lag in:\n${physical(lag3)}")
+    val lagGot = lag3.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    sorted.zipWithIndex.foreach { case (kp, i) =>
+      val want = if (i >= 3) sorted(i - 3)._2 else -7
+      assert(lagGot(kp) == want, s"lag3 at $i: got ${lagGot(kp)}, want $want")
+    }
+    // lead(payload) with the default NULL default
+    val lead1 = spark.sql(
+      "SELECT k, payload, lead(payload) OVER (ORDER BY k, payload) AS ld FROM gr_off")
+    assert(physical(lead1).contains("GlobalRank"))
+    val leadGot = lead1.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2)))).toMap
+    sorted.zipWithIndex.foreach { case (kp, i) =>
+      val want: Integer =
+        if (i + 1 < n) Integer.valueOf(sorted(i + 1)._2) else null
+      assert(leadGot(kp) == want, s"lead1 at $i: got ${leadGot(kp)}, want $want")
+    }
+    // IGNORE NULLS keeps WindowExec (scope guard)
+    val ign = spark.sql(
+      "SELECT lead(payload) IGNORE NULLS OVER (ORDER BY k) FROM gr_off")
+    assert(!physical(ign).contains("GlobalRank"))
+  }
+
   test("empty input and single row still rank") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
