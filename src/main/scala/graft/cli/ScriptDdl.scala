@@ -2681,8 +2681,12 @@ object ScriptDdl {
     if (pkCols.isEmpty) return (order(target.unionByName(batch)), batch)
 
     val keyNonNull = pkCols.map(c => col(s"`$c`").isNotNull).reduce(_ && _)
+    // pk equality compares NORMALIZED keys (round-15 fuzz seed 32811's
+    // class): int and real renderings of one numeric value are ONE
+    // key to sqlite on a no-affinity pk column
     def cond(b: DataFrame, t: DataFrame) =
-      pkCols.map(c => b(c) === t(c)).reduce(_ && _)
+      pkCols.map(c => uniqueKeyCol(b(c), schema(c)) === uniqueKeyCol(t(c), schema(c)))
+        .reduce(_ && _)
 
     // Driver-resident fast path: the rowid walk above already pulled
     // the batch onto the driver (and autoassign makes every key
@@ -2745,7 +2749,8 @@ object ScriptDdl {
         val dupExisting = batch.where(keyNonNull)
           .join(target, cond(batch, target), "left_semi").limit(1).count() > 0
         val dupInternal = batch.where(keyNonNull)
-          .groupBy(pkCols.map(c => col(s"`$c`")): _*).agg(fCount(lit(1)).as("__n"))
+          .groupBy(pkCols.map(c =>
+            uniqueKeyCol(col(s"`$c`"), schema(c))): _*).agg(fCount(lit(1)).as("__n"))
           .where(col("__n") > 1).limit(1).count() > 0
         if (dupExisting || dupInternal)
           throw new IllegalArgumentException(
@@ -2754,7 +2759,8 @@ object ScriptDdl {
 
       case "ignore" =>
         val withRid = batch.withColumn("__gr_rid", monotonically_increasing_id())
-        val w = Window.partitionBy(pkCols.map(c => col(s"`$c`")): _*).orderBy(col("__gr_rid"))
+        val w = Window.partitionBy(pkCols.map(c =>
+          uniqueKeyCol(col(s"`$c`"), schema(c))): _*).orderBy(col("__gr_rid"))
         val firstPer = withRid.where(keyNonNull)
           .withColumn("__gr_rn", row_number().over(w)).where(col("__gr_rn") === 1)
           .drop("__gr_rn")
@@ -2766,7 +2772,8 @@ object ScriptDdl {
 
       case "replace" =>
         val withRid = batch.withColumn("__gr_rid", monotonically_increasing_id())
-        val w = Window.partitionBy(pkCols.map(c => col(s"`$c`")): _*)
+        val w = Window.partitionBy(pkCols.map(c =>
+          uniqueKeyCol(col(s"`$c`"), schema(c))): _*)
           .orderBy(col("__gr_rid").desc)
         val lastPer = withRid.where(keyNonNull)
           .withColumn("__gr_rn", row_number().over(w)).where(col("__gr_rn") === 1)
@@ -3010,7 +3017,10 @@ object ScriptDdl {
     val withRid = batch.withColumn("__gr_rid", monotonically_increasing_id())
     val nullKeyed = withRid.where(!keyNonNull).drop("__gr_rid")
     val keyed = withRid.where(keyNonNull)
-    val w = Window.partitionBy(pkCols.map(c => col(s"`$c`")): _*).orderBy(col("__gr_rid"))
+    // occupancy groups by NORMALIZED key (seed 32811's class): batch
+    // rows proposing 100 and 100.0 for a no-affinity key are ONE key
+    val w = Window.partitionBy(pkCols.map(c =>
+      uniqueKeyCol(col(s"`$c`"), schema(c))): _*).orderBy(col("__gr_rid"))
     val withOcc = keyed.withColumn("__gr_occ", row_number().over(w))
     // one small driver-side agg per statement — CLI-scoped, like the
     // rest of the DML constraint surface
@@ -3087,8 +3097,14 @@ object ScriptDdl {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          Option[org.apache.spark.sql.DataFrame],
          Seq[(Option[Row], Option[Row])]) = {
+    // conflict keys compare NORMALIZED (round-15 fuzz seed 32811): a
+    // stored int 100 and a proposed real 1e2 on a no-affinity column
+    // render differently in canonical text but are ONE key to
+    // sqlite's unique index — raw equality missed the conflict, the
+    // duplicate inserted, and everything downstream diverged
     def joinCond(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
-      pkCols.map(c => a(c) === b(c)).reduce(_ && _)
+      pkCols.map(c => uniqueKeyCol(a(c), schema(c)) === uniqueKeyCol(b(c), schema(c)))
+        .reduce(_ && _)
     val fresh = p.join(cur, joinCond(p, cur), "left_anti")
     up.set match {
       case None => // DO NOTHING: conflicting proposed rows drop
@@ -3103,7 +3119,9 @@ object ScriptDdl {
         val pRen = p.select((schema.fields.map(f =>
           col(s"`${f.name}`").as(ExcPrefix + f.name)).toSeq :+ lit(1).as("__gr_hit"))
           .toIndexedSeq: _*)
-        val cond = pkCols.map(c => col(s"$name.`$c`") === col(s"`$ExcPrefix$c`")).reduce(_ && _)
+        val cond = pkCols.map(c =>
+          uniqueKeyCol(col(s"$name.`$c`"), schema(c)) ===
+            uniqueKeyCol(col(s"`$ExcPrefix$c`"), schema(c))).reduce(_ && _)
         val joined = cur.as(name).join(pRen, cond, "left")
         val matched = col("__gr_hit").isNotNull
         val updCond = whereText match {

@@ -1787,6 +1787,25 @@ class CliSpec extends SparkSpec {
     spark.catalog.dropTempView("tn")
   }
 
+  test("upsert conflict keys collapse numeric renderings " +
+      "(sqlite3-verified, round-15 fuzz seed 32811)") {
+    // sqlite3> CREATE TABLE t (a REAL, b); INSERT INTO t VALUES (2.5, 100);
+    //   CREATE UNIQUE INDEX i ON t (b);
+    //   INSERT INTO t VALUES (-1.25, 1e2) ON CONFLICT (b) DO NOTHING;
+    //   SELECT count(*) FROM t;  → 1  (int 100 and real 100.0 are ONE key)
+    //   INSERT INTO t VALUES (-1, 100) ON CONFLICT (b) DO UPDATE SET a = excluded.a;
+    //   SELECT a FROM t;  → -1.0  (the DO-UPDATE arm matches across renderings)
+    val f = tempFile("x\n")
+    val setup = "create table tw (a REAL, b); insert into tw values (2.5, 100); " +
+      "create unique index iw1 on tw (b); "
+    assert(sqawk(setup +
+      "insert into tw values (-1.25, 1e2) on conflict (b) do nothing; " +
+      "insert into tw values (-1, 100.0) on conflict (b) do update set a = excluded.a; " +
+      "select a, b, (select count(*) from tw) from tw", f) ==
+      (0, "-1.0 100 1\n"))
+    spark.catalog.dropTempView("tw")
+  }
+
   test("upsert enforces expression unique indexes outside its conflict " +
       "target (sqlite3-verified, round-15 fuzz seed 23660)") {
     // sqlite3> CREATE TABLE t (a INTEGER PRIMARY KEY, c REAL);
