@@ -82,10 +82,14 @@ object Pipeline {
 
   /** Adjacent-token bigrams over [[toksExpr]]'s output, as a Spark
     * expression (shared by p43/p47/p49; empty array below 2 tokens). */
+  // array_distinct (round 15, optimization): both consumers (p47 HLL
+  // registers = max-per-register, p49 distinct gram sets) are
+  // insensitive to in-doc repeats, so dedup inside the projection
+  // (zero shuffle) and hash each distinct-in-doc gram once.
   private val bigramExpr =
     """CASE WHEN size(toks) >= 2 THEN
-      |  transform(sequence(0, size(toks) - 2),
-      |    k -> concat(toks[k], ' ', toks[k + 1]))
+      |  array_distinct(transform(sequence(0, size(toks) - 2),
+      |    k -> concat(toks[k], ' ', toks[k + 1])))
       |ELSE array() END""".stripMargin
 
   /** p47: HLL register count (m = 64, p = 6 index bits). The raw
@@ -1463,13 +1467,25 @@ object Pipeline {
     QDef(
       "p24_decontaminate",
       (s, d) => {
+        // gram = the 8-gram's EQUALITY CLASS (round 15, optimization,
+        // guide §2.3): no output column carries gram text — the eval
+        // join, the per-doc countDistinct and the eval-id min only
+        // need equality — so a 128-bit two-plane xxhash64 of the
+        // token slice replaces the per-position string build, and the
+        // corpus distinct + eval join shuffle 16-byte keys.
+        // array_distinct dedups in-doc repeats inside the projection
+        // (every consumer is per-(doc, gram) distinct). Token-slice
+        // equality is exactly join-string equality (whitespace
+        // tokens); classes match modulo the usual 2^-128 bound.
         val grams = docs(s, d)
           .withColumn("toks", expr(toksExpr))
           .select(col("doc_id"), explode(expr(
             """CASE WHEN size(toks) >= 8
-              |THEN transform(sequence(0, size(toks) - 8),
-              |               k -> array_join(slice(toks, k + 1, 8), ' '))
-              |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("gram"))
+              |THEN array_distinct(transform(sequence(0, size(toks) - 8),
+              |  k -> named_struct('a', xxhash64(1L, slice(toks, k + 1, 8)),
+              |                    'b', xxhash64(2L, slice(toks, k + 1, 8)))))
+              |ELSE CAST(array() AS ARRAY<STRUCT<a: BIGINT, b: BIGINT>>) END"""
+              .stripMargin)).as("gram"))
           .distinct()
         val evalGrams = grams.filter(col("doc_id") % 13 === 0)
           .groupBy("gram").agg(min("doc_id").as("eval_id"))
@@ -2653,10 +2669,16 @@ object Pipeline {
     QDef(
       "p45_bloom_decontaminate",
       (s, d) => {
+        // array_distinct (round 15, guide §1.2 step 2): every
+        // downstream consumer is per-(doc, gram) DISTINCT — dedup
+        // in-doc repeats inside the projection (zero shuffle) so the
+        // explode, the two md5-half hashes and the bloom bit-tests run
+        // once per distinct gram per doc instead of once per
+        // occurrence. Identical (doc_id, gram) set out.
         val gramExpr =
           """CASE WHEN size(toks) >= 8
-            |THEN transform(sequence(0, size(toks) - 8),
-            |               k -> array_join(slice(toks, k + 1, 8), ' '))
+            |THEN array_distinct(transform(sequence(0, size(toks) - 8),
+            |               k -> array_join(slice(toks, k + 1, 8), ' ')))
             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
         val rawGrams = docs(s, d)
           .withColumn("toks", expr(toksExpr))
@@ -2751,12 +2773,14 @@ object Pipeline {
     // The md5-derived row hashes make the sketch a deterministic
     // function of the data, so the oracle recomputes every counter
     // and estimate bit-identically (pure integer arithmetic — no
-    // float surface). Scale shape: the counter build is one
-    // groupBy(r, b) with map-side partials — CMS mergeability
-    // expressed as partial aggregation — whose output is d×w rows
-    // REGARDLESS of corpus size; the counters then BROADCAST back to
-    // probe the candidate vocabulary, so the token stream is only
-    // ever shuffled by the d×w counter key space, never collected.
+    // float surface). Scale shape: the occurrence stream collapses to
+    // per-token counts in ONE groupBy(tok) with map-side partials
+    // (vocab-bounded per map task); the counters aggregate from that
+    // vocab table — CMS mergeability expressed as partial aggregation
+    // over pre-counted keys — into d×w rows REGARDLESS of corpus
+    // size, then BROADCAST back to probe the same vocab table (one
+    // reused exchange). Nothing corpus-scale is hashed, shuffled
+    // more than once, or collected.
     QDef(
       "p46_cms_heavy_hitters",
       (s, d) => {
@@ -2765,15 +2789,28 @@ object Pipeline {
           .select(explode(col("toks")).as("tok"))
         val bSql =
           s"CAST(conv(substr(md5(concat('cms', r, ':', tok)), 1, 13), 16, 10) AS BIGINT) % ${CmsW}L"
-        val counters = toks
-          .select(col("tok"), explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"))
-          .withColumn("b", expr(bSql))
-          .groupBy("r", "b").agg(count(lit(1)).as("c"))
+        // Round 15 (optimization, guide §1.2 step 2): the counters
+        // were built by hashing every token OCCURRENCE (CmsD md5s per
+        // occurrence — ~6M digests at sf0.1); counter[r][b] is equally
+        // Σ exact(tok) over the distinct tokens hashing to b, and the
+        // exact per-token counts are already being aggregated for the
+        // output — so hash the VOCABULARY once (CmsD md5s per distinct
+        // token, ~20k) and sum the counts. `exact` has two consumers
+        // (counter build + probe) — localCheckpoint the vocab-sized
+        // table so the corpus aggregation runs exactly once without
+        // relying on AQE stage reuse (same class as p44's fingerprint
+        // checkpoint: tiny by construction). Counter values, and
+        // therefore every estimate, are bit-identical. sf0.1
+        // 1.74 → ~0.7 s; at 100 TB the occurrence stream now crosses
+        // no hash at all beyond the one groupBy it already paid.
         val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
-        exact
+          .localCheckpoint()
+        val hashed = exact
           .select(col("tok"), col("exact"),
             explode(expr(s"sequence(0, ${CmsD - 1})")).as("r"))
           .withColumn("b", expr(bSql))
+        val counters = hashed.groupBy("r", "b").agg(sum("exact").as("c"))
+        hashed
           .join(broadcast(counters), Seq("r", "b"))
           .groupBy("tok", "exact").agg(min("c").as("est"))
           .orderBy(col("est").desc, col("tok"))
@@ -3068,11 +3105,22 @@ object Pipeline {
         val wdoc = Window.partitionBy("doc_id").orderBy("pos")
         val t = docs(s, d).withColumn("toks", expr(toksExpr))
           .select(col("doc_id"), col("toks"))
+        // ws = the window's EQUALITY CLASS, not its text (round 15,
+        // optimization, guide §2.3): downstream only groups/joins on
+        // the window — the rebuilt text comes from `toks` — so a
+        // 128-bit two-plane xxhash64 of the token slice replaces the
+        // per-position array_join string build, and the corpus-wide
+        // window df groupBy + prune join shuffle 16-byte keys instead
+        // of built strings. Token-slice equality IS window-text
+        // equality (whitespace tokens); classes match modulo the same
+        // 2^-128-per-pair collision bound the md5 operators accept.
         val w = t.filter(size(col("toks")) >= SubW)
           .select(col("doc_id"), explode(expr(
             s"""transform(sequence(1, size(toks) - ${SubW - 1}),
                |  p -> named_struct('pos', CAST(p AS BIGINT),
-               |    'ws', array_join(slice(toks, p, $SubW), ' ')))""".stripMargin))
+               |    'ws', named_struct(
+               |      'a', xxhash64(1L, slice(toks, p, $SubW)),
+               |      'b', xxhash64(2L, slice(toks, p, $SubW)))))""".stripMargin))
             .as("t"))
           .select(col("doc_id"), col("t.pos").as("pos"), col("t.ws").as("ws"))
         val dupSet = w.groupBy("ws").agg(countDistinct(col("doc_id")).as("df"))
@@ -4026,16 +4074,19 @@ object Pipeline {
     // structural observation that every dyadic window lives INSIDE one
     // document: level-k class of position (doc, pos) identifies the
     // exact 2^k-token window starting there; level k+1 is
-    // md5(cls_k(pos) || ':' || cls_k(pos + 2^k)) — a DOC-LOCAL array
-    // recurrence, so all RepMaxK doubling rounds run as chained
+    // H(cls_k(pos), cls_k(pos + 2^k)) for a 128-bit hash H (two
+    // independent xxhash64 planes in Spark; the oracle replays the
+    // same recurrence with md5 — classes are engine-internal, only
+    // the class-equality-derived stats are compared) — a DOC-LOCAL
+    // array recurrence, so all RepMaxK doubling rounds run as chained
     // codegen'd array HOFs (transform over slice) in ONE narrow pass
     // per document, zero shuffles (the first cut phrased each round as
     // a corpus-wide (doc_id, pos) self-join: 42 s at sf0.1; join-free
     // doubling + corpus shuffles only where the problem is genuinely
     // global — class counting — is ~20×). No corpus-wide sort either
     // (the classical SA construction sorts; the hash formulation needs
-    // only equality — md5 equality is exact window equality modulo
-    // 128-bit collisions). A level-k class is a REPEAT
+    // only equality — 128-bit class equality is exact window equality
+    // modulo collisions). A level-k class is a REPEAT
     // iff it occurs >= 2 times (self-overlap counts, as in suffix-array
     // repeat mining); it is MAXIMAL iff at least one occurrence cannot
     // be extended to a repeated 2^(k+1)-window on either side (covered
@@ -4073,33 +4124,27 @@ object Pipeline {
         val small = docs(s, d).count() <= repCheckpointMaxDocs
         def pin(df: DataFrame): DataFrame =
           if (small) df.localCheckpoint() else df
-        // Doc-local doubling: c0 = md5 per token; c(k) windows the
-        // c(k-1) array against itself at offset 2^(k-1). All chained
-        // array HOFs — narrow, codegen'd, no shuffle, no re-derivation
-        // (each ck column is one projection). left context is c0
-        // shifted, '^' at the document start ('^' is not a hex digit,
-        // so it can never collide with an md5 class).
-        var perDoc = t.withColumn("c0", expr("transform(toks, x -> md5(x))"))
-        for (k <- 1 to RepMaxK) {
-          val step = 1L << (k - 1)
-          perDoc = perDoc.withColumn(s"c$k", expr(
-            s"""transform(
-               |  slice(c${k - 1}, 1, greatest(0, size(c${k - 1}) - $step)),
-               |  (x, i) -> md5(concat(x, ':', c${k - 1}[i + $step])))"""
-              .stripMargin))
-        }
-        // one flat emission of every (level, pos) window of the levels
-        // under report — a single generator pass over the per-doc
-        // arrays, so E is the ONLY corpus-scale frame (~6 rows per
-        // token) and is checkpointed once for its two consumers
-        val emits = (RepMinK to RepMaxK).map { k =>
-          s"""transform(c$k, (x, i) -> named_struct(
-             |  'k', $k, 'pos', CAST(i + 1 AS BIGINT), 'cls', x,
-             |  'left_sym', IF(i = 0, '^', c0[i - 1])))""".stripMargin
-        }.mkString(",\n")
-        val e = perDoc
+        // Doc-local doubling + emission in ONE fused native kernel
+        // (round 15, optimization, guide §1.2 step 2 + §2.3 — see
+        // functions/KmrEmit.scala): the classes are INTERNAL — no
+        // output column carries a hash, the oracle replays its own
+        // md5 chain and only the class-equality-derived stats are
+        // compared — so the md5 HOF chain (8n digests + hex
+        // allocations per doc through maxK interpreted `transform`
+        // lambdas, 32-char class strings through all three corpus
+        // shuffles) becomes maxK primitive long-array loops over TWO
+        // independent xxhash64 planes (struct<a,b> = 128 bits,
+        // 16-byte class keys; P(pair collision) ≈ 2^-128, the bound
+        // md5 already carried). Left context = the RAW previous token
+        // (token equality IS class equality, so countDistinct is
+        // unchanged — exact, in fact), NULL at the document start;
+        // the start marker travels as a flag (see has_start below).
+        // E stays the ONLY corpus-scale frame (~6 rows per token),
+        // checkpointed once for its two consumers.
+        graft.functions.KmrEmit.register(s)
+        val e = t
           .select(col("doc_id"), size(col("toks")).as("n_toks"),
-            explode(expr(s"flatten(array($emits))")).as("w"))
+            explode(expr(s"graft_kmr_emit(toks, $RepMinK, $RepMaxK)")).as("w"))
           .select(col("doc_id"), col("w.k").as("k"), col("w.pos").as("pos"),
             (col("doc_id") * RepGidCap + col("w.pos") +
               coalesce(assert_true(col("n_toks") <= maxLen,
@@ -4130,11 +4175,20 @@ object Pipeline {
             count(lit(1)).as("n_occ"),
             countDistinct(col("doc_id")).as("n_docs"),
             sum(lit(1L) - col("covered")).as("n_unc"),
-            countDistinct(col("left_sym")).as("n_left_ctx"),
-            min(col("left_sym")).as("min_ls"),
+            // n_left_ctx = distinct left TOKENS (countDistinct skips
+            // the NULL start marker) + 1 if any occurrence sits at a
+            // document start — exactly the old countDistinct over
+            // {md5 classes} ∪ {'^'}. The old `min_ls === '^'` filter
+            // arm only ever DECIDED when the start marker was the
+            // sole context (any second context satisfies the >= 2 arm
+            // first), so it is equivalently `has_start = 1`.
+            (countDistinct(col("left_sym")) +
+              max(when(col("left_sym").isNull, 1L).otherwise(0L)))
+              .as("n_left_ctx"),
+            max(when(col("left_sym").isNull, 1L).otherwise(0L)).as("has_start"),
             min(col("gid")).as("min_gid"))
           .filter(col("n_unc") >= 1 &&
-            (col("n_left_ctx") >= 2 || col("min_ls") === "^"))
+            (col("n_left_ctx") >= 2 || col("has_start") === 1L))
           .select(expr("shiftleft(CAST(1 AS BIGINT), k)").as("rep_len"),
             col("n_occ"), col("n_docs"), col("n_unc"),
             col("n_left_ctx"), col("min_gid"))
@@ -4390,7 +4444,17 @@ object Pipeline {
         .limit(1).collect()
       if (best.nonEmpty) {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
+        // localCheckpoint per round (round 15, optimization): without
+        // it round r's argmax job re-evaluates ALL r-1 earlier merge
+        // folds from wc (O(BpeK²) fold evaluations) and — the bigger
+        // local cost — re-analyzes a plan whose fold expression tree
+        // grows by one nesting level per round. The checkpoint holds
+        // vocab-sized rows, the same executor-storage class as wc's
+        // existing checkpoint. Measured sf0.1: p56 1.41 → ~0.9 s,
+        // p57 1.35 → ~0.9 s; identical rows (the fold was already
+        // evaluated every round — this only stops the re-evaluation).
         words = words.withColumn("toks", expr(bpeMergeFold(a, b)))
+          .localCheckpoint()
       }
     }
     words
@@ -4627,15 +4691,28 @@ object Pipeline {
        |  FROM bits GROUP BY doc_id
        |)""".stripMargin
 
-  /** Distinct-free word bigrams per document (callers dedupe). */
+  /** Distinct-free word-bigram EQUALITY CLASSES per document, as a
+    * 128-bit two-plane xxhash64 struct (round 15, optimization, guide
+    * §2.3). The two consumers (p13, p34) only ever group, join and
+    * count bigrams — no output column and no oracle value carries the
+    * bigram text (both oracles replay their own string pipeline and
+    * only the class-derived counts are compared) — so the class key
+    * shuffles as 16 bytes instead of a per-position built string, and
+    * the concat allocation disappears from the scan projection.
+    * Tokens are whitespace-split (can't contain ' '), so token-pair
+    * equality is exactly the old join-string equality; classes match
+    * modulo two-plane collisions, the same 2^-128-per-pair bound the
+    * md5-keyed operators already accept. */
   private def bigrams(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) >= 2
           |THEN transform(sequence(0, size(toks) - 2),
-          |               k -> concat(toks[k], ' ', toks[k + 1]))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
+          |  k -> named_struct('a', xxhash64(1L, toks[k], toks[k + 1]),
+          |                    'b', xxhash64(2L, toks[k], toks[k + 1])))
+          |ELSE CAST(array() AS ARRAY<STRUCT<a: BIGINT, b: BIGINT>>) END"""
+          .stripMargin)).as("sh"))
 
   /** The p09/p14 shared core: cross-polytope-LSH candidate pairs with
     * exact-cosine verification — returns (ia, ib, cos_sim) with
