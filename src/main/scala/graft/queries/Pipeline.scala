@@ -711,20 +711,26 @@ object Pipeline {
     // p07: DOCUMENT FINGERPRINT — md5 of the whitespace-normalized text
     // (exact-dup key) plus the minimum md5 over character 8-gram
     // shingles (a winnowing-style near-dup sketch: one value per doc,
-    // robust to local edits). array_min over a transform: a pure
-    // codegen projection — shingle rows never materialize and there is
+    // robust to local edits). One fused native kernel per row
+    // (graft_md5min8): shingle rows never materialize and there is
     // no shuffle at all.
     QDef(
       "p07_fingerprint",
-      (s, d) =>
+      (s, d) => {
+        // graft_md5min8 (round 15, optimization): same min-md5-per-
+        // 8-char-window VALUE — the digests are output-semantic and
+        // stay md5 — computed in one fused native loop instead of an
+        // interpreted HOF paying a lambda dispatch + substring alloc +
+        // hex encode per window (functions/Md5Min8.scala; pinned
+        // byte-identical to the HOF spelling in FingerprintSpec).
+        graft.functions.Md5Min8.register(s)
         docs(s, d)
           .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
           .select(
             col("doc_id"),
             md5(col("norm")).as("fp_doc"),
-            expr("""array_min(transform(sequence(1, greatest(length(norm) - 7, 1)),
-                   |                    i -> md5(substring(norm, i, 8))))""".stripMargin)
-              .as("fp_min8")),
+            expr("graft_md5min8(norm)").as("fp_min8"))
+      },
       Some("""WITH n AS (
              |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
              |  FROM documents
@@ -4638,15 +4644,20 @@ object Pipeline {
           .filter(col("inter") * 5 >= col("uni") * 4)
   }
 
-  /** Word 3-gram shingles per document (with duplicates — callers
-    * that need set semantics dedupe the slice they touch). */
+  /** Word 3-gram shingles per document, deduped IN-DOC (round 15,
+    * optimization): the only consumer is [[buildMinhashPairs]], where
+    * the signature mins are duplicate-insensitive and the exact-
+    * Jaccard slice applies its own distinct — so dedup inside the
+    * projection (zero shuffle) and md5 each distinct-in-doc shingle
+    * once instead of once per occurrence. Identical signatures,
+    * identical pair set. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) >= 3
-          |THEN transform(sequence(0, size(toks) - 3),
-          |               k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2]))
+          |THEN array_distinct(transform(sequence(0, size(toks) - 3),
+          |               k -> concat(toks[k], ' ', toks[k + 1], ' ', toks[k + 2])))
           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("sh"))
 
   /** p03/p44 shared 32-bit SimHash: bit j is the sign of the
