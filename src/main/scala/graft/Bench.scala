@@ -309,6 +309,24 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // Driver-contract repair (round 16, VERDICT r15 #1a — additions
+    // only, the full line above is unchanged): the harness that
+    // consumes stdout keeps only a bounded ~2000-char TAIL, and the
+    // full line (~4.5 KB at 152 queries) loses its HEAD to it — the
+    // driver could not parse the bench in round 14 OR 15 (PERF_r15
+    // per_query empty, `parsed: null` both rounds). Two extra stdout
+    // lines, each individually valid JSON, printed LAST so any
+    // bounded tail ends with parseable output:
+    //  1. a values-only per-query line (~1.3 KB): "qn" = row count,
+    //     "qv" = the per-query seconds in SORTED QUERY-NAME order
+    //     (the same order the full line and the repo file use), so
+    //     per-row data survives the tail without the 3 KB of names;
+    //  2. a final minimal line (<300 bytes) with the totals and a
+    //     pointer to the full repo file — guaranteed to fit even if
+    //     something else prints after line 1.
+    val qvLine = s"""{"metric":"queries_by_sorted_name","qn":${results.size},""" +
+      s""""qv":[${results.map(r => fmt(r._2)).mkString(",")}],"sf":"$sfDir"}"""
+    println(qvLine)
     // The full per-query map cannot fit any bounded stdout tail with
     // 111 query names, so ALSO persist the exact line to the repo,
     // where the next round's diff can read every float (VERDICT r4
@@ -351,6 +369,12 @@ object Bench {
     } catch { case _: Exception => out0 }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), fullLine + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $out: $e") }
+    // The FINAL stdout line (see the contract-repair note above):
+    // minimal, always under 300 bytes, so the bounded tail's last
+    // complete line parses no matter what was truncated above it.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""cpus":$cpus,"queries_n":${results.size},"sweep_id":"$sweepId",""" +
+      s""""detail":"$out"}""")
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -26,8 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracle replays its own md5 chain; only class-equality-
   * derived stats are compared), so the hash family only needs
   * determinism and collision resistance: per distinct window pair,
-  * P(both planes collide) ≈ 2^-128 — the bound the md5 chain already
-  * accepted.
+  * P(both planes collide) ≈ 2^-128 ASSUMING plane independence — the
+  * planes are the same non-cryptographic mix under different seeds, so
+  * unlike md5 the bound is heuristic, not proven; in practice the
+  * joint collision rate is negligible on token data and every run is
+  * gated by the DuckDB oracle hash-compare (ADVICE r15 #1).
+  *
+  * Precondition (ADVICE r15 #4): `toks` must not contain null
+  * ELEMENTS — a null token would hash as a real class (SeedA/SeedB
+  * constants) while its left-context role is indistinguishable from
+  * the document-start marker, silently inflating has_start/n_left_ctx.
+  * The only caller (p62 via toksExpr) can never produce one: split()
+  * never yields null and the filter removes empties.
   */
 final case class KmrEmit(child: Expression, minK: Int, maxK: Int)
     extends UnaryExpression {

@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * fallback otherwise), digests compared as unsigned bytes (hex is
   * order-isomorphic to its bytes: lowercase hex digits are ASCII-
   * ordered and encode nibbles high-to-low), ONE hex encode at the
-  * end. Pinned byte-identical to the HOF spelling in FingerprintSpec.
+  * end. Pinned byte-identical to the HOF spelling in Md5Min8Spec.
   */
 final case class Md5Min8(child: Expression) extends UnaryExpression {
 
@@ -50,6 +50,17 @@ final case class Md5Min8(child: Expression) extends UnaryExpression {
 object Md5Min8 {
   private val HexChars = "0123456789abcdef".toCharArray
 
+  // One MessageDigest per thread, reset per row (round 16, ADVICE r15):
+  // getInstance("MD5") walks the JCA provider list per call — non-trivial
+  // relative to the per-row work this kernel exists to save on the
+  // hottest string operator. MD5 instances are not thread-safe, so the
+  // cache is a ThreadLocal; task threads are pooled, so each constructs
+  // exactly one.
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < 16) {
@@ -63,7 +74,8 @@ object Md5Min8 {
 
   /** The kernel. Called from both interpreted eval and generated code. */
   def minHash(s: UTF8String): UTF8String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
+    md.reset()
     val nChars = s.numChars()
     val nWin = math.max(nChars - 7, 1)
     var best: Array[Byte] = null

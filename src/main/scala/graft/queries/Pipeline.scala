@@ -2501,6 +2501,7 @@ object Pipeline {
     QDef(
       "p43_kmv_distinct",
       (s, d) => {
+        graft.functions.Md5Longs.register(s)
         val grams = docs(s, d)
           .withColumn("toks", expr(toksExpr))
           .select(col("lang"), explode(expr(
@@ -2509,7 +2510,11 @@ object Pipeline {
               |    k -> concat(toks[k], ' ', toks[k + 1]))
               |ELSE array() END""".stripMargin)).as("g"))
           .select(col("lang"), expr(
-            "CAST(conv(substr(md5(concat('kmv:', g)), 1, 13), 16, 10) AS BIGINT)")
+            // round 16: fused digest kernel — same value as
+            // conv(substr(md5(concat('kmv:', g)), 1, 13), 16, 10),
+            // minus the hex alloc + substr + conv parse per gram
+            // (Md5LongsSpec pins h1)
+            "graft_md5longs(concat('kmv:', g)).h1")
             .as("h"))
           .distinct()
         val exact = grams.groupBy("lang").agg(count(lit(1)).as("n_distinct"))
@@ -2675,36 +2680,50 @@ object Pipeline {
     QDef(
       "p45_bloom_decontaminate",
       (s, d) => {
+        graft.functions.Md5Longs.register(s)
         // array_distinct (round 15, guide §1.2 step 2): every
         // downstream consumer is per-(doc, gram) DISTINCT — dedup
         // in-doc repeats inside the projection (zero shuffle) so the
-        // explode, the two md5-half hashes and the bloom bit-tests run
-        // once per distinct gram per doc instead of once per
-        // occurrence. Identical (doc_id, gram) set out.
+        // explode, the digest and the bloom bit-tests run once per
+        // distinct gram per doc instead of once per occurrence.
         val gramExpr =
           """CASE WHEN size(toks) >= 8
             |THEN array_distinct(transform(sequence(0, size(toks) - 8),
             |               k -> array_join(slice(toks, k + 1, 8), ' ')))
             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin
+        // Round 16 (guide §2.3 fixed-width shuffle keys, VERDICT r15
+        // #5): gram STRINGS used to flow through the eval-side
+        // distinct, the bloom-survivor distinct AND the exact confirm
+        // join. Every downstream consumer needs only gram EQUALITY
+        // plus the md5-derived bloom halves (those are output-semantic
+        // — the oracle replays them — and stay bit-identical), so the
+        // scan projection now emits, per distinct-in-doc gram: a
+        // 16-byte two-plane xxhash64 equality class `cls` (internal,
+        // same family and collision caveat as p13/p24/p34/p50 — see
+        // the bigrams note) and the two 52-bit digest halves h1/h2
+        // from ONE fused graft_md5longs call (bit-identical to the
+        // conv(substr(md5)) spelling — Md5LongsSpec). Gram text never
+        // leaves the scan projection; every downstream exchange
+        // carries fixed-width rows.
         val rawGrams = docs(s, d)
           .withColumn("toks", expr(toksExpr))
           .select(col("doc_id"), explode(expr(gramExpr)).as("gram"))
-        val grams = rawGrams.distinct()
-        val evalGrams = grams.filter(col("doc_id") % 13 === 0)
-          .select("gram").distinct().localCheckpoint()
+          .select(col("doc_id"),
+            expr("named_struct('a', xxhash64(1L, gram), 'b', xxhash64(2L, gram))")
+              .as("cls"),
+            expr("graft_md5longs(concat('bf:', gram))").as("md"))
+          .select(col("doc_id"), col("cls"),
+            col("md.h1").as("h1"), col("md.h2").as("h2"))
+        val evalGrams = rawGrams.filter(col("doc_id") % 13 === 0)
+          .select("cls", "h1", "h2").distinct().localCheckpoint()
         val m = BloomMPerItem * evalGrams.count()
-        // Kirsch–Mitzenmacher double hashing: ONE md5 per gram, k
-        // positions h1 + j·h2 (mod m) from its two 52-bit halves —
-        // preserves the bloom FP guarantee at a third of the scan's
-        // hash cost. The digest halves project ONCE per row (named
-        // columns, not repeated subtrees — codegen CSE does not span
-        // the conjunction) and the bit-test filter runs on them
-        // BEFORE the distinct exchange, so the shuffle carries only
-        // bloom-positive grams.
-        val h1Sql = "CAST(conv(substr(md5(concat('bf:', gram)), 1, 13), 16, 10) AS BIGINT)"
-        val h2Sql = "CAST(conv(substr(md5(concat('bf:', gram)), 14, 13), 16, 10) AS BIGINT)"
-        def posSql(j: Int, h1: String = h1Sql, h2: String = h2Sql) =
-          s"($h1 + ${j}L * $h2) % ${m}L"
+        // Kirsch–Mitzenmacher double hashing: k positions h1 + j·h2
+        // (mod m) from the digest's two 52-bit halves — preserves the
+        // bloom FP guarantee at a third of the scan's hash cost. The
+        // bit-test filter runs on the already-projected halves BEFORE
+        // the distinct exchange, so the shuffle carries only
+        // bloom-positive (doc_id, cls) rows.
+        def posSql(j: Int) = s"(h1 + ${j}L * h2) % ${m}L"
         val posArray = (0 until BloomK).map(j => posSql(j))
           .mkString("array(", ", ", ")")
         val positions = evalGrams
@@ -2713,19 +2732,31 @@ object Pipeline {
         val mask = new Array[Long](((m + 63) / 64).toInt)
         positions.foreach(p => mask(p.toInt / 64) |= (1L << (p.toInt % 64)))
         val bloomPass = (0 until BloomK)
-          .map(j => posSql(j, "h1", "h2"))
+          .map(j => posSql(j))
           .map(p => s"((shiftright(element_at(bfmask, CAST(($p) DIV 64 AS INT) + 1)," +
             s" CAST(($p) % 64 AS INT)) & 1) = 1)")
           .mkString(" AND ")
         val cand = rawGrams
-          .withColumn("h1", expr(h1Sql)).withColumn("h2", expr(h2Sql))
           .withColumn("bfmask", typedLit(mask.toSeq))
-          .filter(expr(bloomPass)).select("doc_id", "gram").distinct()
-        val nc = cand.groupBy("doc_id").agg(count(lit(1)).as("n_cand_grams"))
-        val nh = cand.join(broadcast(evalGrams), "gram")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hit_grams"))
+          .filter(expr(bloomPass)).select("doc_id", "cls").distinct()
+        // Round 16 (guide §1.2 step 1 — one pass instead of two): the
+        // old nc/nh pair consumed `cand` twice, so the whole
+        // scan→tokenize→digest→bloom pipeline and the survivor
+        // distinct ran TWICE per invocation. A LEFT broadcast probe of
+        // the eval classes marks hits on the single candidate stream,
+        // and one groupBy(doc_id) counts both: n_cand = count(*),
+        // n_hit = count(matched marker) — each cand row matches at
+        // most one eval row (eval classes are distinct), so the left
+        // join never duplicates. Values identical; the audited plan
+        // drops from 5 exchanges to 3.
+        val agg = cand
+          .join(broadcast(evalGrams.select(col("cls").as("ecls"))),
+            col("cls") === col("ecls"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_cand_grams"),
+            count(col("ecls")).as("n_hit_grams"))
         docs(s, d).select("doc_id")
-          .join(nc, Seq("doc_id"), "left").join(nh, Seq("doc_id"), "left")
+          .join(agg, Seq("doc_id"), "left")
           .select(col("doc_id"),
             (coalesce(col("n_hit_grams"), lit(0L)) > 0).as("contaminated"),
             coalesce(col("n_cand_grams"), lit(0L)).as("n_cand_grams"),
@@ -2790,11 +2821,15 @@ object Pipeline {
     QDef(
       "p46_cms_heavy_hitters",
       (s, d) => {
+        graft.functions.Md5Longs.register(s)
         val toks = docs(s, d)
           .withColumn("toks", expr(toksExpr))
           .select(explode(col("toks")).as("tok"))
+        // round 16: fused digest kernel — bit-identical to
+        // conv(substr(md5(...), 1, 13)) (Md5LongsSpec), minus the hex
+        // alloc + substr + conv parse per (token, row) digest
         val bSql =
-          s"CAST(conv(substr(md5(concat('cms', r, ':', tok)), 1, 13), 16, 10) AS BIGINT) % ${CmsW}L"
+          s"graft_md5longs(concat('cms', r, ':', tok)).h1 % ${CmsW}L"
         // Round 15 (optimization, guide §1.2 step 2): the counters
         // were built by hashing every token OCCURRENCE (CmsD md5s per
         // occurrence — ~6M digests at sf0.1); counter[r][b] is equally
@@ -2869,11 +2904,14 @@ object Pipeline {
     QDef(
       "p47_hll_distinct",
       (s, d) => {
+        graft.functions.Md5Longs.register(s)
         val grams = docs(s, d)
           .withColumn("toks", expr(toksExpr))
           .select(col("lang"), explode(expr(bigramExpr)).as("g"))
           .select(col("lang"), expr(
-            "CAST(conv(substr(md5(concat('hll:', g)), 1, 13), 16, 10) AS BIGINT)")
+            // round 16: fused digest kernel, bit-identical to
+            // conv(substr(md5(concat('hll:', g)), 1, 13), 16, 10)
+            "graft_md5longs(concat('hll:', g)).h1")
             .as("h"))
         val regs = grams
           .select(col("lang"), expr(s"CAST(h % $HllM AS INT)").as("j"),
@@ -3019,6 +3057,7 @@ object Pipeline {
     QDef(
       "p49_source_overlap",
       (s, d) => {
+        graft.functions.Md5Longs.register(s)
         val grams = docs(s, d)
           .withColumn("toks", expr(toksExpr))
           .select(col("source"), explode(expr(bigramExpr)).as("g"))
@@ -3026,8 +3065,11 @@ object Pipeline {
         val sig = grams
           .select(col("source"), col("g"),
             explode(expr(s"sequence(0, ${OvK - 1})")).as("i"))
-          .withColumn("h", expr(
-            "CAST(conv(substr(md5(concat('ov', i, ':', g)), 1, 13), 16, 10) AS BIGINT)"))
+          // round 16: fused digest kernel, bit-identical to
+          // conv(substr(md5(concat('ov', i, ':', g)), 1, 13), 16, 10)
+          // — these OvK digests per gram are output-semantic (the
+          // oracle replays them), only the evaluation is fused
+          .withColumn("h", expr("graft_md5longs(concat('ov', i, ':', g)).h1"))
           .groupBy("source", "i").agg(min("h").as("minh"))
         val est = sig.as("a").join(sig.as("b"),
             col("a.i") === col("b.i") && col("a.source") < col("b.source"))
@@ -4592,13 +4634,16 @@ object Pipeline {
         // int64): a 16× hash-compute reduction vs. md5-per-permutation,
         // identical arithmetic in the DuckDB oracle.
         // md5 once per shingle (the separate projection keeps
-        // CollapseProject from inlining the non-cheap md5 into both
-        // conv branches), then split the hex into the two 52-bit
-        // halves.
-        val hashed = shRaw.select(col("doc_id"), md5(col("sh")).as("m"))
+        // CollapseProject from inlining the non-cheap kernel into both
+        // half references). Round 16: the digest + both 52-bit halves
+        // come from ONE fused graft_md5longs call — the md5-expression
+        // spelling paid a 32-char hex alloc plus two substr+conv
+        // string-parses per shingle. Values bit-identical
+        // (Md5LongsSpec pins h1/h2 to the conv(substr(md5)) spelling).
+        graft.functions.Md5Longs.register(s)
+        val hashed = shRaw.select(col("doc_id"), expr("graft_md5longs(sh)").as("m"))
           .select(col("doc_id"),
-            expr("CAST(conv(substr(m, 1, 13), 16, 10) AS BIGINT)").as("h1"),
-            expr("CAST(conv(substr(m, 14, 13), 16, 10) AS BIGINT)").as("h2"))
+            col("m.h1").as("h1"), col("m.h2").as("h2"))
         val minhAggs = (0 until NumPerm).map(i =>
           min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
         val sig = hashed.groupBy("doc_id").agg(minhAggs.head, minhAggs.tail: _*)
@@ -4670,11 +4715,20 @@ object Pipeline {
     * partial-sum columns: the token×bit rows never materialize and
     * the shuffle is one 32-column row per doc per partition. */
   private def simhash32(s: SparkSession, d: String): DataFrame = {
+    // Round 16 (optimization, guide expressions/codegen): the four
+    // 32-bit digest words come from ONE fused graft_md5longs call —
+    // before, each token occurrence paid the md5 expression (digest +
+    // 32-char hex alloc) plus 4 substr allocations and 4 conv()
+    // string-parses. Values bit-identical (Md5LongsSpec pins g0..g3
+    // to the conv(substr(md5)) spelling); the separate projection
+    // keeps CollapseProject from inlining the non-cheap kernel into
+    // the four field references (the buildMinhashPairs precedent).
+    graft.functions.Md5Longs.register(s)
     val tok = docs(s, d)
       .select(col("doc_id"), explode(expr(toksExpr)).as("tok"))
+      .select(col("doc_id"), expr("graft_md5longs(tok)").as("m"))
       .select(col("doc_id") +: (0 until 4).map(g =>
-        expr(s"CAST(conv(substr(md5(tok), ${g * 8 + 1}, 8), 16, 10) AS BIGINT)")
-          .as(s"g$g")): _*)
+        col(s"m.g$g").as(s"g$g")): _*)
     val bitSums = (0 until 32).map { j =>
       val (g, dIdx) = (j / 8, j % 8)
       sum(expr(s"CASE WHEN (g$g >> ${31 - 4 * dIdx}) & 1 = 1 THEN 1 ELSE -1 END"))
@@ -4712,8 +4766,10 @@ object Pipeline {
     * the concat allocation disappears from the scan projection.
     * Tokens are whitespace-split (can't contain ' '), so token-pair
     * equality is exactly the old join-string equality; classes match
-    * modulo two-plane collisions, the same 2^-128-per-pair bound the
-    * md5-keyed operators already accept. */
+    * modulo two-plane collisions — ≈2^-128 per pair ASSUMING plane
+    * independence (the planes differ only in a seed/prefixed literal,
+    * so the bound is heuristic rather than md5-grade; negligible in
+    * practice and gated by the oracle hash-compare — ADVICE r15 #1). */
   private def bigrams(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .withColumn("toks", expr(toksExpr))
