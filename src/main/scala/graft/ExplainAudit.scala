@@ -57,7 +57,10 @@ object ExplainAudit {
     "p39_mixture_sample" -> (2, 1),
     "p42_incremental_dedup" -> (1, 5),
     "p44_simhash_neardup" -> (2, 1),
-    "p45_bloom_decontaminate" -> (5, 2),
+    // re-pinned (5,2) → (3,1) round 16: fixed-width class keys + the
+    // single-pass nc/nh merge dropped two exchanges and a broadcast
+    // from the audited plan (plans/r16/p45_..._after.txt)
+    "p45_bloom_decontaminate" -> (3, 1),
     "p46_cms_heavy_hitters" -> (2, 1),
     "p47_hll_distinct" -> (6, 4),
     "p48_quantile_sample" -> (4, 3),
@@ -71,7 +74,13 @@ object ExplainAudit {
     "p59_url_dedup" -> (2, 0),
     "p60_markov_transitions" -> (3, 0),
     "p61_paragraph_dedup" -> (2, 0),
-    "p62_repeat_mining" -> (3, 2),
+    // re-pinned (3,2) → (4,1) round 16: the cov coverage join must
+    // not broadcast (corpus-scale side; the factor-26 run died on it
+    // once r15's narrower classes shrank its size estimate under the
+    // threshold) — the explicit SHUFFLE_HASH trades the broadcast for
+    // one exchange, sf0.1-neutral (OptProbe cov-shj 0.742 s vs
+    // broadcast 0.801 s) and scale-safe
+    "p62_repeat_mining" -> (4, 1),
     "p64_ann_ivfpq" -> (2, 3),
     "p65_fuzzy_entity_match" -> (16, 6),
     "q39_asof_join" -> (1, 0),

@@ -4205,18 +4205,40 @@ object Pipeline {
         // the same key (pinned — used as stats input AND as the
         // next-lower level's coverage source; above the threshold
         // both consumers recompute from reused shuffle files)
+        // SHUFFLE_HASH (round 16, same reasoning as cov below): reps
+        // is CORPUS-SCALE (every repeated (k, cls)), so it must never
+        // be a broadcast build side — at factor 26 the planner's
+        // post-checkpoint size estimate slipped under the threshold
+        // and the broadcast build ran the driver out of memory. This
+        // join sits INSIDE the pinned occ materialization, so the
+        // committed plan dumps (which truncate at the checkpoint)
+        // never showed it. Keys are the same (k, cls) the groupBy
+        // already partitions by; build side is distinct per key.
         val reps = ePinned.groupBy("k", "cls").agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= 2).select("k", "cls")
+          .hint("SHUFFLE_HASH")
         val occ = pin(ePinned.join(reps, Seq("k", "cls")))
         // coverage: a level-k occurrence is covered iff the (k+1)-window
         // at pos (right extension) or pos - 2^k (left extension, i.e.
         // this pos = up.pos + 2^k) is itself repeated. Level RepMaxK
         // has no k+1 source, so it never matches — covered = 0 free.
         val up = occ.filter(col("k") > RepMinK)
+        // SHUFFLE_HASH (round 16): cov is CORPUS-SCALE (distinct
+        // coverage positions of every repeated occurrence), so it must
+        // never be the broadcast side — but after round 15 narrowed
+        // the emission frame (16-byte classes for 32-char strings),
+        // Catalyst's size estimate for cov slipped under the 10 MB
+        // auto-broadcast threshold and the factor-26 re-measure DIED
+        // building the broadcast (droppable only because the estimate,
+        // not the data, shrank). The join keys (k, doc_id, pos) are
+        // near-unique, so a shuffled hash join is skew-safe, sort-free
+        // and partition-local at any scale (guide §3.1: pick the
+        // strategy deliberately).
         val cov = up.select((col("k") - 1).as("k"), col("doc_id"), col("pos"))
           .unionAll(up.select((col("k") - 1).as("k"), col("doc_id"),
             (col("pos") + expr("shiftleft(CAST(1 AS BIGINT), k - 1)")).as("pos")))
           .distinct().withColumn("c1", lit(1L))
+          .hint("SHUFFLE_HASH")
         val stats = occ.join(cov, Seq("k", "doc_id", "pos"), "left")
           .withColumn("covered", coalesce(col("c1"), lit(0L)))
           .groupBy("k", "cls").agg(

